@@ -1,0 +1,48 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Single source of truth for table access (SURVEY §7.0).
+ *
+ * The reference pipeline (AndreSchumacher/avro-parquet-spark-example)
+ * registers Parquet files as Spark SQL tables and queries them; this loader
+ * is the Spark-4.x equivalent: `spark.read.parquet` + temp views, with one
+ * environment-specific normalization (events.ts is TIMESTAMP(NANOS), which
+ * Spark 4.1.2's vectorized Parquet reader rejects unless
+ * `spark.sql.legacy.parquet.nanosAsLong=true`; the raw longs are then
+ * converted to microsecond timestamps — lossless here, no row has
+ * sub-microsecond components).
+ *
+ * Scale note (100 TB): everything below is a metadata operation — no data
+ * is materialized on the driver. On a real cluster the same code reads
+ * partitioned directories; pushdown/pruning happen at the Parquet scan.
+ */
+object Tables {
+  val relational: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val all: Seq[String] = relational ++ Seq("events", "documents", "embeddings")
+
+  /** Read one table (with the events ts normalization applied). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      // ts arrives as nanos-since-epoch LongType under the legacy flag;
+      // integer-divide to micros and rebuild a proper TimestampType column.
+      df.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+    else df
+  }
+
+  /**
+   * Load every table and (re-)register `<name>` temp views so queries can be
+   * expressed either via the DataFrame DSL or `spark.sql`. Idempotent per
+   * (session, sfDir); cheap to call at the top of every query builder.
+   */
+  def load(spark: SparkSession, sfDir: String): Map[String, DataFrame] = {
+    val dfs = all.map(n => n -> table(spark, sfDir, n)).toMap
+    dfs.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    dfs
+  }
+}
