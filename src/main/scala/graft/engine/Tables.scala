@@ -30,8 +30,10 @@ object Tables {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events")
       // ts arrives as nanos-since-epoch LongType under the legacy flag;
-      // integer-divide to micros and rebuild a proper TimestampType column.
-      df.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      // integer-divide (`div`, NOT `/` — double division loses precision
+      // above 2^53, and ns-epoch values are ~1.7e18) to micros and rebuild
+      // a proper TimestampType column.
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

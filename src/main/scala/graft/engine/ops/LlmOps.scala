@@ -1,0 +1,203 @@
+package graft.engine.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.engine.{QueryDef, Tables}
+
+/**
+ * LLM-data-pipeline operators (SURVEY §2.7): dedup, similarity search,
+ * multimodal joins, text analysis — the operations a large-scale
+ * training-data pipeline needs, expressed with codegen-friendly built-ins
+ * (higher-order functions, no UDFs in the hot path).
+ *
+ * 100 TB stance: near-dup is signature/blocking-based (never all-pairs over
+ * the corpus); similarity search restricts the pairwise stage to a small
+ * probe set or an LSH/label block; every aggregation is shuffle-partitioned
+ * on its group key.
+ */
+object LlmOps {
+
+  /** Tokens of documents.text (space-separated by construction). */
+  private val toks = split(col("text"), " ")
+
+  // --- q30: exact dedup with deterministic survivor -----------------------
+  // Window row_number=1, NOT dropDuplicates: dropDuplicates keeps an
+  // arbitrary (partition-order-dependent) row; row_number pins the lowest
+  // event_id. One shuffle on the dedup key — the 100 TB shape.
+  private val q30 = QueryDef(
+    "q30_dedup_exact",
+    """SELECT event_id, user_id, event_type, ts FROM (
+      |  SELECT event_id, user_id, event_type, ts,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type, ts ORDER BY event_id) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY event_id LIMIT 300""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id", "event_type", "ts").orderBy("event_id")
+    Tables.table(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") === 1).drop("rn")
+      .orderBy("event_id").limit(300)
+  }
+
+  // --- q31: near-dup clustering by token-set signature --------------------
+  // sort(distinct(tokens)) joined back to one string = an order/multiplicity
+  // invariant signature; clusters = groups with ≥2 docs. Scales as a single
+  // groupBy shuffle on the signature (vs O(n²) pairwise).
+  private val q31 = QueryDef(
+    "q31_dedup_signature",
+    """SELECT array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS sig,
+      |  COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc
+      |FROM documents
+      |GROUP BY 1 HAVING COUNT(*) >= 2
+      |ORDER BY n_docs DESC, canonical_doc LIMIT 100""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"),
+        array_join(array_sort(array_distinct(toks)), " ").as("sig"))
+      .groupBy("sig")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc"))
+      .where(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("canonical_doc")).limit(100)
+  }
+
+  // --- q33: brute-force cosine top-k for a probe set ----------------------
+  // The pairwise stage is probe-restricted (5 × N, broadcast probes), never
+  // N × N. Dot products via zip_with/aggregate stay inside whole-stage
+  // codegen — no UDF. Ranking happens on the ROUNDED decimal so rank ties
+  // resolve identically in both engines.
+  private val q33 = QueryDef(
+    "q33_sim_cosine_topk",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+      |p AS (SELECT vec_id AS probe_id, e AS pe, nrm AS pn FROM n WHERE vec_id < 5),
+      |sims AS (
+      |  SELECT p.probe_id, n.vec_id AS neighbor_id,
+      |    CAST(ROUND(list_dot_product(pe, e) / (pn * nrm), 4) AS DECIMAL(7,4)) AS sim
+      |  FROM p, n WHERE n.vec_id <> p.probe_id)
+      |SELECT probe_id, rn, neighbor_id, sim FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+      |             ORDER BY sim DESC, neighbor_id) AS rn FROM sims) t
+      |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin) { (s, dir) =>
+    val n = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", expr("sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"))
+    val p = n.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("nrm").as("pn"))
+    val sims = n.crossJoin(broadcast(p))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        round(expr("aggregate(zip_with(pe, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") / (col("pn") * col("nrm")), 4)
+          .cast("decimal(7,4)").as("sim"))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
+    sims.select(col("probe_id"), row_number().over(w).as("rn"), col("neighbor_id"), col("sim"))
+      .where(col("rn") <= 5)
+      .orderBy("probe_id", "rn")
+  }
+
+  // --- q34: blocked similarity-threshold pair counts ----------------------
+  // Self-join BLOCKED on label — the 100 TB pattern (LSH/blocking before
+  // pairwise): each block's pair count is quadratic only in the block size,
+  // and blocks shuffle-partition independently.
+  private val q34 = QueryDef(
+    "q34_sim_threshold_count",
+    """WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings)
+      |SELECT a.label, COUNT(*) AS n_pairs
+      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE CAST(ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS DECIMAL(7,4)) >= 0.30
+      |GROUP BY a.label ORDER BY a.label""".stripMargin) { (s, dir) =>
+    val n = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", expr("sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"))
+    val a = n.select(col("label"), col("vec_id").as("id_a"), col("e").as("ea"), col("nrm").as("na"))
+    val b = n.select(col("label").as("label_b"), col("vec_id").as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
+      .where(round(expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") / (col("na") * col("nb")), 4)
+        .cast("decimal(7,4)") >= 0.30)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("label")
+  }
+
+  // --- q35: multimodal join (text ⋈ vectors) ------------------------------
+  private val q35 = QueryDef(
+    "q35_multimodal_join",
+    """SELECT label, lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(38,4)) AS avg_chars
+      |FROM documents JOIN embeddings ON doc_id = vec_id
+      |GROUP BY label, lang ORDER BY label, lang""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "documents")
+      .join(Tables.table(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+      .groupBy("label", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("n_chars").cast("decimal(18,2)")) / count(lit(1)))
+          .cast("decimal(38,4)").as("avg_chars"))
+      .orderBy("label", "lang")
+  }
+
+  // --- q36: token frequency (explode + groupBy) ---------------------------
+  private val q36 = QueryDef(
+    "q36_text_tf",
+    """SELECT lang, token, COUNT(*) AS n
+      |FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents) t
+      |GROUP BY lang, token ORDER BY n DESC, lang, token LIMIT 50""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "documents")
+      .select(col("lang"), explode(toks).as("token"))
+      .groupBy("lang", "token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("lang"), col("token")).limit(50)
+  }
+
+  // --- q37: bigram generation (generator/UDTF surface) --------------------
+  // zip_with over the token array and its shift; explode generates rows.
+  private val q37 = QueryDef(
+    "q37_text_bigrams",
+    """SELECT lang, z[1] || ' ' || z[2] AS bigram, COUNT(*) AS n
+      |FROM (SELECT lang, unnest(list_zip(l[1:len(l)-1], l[2:])) AS z
+      |      FROM (SELECT lang, string_split(text, ' ') AS l FROM documents) t) u
+      |GROUP BY lang, bigram ORDER BY n DESC, lang, bigram LIMIT 50""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "documents")
+      .select(col("lang"), toks.as("l"))
+      .select(col("lang"), explode(expr(
+        "zip_with(slice(l, 1, size(l) - 1), slice(l, 2, size(l) - 1), (a, b) -> concat(a, ' ', b))"))
+        .as("bigram"))
+      .groupBy("lang", "bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("lang"), col("bigram")).limit(50)
+  }
+
+  // --- q38: per-(lang, source) text statistics ----------------------------
+  // Doc-level stats and corpus-distinct-token stats aggregate at different
+  // grains — two branches joined on the group key (one shuffle each).
+  private val q38 = QueryDef(
+    "q38_text_stats",
+    """WITH doc_stats AS (
+      |  SELECT lang, source, COUNT(*) AS n_docs,
+      |    CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(38,4)) AS avg_chars
+      |  FROM documents GROUP BY lang, source),
+      |tok_stats AS (
+      |  SELECT lang, source, COUNT(DISTINCT token) AS n_tokens
+      |  FROM (SELECT lang, source, unnest(string_split(text, ' ')) AS token FROM documents) t
+      |  GROUP BY lang, source)
+      |SELECT d.lang, d.source, d.n_docs, d.avg_chars, t.n_tokens
+      |FROM doc_stats d JOIN tok_stats t ON d.lang = t.lang AND d.source = t.source
+      |ORDER BY d.lang, d.source""".stripMargin) { (s, dir) =>
+    val docs = Tables.table(s, dir, "documents")
+    val docStats = docs.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("n_chars").cast("decimal(18,2)")) / count(lit(1)))
+          .cast("decimal(38,4)").as("avg_chars"))
+    val tokStats = docs
+      .select(col("lang").as("t_lang"), col("source").as("t_source"), explode(toks).as("token"))
+      .groupBy("t_lang", "t_source")
+      .agg(countDistinct(col("token")).as("n_tokens"))
+    docStats
+      .join(tokStats, col("lang") === col("t_lang") && col("source") === col("t_source"))
+      .select("lang", "source", "n_docs", "avg_chars", "n_tokens")
+      .orderBy("lang", "source")
+  }
+
+  def defs: Seq[QueryDef] = Seq(q30, q31, q33, q34, q35, q36, q37, q38)
+}

@@ -11,6 +11,11 @@ import graft.engine.{QueryDef, Tables}
  * reference demonstrates via Spark SQL over Parquet, re-expressed with the
  * Spark 4.x DataFrame DSL so Catalyst handles pushdown/pruning/join
  * selection. Every query ends in a total order for hash-stable verification.
+ *
+ * Scale stance (100 TB): no driver-side collection anywhere; dimensions are
+ * broadcast; fact-fact joins shuffle on their equi keys only; aggregates are
+ * partial+final (map-side combine) over exact DECIMAL so partition order
+ * never changes a result.
  */
 object Relational {
 
@@ -35,6 +40,154 @@ object Relational {
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
       .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
       .limit(100)
+  }
+
+  // --- q04: compound predicates: AND/OR, IN, BETWEEN (timestamps), LIKE --
+  private val q04 = QueryDef(
+    "q04_filter_complex",
+    """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+      |FROM orders
+      |WHERE o_orderstatus IN ('F','P')
+      |  AND o_totalprice BETWEEN 50000 AND 150000
+      |  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+      |  AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+      |ORDER BY o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "orders")
+      .where(col("o_orderstatus").isin("F", "P")
+        && col("o_totalprice").between(50000, 150000)
+        && col("o_orderdate").between(
+          lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp"))
+        && (col("o_orderpriority").like("1-%") || col("o_orderpriority").like("2-%")))
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+      .orderBy("o_orderkey").limit(100)
+  }
+
+  // --- q05: string functions over part names ------------------------------
+  // Regex stays in [a-z]+ class — identical across java.util.regex and RE2.
+  private val q05 = QueryDef(
+    "q05_string_funcs",
+    """SELECT p_partkey, UPPER(p_name) AS name_upper, SUBSTR(p_name, 1, 5) AS name_pfx,
+      |  CONCAT(p_brand, '#', p_type) AS brand_type, LENGTH(p_name) AS name_len,
+      |  REGEXP_EXTRACT(p_name, '([a-z]+)', 1) AS first_word
+      |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "part")
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_name"), 1, 5).as("name_pfx"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        length(col("p_name")).as("name_len"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"))
+      .orderBy("p_partkey").limit(200)
+  }
+
+  // --- q06: date functions: EXTRACT, datediff, date_trunc -----------------
+  // Integer/date outputs only (determinism rule 4).
+  private val q06 = QueryDef(
+    "q06_date_funcs",
+    """SELECT o_orderkey,
+      |  EXTRACT(year FROM o_orderdate) AS o_year,
+      |  EXTRACT(month FROM o_orderdate) AS o_month,
+      |  DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98,
+      |  CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start
+      |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        datediff(to_date(lit("1998-01-01")), to_date(col("o_orderdate"))).as("days_to_98"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"))
+      .orderBy("o_orderkey").limit(200)
+  }
+
+  // --- q07: math functions with exact decimal casts -----------------------
+  // FLOOR before int cast: Spark CAST(double AS INT) truncates, DuckDB
+  // rounds — FLOOR first makes both exact.
+  private val q07 = QueryDef(
+    "q07_math_funcs",
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(FLOOR(l_quantity) AS INTEGER) % 7 AS qty_mod7,
+      |  CAST(ROUND(ABS(l_discount - 0.05), 2) AS DECIMAL(5,2)) AS disc_dev,
+      |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+      |  CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil
+      |FROM lineitem
+      |WHERE l_quantity > 40
+      |ORDER BY l_orderkey, l_linenumber, price_floor, qty_mod7 LIMIT 200""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "lineitem")
+      .where(col("l_quantity") > 40)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (floor(col("l_quantity")).cast("int") % 7).as("qty_mod7"),
+        round(abs(col("l_discount") - 0.05), 2).cast("decimal(5,2)").as("disc_dev"),
+        floor(col("l_extendedprice")).cast("bigint").as("price_floor"),
+        ceil(col("l_extendedprice")).cast("bigint").as("price_ceil"))
+      .orderBy("l_orderkey", "l_linenumber", "price_floor", "qty_mod7").limit(200)
+  }
+
+  // --- q08: JSON extraction from events.props -----------------------------
+  private val q08 = QueryDef(
+    "q08_json_extract",
+    """SELECT event_type,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) / COUNT(*) AS DECIMAL(38,4)) AS avg_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    Tables.table(s, dir, "events")
+      .groupBy("event_type")
+      .agg(sum(k).as("sum_k"), count(lit(1)).as("n"),
+        (sum(k).cast("decimal(38,0)") / count(lit(1))).cast("decimal(38,4)").as("avg_k"))
+      .orderBy("event_type")
+  }
+
+  // --- q09: array functions over tokenized documents ----------------------
+  private val q09 = QueryDef(
+    "q09_array_funcs",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ' ') AS first3
+      |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin) { (s, dir) =>
+    val toks = split(col("text"), " ")
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        array_join(slice(array_sort(array_distinct(toks)), 1, 3), " ").as("first3"))
+      .orderBy("doc_id").limit(200)
+  }
+
+  // --- q10: broadcast hash join fact→dim ----------------------------------
+  // part is a dimension (20k rows at sf0.1) — explicit broadcast() pins the
+  // 100 TB-correct plan: no shuffle of lineitem, map-side join + partial agg.
+  private val q10 = QueryDef(
+    "q10_join_broadcast",
+    """SELECT p_brand, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "lineitem")
+      .join(broadcast(Tables.table(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .cast("decimal(38,4)").as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  // --- q11: large-large sort-merge join -----------------------------------
+  // MERGE hint pins SortMergeJoin (the only strategy that scales when both
+  // sides are ~fact-sized); both sides shuffle-partition on the join key.
+  private val q11 = QueryDef(
+    "q11_join_shuffle",
+    """SELECT o_orderstatus, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "orders").hint("merge")
+      .join(Tables.table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec("l_quantity")).cast("decimal(38,2)").as("sum_qty"))
+      .orderBy("o_orderstatus")
   }
 
   // --- q12: 6-table star join, revenue by nation (TPC-H Q5 shape) --------
@@ -63,6 +216,95 @@ object Relational {
       .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
         .cast("decimal(38,4)").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // --- q13: left-semi join (EXISTS) ---------------------------------------
+  private val q13 = QueryDef(
+    "q13_join_semi",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey LIMIT 200""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "customer")
+      .join(Tables.table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey").limit(200)
+  }
+
+  // --- q14: left-anti join (NOT EXISTS) -----------------------------------
+  // Every customer has *some* order, so the anti side is date-restricted to
+  // keep the result nonempty (14 rows at sf0.001, 135 at sf0.01).
+  private val q14 = QueryDef(
+    "q14_join_anti",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |ORDER BY c_custkey LIMIT 200""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "customer")
+      .join(
+        Tables.table(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey").limit(200)
+  }
+
+  // --- q15: left outer join + null-side handling --------------------------
+  private val q15 = QueryDef(
+    "q15_join_outer",
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+      |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS total_spend
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey LIMIT 200""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "customer")
+      .join(Tables.table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(dec("o_totalprice")), lit(0)).cast("decimal(38,2)").as("total_spend"))
+      .orderBy("c_custkey").limit(200)
+  }
+
+  // --- q16: equi join + range residual (theta) ----------------------------
+  // The equi key carries the shuffle; the range predicate is a post-join
+  // filter — the scalable shape for theta joins at 100 TB.
+  private val q16 = QueryDef(
+    "q16_join_range_theta",
+    """SELECT o_orderstatus, COUNT(*) AS n_late,
+      |  MAX(DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS max_lag_days
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey AND l_shipdate > o_orderdate
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "orders")
+      .join(Tables.table(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_late"),
+        max(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))).as("max_lag_days"))
+      .orderBy("o_orderstatus")
+  }
+
+  // --- q17: as-of join ----------------------------------------------------
+  // For each purchase, the latest strictly-earlier view by the same user.
+  // Spark has no native ASOF; the scalable formulation is one shuffle on
+  // user_id + a range-frame window over µs longs ((-1) excludes ties, i.e.
+  // strict <) — never a pairwise self-join. Oracle uses a correlated scalar
+  // subquery with identical semantics.
+  private val q17 = QueryDef(
+    "q17_join_asof",
+    """SELECT p.event_id, p.user_id,
+      |  (SELECT MAX(v.ts) FROM events v
+      |   WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts < p.ts) AS view_ts
+      |FROM events p WHERE p.event_type = 'purchase'
+      |ORDER BY p.event_id LIMIT 300""".stripMargin) { (s, dir) =>
+    val ev = Tables.table(s, dir, "events")
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("view_us", max(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("view_us")).as("view_ts"))
+      .orderBy("event_id").limit(300)
   }
 
   // --- q18: TPC-H Q1-shape hash aggregation ------------------------------
@@ -94,5 +336,176 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  def defs: Seq[QueryDef] = Seq(q01, q12, q18)
+  // --- q19: exact COUNT(DISTINCT) per group -------------------------------
+  // Expand + two-phase aggregate; the exact twin of q23's HLL sketch.
+  private val q19 = QueryDef(
+    "q19_agg_distinct",
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  // --- q20: ROLLUP with GROUPING() disambiguation -------------------------
+  // Group keys are COALESCEd (data has no real NULLs) so the result carries
+  // no NULL order-by keys — sidesteps the NULLS FIRST/LAST engine split.
+  private val q20 = QueryDef(
+    "q20_agg_rollup",
+    """SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+      |  CAST(GROUPING(lang) AS INTEGER) AS g_lang, CAST(GROUPING(source) AS INTEGER) AS g_source,
+      |  COUNT(*) AS n_docs
+      |FROM documents GROUP BY ROLLUP(lang, source)
+      |ORDER BY g_lang, g_source, lang, source""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "documents")
+      .rollup("lang", "source")
+      .agg(grouping("lang").cast("int").as("g_lang"),
+        grouping("source").cast("int").as("g_source"),
+        count(lit(1)).as("n_docs"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("g_lang"), col("g_source"), col("n_docs"))
+      .orderBy("g_lang", "g_source", "lang", "source")
+  }
+
+  // --- q21: CUBE over (event_type, day) -----------------------------------
+  private val q21 = QueryDef(
+    "q21_agg_cube",
+    """SELECT COALESCE(event_type, 'ALL') AS event_type,
+      |  COALESCE(CAST(CAST(DATE_TRUNC('day', ts) AS DATE) AS VARCHAR), 'ALL') AS day,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY CUBE(event_type, CAST(DATE_TRUNC('day', ts) AS DATE))
+      |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "events")
+      .withColumn("day", date_trunc("day", col("ts")).cast("date").cast("string"))
+      .cube("event_type", "day")
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day"), lit("ALL")).as("day"), col("n"))
+      .orderBy("event_type", "day")
+  }
+
+  // --- q22: explicit GROUPING SETS ----------------------------------------
+  // Same ANSI text runs in both engines; Spark side goes through spark.sql
+  // to exercise the SQL entry point the reference demonstrated.
+  private val q22Sql =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
+  private val q22 = QueryDef("q22_grouping_sets", q22Sql) { (s, dir) =>
+    Tables.load(s, dir)
+    s.sql(q22Sql)
+  }
+
+  // --- q23: HLL approximate distinct (no oracle: sketch is engine-specific)
+  private val q23 = QueryDef.noOracle("q23_agg_approx_distinct") { (s, dir) =>
+    Tables.table(s, dir, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  // --- q25: window ranking: top-3 orders per status -----------------------
+  private val q25 = QueryDef(
+    "q25_window_rank",
+    """SELECT * FROM (
+      |  SELECT o_orderstatus, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |           ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+      |    o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_orderstatus, rn""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.table(s, dir, "orders")
+      .select(col("o_orderstatus"), row_number().over(w).as("rn"),
+        col("o_orderkey"), dec("o_totalprice").as("totalprice"))
+      .where(col("rn") <= 3)
+      .orderBy("o_orderstatus", "rn")
+  }
+
+  // --- q26: lag — days between consecutive orders per customer ------------
+  private val q26 = QueryDef(
+    "q26_window_lag",
+    """SELECT o_custkey, o_orderkey,
+      |  DATE_DIFF('day',
+      |    CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+      |    CAST(o_orderdate AS DATE)) AS gap_days
+      |FROM orders ORDER BY o_custkey, o_orderkey LIMIT 300""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.table(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")),
+          to_date(lag(col("o_orderdate"), 1).over(w))).as("gap_days"))
+      .orderBy("o_custkey", "o_orderkey").limit(300)
+  }
+
+  // --- q27: running-sum frame ---------------------------------------------
+  // Window order includes every projected column: remaining ties are fully
+  // identical rows, so any tie order yields the same (row, running) pairs.
+  private val q27 = QueryDef(
+    "q27_window_frame",
+    """SELECT l_partkey, l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY l_partkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS run_qty
+      |FROM lineitem WHERE l_partkey < 40
+      |ORDER BY l_partkey, ship_date, l_orderkey, l_linenumber, run_qty
+      |LIMIT 300""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("l_partkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.table(s, dir, "lineitem")
+      .where(col("l_partkey") < 40)
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        to_date(col("l_shipdate")).as("ship_date"),
+        sum(dec("l_quantity")).over(w).cast("decimal(38,2)").as("run_qty"))
+      .orderBy("l_partkey", "ship_date", "l_orderkey", "l_linenumber", "run_qty")
+      .limit(300)
+  }
+
+  // --- q28: global top-k (TakeOrderedAndProject) --------------------------
+  // orderBy+limit compiles to per-partition top-k + driver merge of k rows —
+  // the only global sort shape that's O(k) at the driver regardless of scale.
+  private val q28 = QueryDef(
+    "q28_topk_global",
+    """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), dec("o_totalprice").as("totalprice"))
+      .orderBy(col("totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  // --- q29: set operations, tagged ----------------------------------------
+  // Spark union() is UNION ALL; intersect/except are DISTINCT set semantics —
+  // matching the SQL operators exactly.
+  private val q29 = QueryDef(
+    "q29_set_ops",
+    """WITH a AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+      |     b AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+      |SELECT 'except' AS tag, nationkey FROM (SELECT nationkey FROM a EXCEPT SELECT nationkey FROM b)
+      |UNION ALL
+      |SELECT 'intersect' AS tag, nationkey FROM (SELECT nationkey FROM a INTERSECT SELECT nationkey FROM b)
+      |UNION ALL
+      |SELECT 'union_all' AS tag, nationkey FROM (SELECT nationkey FROM a UNION ALL SELECT nationkey FROM b)
+      |ORDER BY tag, nationkey""".stripMargin) { (s, dir) =>
+    val a = Tables.table(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+    val b = Tables.table(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct()
+    a.except(b).select(lit("except").as("tag"), col("nationkey"))
+      .unionByName(a.intersect(b).select(lit("intersect").as("tag"), col("nationkey")))
+      .unionByName(a.union(b).select(lit("union_all").as("tag"), col("nationkey")))
+      .orderBy("tag", "nationkey")
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    q01, q04, q05, q06, q07, q08, q09,
+    q10, q11, q12, q13, q14, q15, q16, q17,
+    q18, q19, q20, q21, q22, q23,
+    q25, q26, q27, q28, q29)
 }

@@ -1,0 +1,115 @@
+package graft.engine.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.engine.{QueryDef, Tables}
+
+/**
+ * Streaming surface (SURVEY §2.8). The events table is the stream; q39–q41
+ * are the batch twins of tumbling/sliding/session windows (oracle-carried),
+ * q42 runs TRUE Structured Streaming (file source → watermark → windowed
+ * agg → memory sink, Trigger.AvailableNow) and returns the finalized result.
+ *
+ * On a cluster the same code runs continuously against arriving files; the
+ * state store partitions by group key, so scale-out is the shuffle
+ * partitioning — no code change.
+ */
+object StreamingOps {
+
+  // --- q39: tumbling 1 h window counts ------------------------------------
+  private val q39 = QueryDef(
+    "q39_stream_tumbling",
+    """SELECT date_trunc('hour', ts) AS wstart, event_type, COUNT(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+      .orderBy("wstart", "event_type")
+  }
+
+  // --- q40: sliding 1 h window, 30 min step -------------------------------
+  // Each event lands in exactly 2 windows (:00-anchored and :30-anchored);
+  // the oracle unions the two shifted bucketizations.
+  private val q40 = QueryDef(
+    "q40_stream_sliding",
+    """SELECT wstart, event_type, COUNT(*) AS n FROM (
+      |  SELECT date_trunc('hour', ts) AS wstart, event_type FROM events
+      |  UNION ALL
+      |  SELECT date_trunc('hour', ts - INTERVAL 30 MINUTE) + INTERVAL 30 MINUTE, event_type FROM events) t
+      |GROUP BY wstart, event_type ORDER BY wstart, event_type""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+      .orderBy("wstart", "event_type")
+  }
+
+  // --- q41: session windows (10 min gap) per user -------------------------
+  // Batch twin via gaps-and-islands: strictly-greater-than-gap starts a new
+  // session; session id = running count of starts. Two window passes over
+  // ONE shuffle on user_id (same partitioning reused), then one groupBy.
+  private val q41 = QueryDef(
+    "q41_stream_session",
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM e)
+      |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+      |  CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT) AS dur_s
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start LIMIT 500""".stripMargin) { (s, dir) =>
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.table(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(lag(col("ts"), 1).over(byUser).isNull
+          || unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)) > 600000000L, 1)
+          .otherwise(0).as("is_new"))
+      .withColumn("sid", sum(col("is_new")).over(running))
+      .groupBy("user_id", "sid")
+      .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"),
+        // `div`, not `/`: floor semantics matching the oracle's `//`
+        expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000").as("dur_s"))
+      .select("user_id", "session_start", "n_events", "dur_s")
+      .orderBy("user_id", "session_start").limit(500)
+  }
+
+  // --- q42: TRUE Structured Streaming run (no oracle: runtime semantics) --
+  // File source over the events parquet → watermark → dedup-within-watermark
+  // → tumbling-window agg → memory sink, drained with Trigger.AvailableNow.
+  // On static input the finalized result equals q39 (asserted in tests).
+  private val q42 = QueryDef.noOracle("q42_stream_watermark_dedup") { (s, dir) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    // File-stream sources need a directory: point at the sf dir and
+    // glob-filter to the events file.
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+    val sink = s"q42_sink_${System.nanoTime()}"
+    val query = stream.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.table(sink).orderBy("wstart", "event_type")
+  }
+
+  def defs: Seq[QueryDef] = Seq(q39, q40, q41, q42)
+}
