@@ -1,0 +1,107 @@
+package graft.engine.ops
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericRecordBuilder}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{QueryDef, Tables}
+import graft.engine.avro.AvroSchemaConverter
+
+/**
+ * Format surface (SURVEY §2.1 q02/q03): the reference's raison d'être —
+ * Avro as schema language, Parquet as storage — rebuilt on avro-core +
+ * spark.read/write (no spark-avro jar in the distro, SURVEY §7.0).
+ */
+object Formats {
+
+  /** Avro schema exercising the reference's demonstrated type surface:
+    * primitives, union-with-null nullability, nested record, array.
+    * (Also materialized at fixtures/avro/user_event.avsc for reference;
+    * embedded here so query builders are cwd-independent.) */
+  val userEventAvsc: String =
+    """{
+      |  "type": "record", "name": "UserEvent", "namespace": "graft.fixtures",
+      |  "fields": [
+      |    {"name": "id",   "type": "long"},
+      |    {"name": "name", "type": ["null", "string"], "default": null},
+      |    {"name": "tags", "type": {"type": "array", "items": "string"}},
+      |    {"name": "meta", "type": {"type": "record", "name": "Meta", "fields": [
+      |      {"name": "ip",   "type": "string"},
+      |      {"name": "port", "type": "int"}
+      |    ]}}
+      |  ]
+      |}""".stripMargin
+
+  /** The fixed fixture records (id, name, tags, ip, port) — the oracle's
+    * VALUES table mirrors these constants 1:1. */
+  private val fixtureRows: Seq[(Long, Option[String], Seq[String], String, Int)] = Seq(
+    (1L, Some("alice"), Seq("x", "y"), "10.0.0.1", 80),
+    (2L, None, Seq(), "10.0.0.2", 443),
+    (3L, Some("carol"), Seq("z"), "10.0.0.3", 8080))
+
+  // --- q02: Avro-schema-defined records → Parquet → read back -------------
+  // The reference's write path (AvroWriteSupport + saveAsNewAPIHadoopFile)
+  // re-expressed Spark-first: Avro Schema → StructType via the converter,
+  // GenericRecords → Rows, write.parquet, read.parquet.
+  private val q02 = QueryDef(
+    "q02_avro_schema_roundtrip",
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), 'alice', ['x','y'], '10.0.0.1', 80),
+      |  (CAST(2 AS BIGINT), NULL, CAST([] AS VARCHAR[]), '10.0.0.2', 443),
+      |  (CAST(3 AS BIGINT), 'carol', ['z'], '10.0.0.3', 8080))
+      |  AS t(id, name, tags, meta_ip, meta_port)
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    val schema = new Schema.Parser().parse(userEventAvsc)
+    val metaSchema = schema.getField("meta").schema()
+    val records = fixtureRows.map { case (id, name, tags, ip, port) =>
+      val meta = new GenericRecordBuilder(metaSchema)
+        .set("ip", ip).set("port", port).build()
+      new GenericRecordBuilder(schema)
+        .set("id", id).set("name", name.orNull)
+        .set("tags", new GenericData.Array[String](
+          schema.getField("tags").schema(), tags.asJava))
+        .set("meta", meta).build()
+    }
+    val structType = AvroSchemaConverter.toStructType(schema)
+    val rows = records.map(AvroSchemaConverter.toRow)
+    val df = s.createDataFrame(s.sparkContext.parallelize(rows, 1), structType)
+    val tmp = Files.createTempDirectory("q02_avro_roundtrip").toString
+    df.write.mode("overwrite").parquet(s"$tmp/parquet")
+    s.read.parquet(s"$tmp/parquet")
+      .select(col("id"), col("name"), col("tags"),
+        col("meta.ip").as("meta_ip"), col("meta.port").as("meta_port"))
+      .orderBy("id")
+  }
+
+  // --- q03: write to Parquet (partitioned) + CSV + JSON, re-read Parquet --
+  // Sink surface. The parquet sink is partitioned by region name — the
+  // layout that enables partition pruning on the read side at scale.
+  private val q03 = QueryDef(
+    "q03_multiformat_sink",
+    """SELECT n_name, r_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY n_name, r_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+    val base = Tables.table(s, dir, "customer")
+      .join(broadcast(Tables.table(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name", "r_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_acctbal"))
+    val tmp = Files.createTempDirectory("q03_sink").toString
+    base.write.mode("overwrite").partitionBy("r_name").parquet(s"$tmp/parquet")
+    base.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    base.write.mode("overwrite").json(s"$tmp/json")
+    s.read.parquet(s"$tmp/parquet")
+      .select("n_name", "r_name", "n_customers", "sum_acctbal")
+      .orderBy("n_name")
+  }
+
+  def defs: Seq[QueryDef] = Seq(q02, q03)
+}

@@ -61,6 +61,36 @@ object LlmOps {
       .orderBy(col("n_docs").desc, col("canonical_doc")).limit(100)
   }
 
+  // --- q32: MinHash + LSH near-dup candidate pairs ------------------------
+  // 16-permutation MinHash signature (xxhash64 per seed, min over the token
+  // set), banded 4×4: docs colliding in ANY band become candidates. The
+  // whole pipeline is explode + groupBy-equi-join — at 100 TB only docs
+  // sharing a band bucket are ever paired, never all-pairs. Hash values are
+  // engine-specific → no oracle (cross-checked against q31's clusters in
+  // the test suite).
+  private val q32 = QueryDef.noOracle("q32_dedup_minhash") { (s, dir) =>
+    val sigs = Tables.table(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("""transform(sequence(0, 15),
+                |  i -> array_min(transform(array_distinct(split(text, ' ')),
+                |                           t -> xxhash64(i, t))))""".stripMargin).as("sig"))
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      explode(expr("transform(sequence(0, 3), b -> struct(b AS band_id, slice(sig, b * 4 + 1, 4) AS band_sig))")).as("band"))
+      .select(col("doc_id"), col("sig"), col("band.band_id"), col("band.band_sig"))
+    val a = bands.select(col("band_id"), col("band_sig"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = bands.select(col("band_id").as("band_id_b"), col("band_sig").as("band_sig_b"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, col("band_id") === col("band_id_b")
+        && col("band_sig") === col("band_sig_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, x) -> acc + x)").as("n_eq"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_eq").cast("decimal(9,4)") / 16).cast("decimal(5,4)").as("est_jaccard"))
+      .orderBy("doc_a", "doc_b").limit(500)
+  }
+
   // --- q33: brute-force cosine top-k for a probe set ----------------------
   // The pairwise stage is probe-restricted (5 × N, broadcast probes), never
   // N × N. Dot products via zip_with/aggregate stay inside whole-stage
@@ -199,5 +229,5 @@ object LlmOps {
       .orderBy("lang", "source")
   }
 
-  def defs: Seq[QueryDef] = Seq(q30, q31, q33, q34, q35, q36, q37, q38)
+  def defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38)
 }

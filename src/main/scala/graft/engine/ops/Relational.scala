@@ -410,6 +410,26 @@ object Relational {
       .orderBy("event_type")
   }
 
+  // --- q24: custom typed UDAF — second-largest order total per status -----
+  // Aggregator[IN,BUF,OUT] with an O(1) mergeable buffer; multiset
+  // semantics match the oracle's row_number()=2 (single-row groups drop).
+  private val q24 = QueryDef(
+    "q24_udaf_second_max",
+    """SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS second_total
+      |FROM (SELECT o_orderstatus, o_totalprice,
+      |        ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |      FROM orders) t
+      |WHERE rn = 2 ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val secondMax = udaf(graft.engine.expr.SecondMaxAgg)
+    Tables.table(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(secondMax(col("o_totalprice")).as("sm"), count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+      .select(col("o_orderstatus"), col("sm").cast("decimal(18,2)").as("second_total"))
+      .orderBy("o_orderstatus")
+  }
+
   // --- q25: window ranking: top-3 orders per status -----------------------
   private val q25 = QueryDef(
     "q25_window_rank",
@@ -506,6 +526,6 @@ object Relational {
   def defs: Seq[QueryDef] = Seq(
     q01, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17,
-    q18, q19, q20, q21, q22, q23,
+    q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29)
 }

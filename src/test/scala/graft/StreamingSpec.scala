@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming semantics (SURVEY §5.2.4): static-input equivalence of the true
+  * streaming run, and watermark late-data drops on a synthesized fixture
+  * (the static dataset has no true late arrivals). */
+class StreamingSpec extends SparkTestBase {
+
+  test("q42 true streaming equals q39 batch twin on static input") {
+    val batch = SparkEntry.queries("q39_stream_tumbling")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val stream = SparkEntry.queries("q42_stream_watermark_dedup")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(stream == batch)
+  }
+
+  test("watermark drops late events in append mode") {
+    // Spark's late-event filter in batch N uses the watermark that was
+    // current DURING batch N-1 (eviction uses the newer one) — verified
+    // empirically on 4.1.2. So a drop needs the late event ≥2 batches after
+    // the watermark passed its window; files are processed one per batch
+    // (maxFilesPerTrigger=1) in mtime order.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("wm_fixture").toString
+    val src = s"$dir/src"
+    def write(rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("epoch_s", "k")
+        .select(col("epoch_s").cast("timestamp").as("ts"), col("k"))
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100) // distinct mtimes → deterministic batch order
+    }
+
+    val h = 3600L
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime / 1000
+    // b1: hours 0 and 2 → watermark advances to 01:50 after this batch
+    write(Seq((base + 10, "a"), (base + 2 * h + 10, "a")))
+    // b2: hour 3 → during b2 eviction watermark=02:50: hour-0 emits with n=1
+    write(Seq((base + 3 * h + 10, "a")))
+    // b3: late hour-0 event (late filter watermark ≥ 01:50 → dropped) + hour 4
+    write(Seq((base + 20, "late"), (base + 4 * h + 10, "a")))
+
+    val schema = spark.read.parquet(src).schema
+    val sink = s"wm_sink_${System.nanoTime()}"
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("n"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val hour0 = spark.table(sink).collect()
+      .filter(_.getTimestamp(0).toInstant.toString == "2024-03-01T00:00:00Z")
+      .map(_.getLong(1)).toSeq
+    // Exactly one emission, with exactly the on-time event: the late
+    // arrival was neither merged nor re-emitted.
+    assert(hour0 == Seq(1L),
+      s"hour-0 window should emit once with the on-time event only, got $hour0")
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.avro.Schema
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.avro.AvroSchemaConverter
+import graft.engine.expr.SecondMaxAgg
+
+/** Pure-JVM unit + property tests (SURVEY §5.2.2-3) — no SparkSession.
+  * Property cases are seeded-random (scalatestplus bridge is not in the
+  * offline cache). */
+class SecondMaxAggSpec extends AnyFunSuite {
+
+  private def viaAgg(xs: Seq[Double], splits: Int): Double = {
+    // Exercise reduce AND merge: partition the input, reduce each part,
+    // merge the partials — exactly what partial aggregation does.
+    val parts = if (splits <= 1) Seq(xs) else xs.grouped(math.max(1, xs.size / splits)).toSeq
+    val partials = parts.map(_.foldLeft(SecondMaxAgg.zero)(SecondMaxAgg.reduce))
+    SecondMaxAgg.finish(partials.foldLeft(SecondMaxAgg.zero)(SecondMaxAgg.merge))
+  }
+
+  test("second max equals sorted-desc index 1 (multiset semantics)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      val xs = Seq.fill(2 + rnd.nextInt(50))(
+        math.round(rnd.nextGaussian() * 1000) / 10.0)
+      val expected = xs.sorted(Ordering[Double].reverse)(1)
+      assert(viaAgg(xs, 1 + rnd.nextInt(5)) == expected, s"input: $xs")
+    }
+  }
+
+  test("duplicated maximum counts twice") {
+    assert(viaAgg(Seq(5.0, 5.0, 1.0), 2) == 5.0)
+  }
+
+  test("merge is order-independent") {
+    val xs = Seq(3.0, 9.0, 7.0, 9.0, 1.0)
+    assert(viaAgg(xs, 1) == viaAgg(xs, 3))
+    assert(viaAgg(xs, 1) == viaAgg(xs.reverse, 5))
+  }
+}
+
+class AvroSchemaConverterSpec extends AnyFunSuite {
+  private def parse(s: String) = new Schema.Parser().parse(s)
+
+  test("primitives, nullability, nesting, arrays, maps convert") {
+    val schema = parse(
+      """{"type":"record","name":"T","fields":[
+        |  {"name":"s","type":"string"},
+        |  {"name":"i","type":"int"},
+        |  {"name":"l","type":"long"},
+        |  {"name":"f","type":"float"},
+        |  {"name":"d","type":"double"},
+        |  {"name":"b","type":"boolean"},
+        |  {"name":"opt","type":["null","string"],"default":null},
+        |  {"name":"arr","type":{"type":"array","items":"int"}},
+        |  {"name":"m","type":{"type":"map","values":"long"}},
+        |  {"name":"nested","type":{"type":"record","name":"N","fields":[
+        |    {"name":"x","type":"int"}]}}
+        |]}""".stripMargin)
+    val st = AvroSchemaConverter.toStructType(schema)
+    assert(st("s").dataType == StringType && !st("s").nullable)
+    assert(st("i").dataType == IntegerType)
+    assert(st("l").dataType == LongType)
+    assert(st("f").dataType == FloatType)
+    assert(st("d").dataType == DoubleType)
+    assert(st("b").dataType == BooleanType)
+    assert(st("opt").dataType == StringType && st("opt").nullable)
+    assert(st("arr").dataType == ArrayType(IntegerType, containsNull = false))
+    assert(st("m").dataType == MapType(StringType, LongType, valueContainsNull = false))
+    assert(st("nested").dataType == StructType(Seq(StructField("x", IntegerType, nullable = false))))
+  }
+
+  test("enum maps to string; bytes to binary") {
+    val schema = parse(
+      """{"type":"record","name":"T","fields":[
+        |  {"name":"e","type":{"type":"enum","name":"E","symbols":["A","B"]}},
+        |  {"name":"raw","type":"bytes"}]}""".stripMargin)
+    val st = AvroSchemaConverter.toStructType(schema)
+    assert(st("e").dataType == StringType)
+    assert(st("raw").dataType == BinaryType)
+  }
+
+  test("non-nullable union is rejected") {
+    val schema = parse(
+      """{"type":"record","name":"T","fields":[
+        |  {"name":"u","type":["int","string"]}]}""".stripMargin)
+    assertThrows[IllegalArgumentException](AvroSchemaConverter.toStructType(schema))
+  }
+
+  test("GenericRecord converts to Row with Utf8 → String") {
+    import org.apache.avro.generic.GenericRecordBuilder
+    val schema = parse(
+      """{"type":"record","name":"T","fields":[
+        |  {"name":"s","type":"string"},
+        |  {"name":"opt","type":["null","int"],"default":null}]}""".stripMargin)
+    val rec = new GenericRecordBuilder(schema)
+      .set("s", new org.apache.avro.util.Utf8("hi")).set("opt", null).build()
+    val row = AvroSchemaConverter.toRow(rec)
+    assert(row.getString(0) == "hi")
+    assert(row.isNullAt(1))
+  }
+}
