@@ -1,5 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every declared query at the env-selected
+  * scale factor, prints ONE JSON line.
+  *
+  * Methodology matches BASELINE.md: a warm session (JVM/classloader/codegen
+  * infrastructure initialized by an untimed warmup pass) then one timed
+  * execution per query — each query still re-reads its parquet inputs, so
+  * scan/shuffle/agg work is fully counted. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +15,26 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Untimed warmup on the smallest sf: initializes Hadoop FS, parquet
+    // reader, codegen, shuffle, and window/join infrastructure once.
+    val warmSf = "/root/testdata/sf0.001"
+    Seq("q12_join_multiway", "q18_agg_hash", "q25_window_rank", "q36_text_tf")
+      .foreach { q =>
+        try SparkEntry.queries(q)(spark, warmSf).count()
+        catch { case _: Throwable => () }
+      }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

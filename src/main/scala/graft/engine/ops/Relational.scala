@@ -204,7 +204,8 @@ object Relational {
       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
-    val t = Tables.load(s, dir)
+    val t = Tables.load(s, dir,
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region"))
     t("customer")
       .join(t("orders"), col("c_custkey") === col("o_custkey"))
       .join(t("lineitem"), col("l_orderkey") === col("o_orderkey"))
@@ -397,7 +398,7 @@ object Relational {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY status, priority""".stripMargin
   private val q22 = QueryDef("q22_grouping_sets", q22Sql) { (s, dir) =>
-    Tables.load(s, dir)
+    Tables.load(s, dir, Seq("orders"))
     s.sql(q22Sql)
   }
 
