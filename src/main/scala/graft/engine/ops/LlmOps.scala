@@ -69,37 +69,44 @@ object LlmOps {
   // engine-specific → no oracle (cross-checked against q31's clusters in
   // the test suite).
   private val q32 = QueryDef.noOracle("q32_dedup_minhash") { (s, dir) =>
+    // Whole-stage-codegen minhash: explode tokens once, 16 min(xxhash64)
+    // aggregates in ONE HashAggregate pass (min over the multiset equals
+    // min over the set, so no distinct needed). Interpreted higher-order
+    // lambdas here cost ~10× and get recomputed per plan branch — avoided
+    // by keeping the whole pipeline linear.
     val sigs = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id")
+      .agg(
+        min(xxhash64(lit(0), col("t"))).as("m0"),
+        (1 until 16).map(i => min(xxhash64(lit(i), col("t"))).as(s"m$i")): _*)
+      // 4 bands of 4 rows: each band key is one long (narrow shuffle rows)
       .select(col("doc_id"),
-        expr("""transform(sequence(0, 15),
-                |  i -> array_min(transform(array_distinct(split(text, ' ')),
-                |                           t -> xxhash64(i, t))))""".stripMargin).as("sig"))
-    // Each band hashes to ONE long (narrow shuffle rows); buckets are
-    // collect_list groups, capped at 64 docs — mega-buckets are exact-dup
-    // clusters already caught by q31's signature dedup, and skipping them
-    // bounds the worst-case pair blowup (standard LSH practice at scale).
-    val buckets = sigs
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, 3), b -> named_struct('band_id', b, 'bh', xxhash64(b, slice(sig, b * 4 + 1, 4))))")).as("band"))
-      .groupBy(col("band.band_id"), col("band.bh"))
-      .agg(expr("array_sort(collect_list(doc_id))").as("ids"))
-      .where(size(col("ids")).between(2, 64))
-    // Pairs are generated combinatorially INSIDE each bucket, deduped
-    // across bands, and only then joined back to the (broadcast-sized
-    // relative to pairs) signature table for the estimate.
-    val pairs = buckets
+        array((0 until 16).map(i => col(s"m$i")): _*).as("sig"),
+        array((0 until 4).map(g => xxhash64(
+          lit(g), col(s"m${4 * g}"), col(s"m${4 * g + 1}"),
+          col(s"m${4 * g + 2}"), col(s"m${4 * g + 3}"))): _*).as("bands"))
+    // Buckets are collect_list groups, capped at 64 docs — mega-buckets are
+    // exact-dup clusters already caught by q31's signature dedup, and the
+    // cap bounds the worst-case pair blowup (standard LSH practice).
+    // Pairs + estimates are generated inline per bucket, deduped across
+    // bands — one shuffle, no self-join, signatures never recomputed.
+    sigs
+      .select(col("doc_id"), col("sig"),
+        posexplode(col("bands")).as(Seq("band_id", "band_key")))
+      .groupBy("band_id", "band_key")
+      .agg(expr("sort_array(collect_list(struct(doc_id, sig)))").as("xs"))
+      .where(size(col("xs")).between(2, 64))
       .select(explode(expr(
-        """flatten(transform(sequence(1, size(ids) - 1),
-          |  i -> transform(slice(ids, i + 1, size(ids) - i),
-          |       y -> named_struct('doc_a', ids[i - 1], 'doc_b', y))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+        """flatten(transform(sequence(1, size(xs) - 1),
+          |  i -> transform(slice(xs, i + 1, size(xs) - i),
+          |       y -> named_struct('doc_a', xs[i - 1].doc_id, 'doc_b', y.doc_id,
+          |                         'n_eq', aggregate(zip_with(xs[i - 1].sig, y.sig,
+          |                                   (x, v) -> IF(x = v, 1, 0)), 0, (acc, x) -> acc + x)))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.n_eq"))
       .distinct()
-    pairs
-      .join(broadcast(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))), "doc_a")
-      .join(broadcast(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, x) -> acc + x)")
-          .cast("decimal(9,4)") / 16).cast("decimal(5,4)").as("est_jaccard"))
+        (col("n_eq").cast("decimal(9,4)") / 16).cast("decimal(5,4)").as("est_jaccard"))
       .orderBy("doc_a", "doc_b").limit(500)
   }
 
@@ -192,19 +199,18 @@ object LlmOps {
       .orderBy(col("n").desc, col("lang"), col("token")).limit(50)
   }
 
-  // --- q37: bigram generation (generator/UDTF surface) --------------------
-  // zip_with over the token array and its shift; explode generates rows.
+  // --- q37: bigram generation via a custom Catalyst Generator (UDTF) ------
+  // BigramGenerator emits one row per consecutive token pair — registered
+  // as `bigrams(...)` and invoked through SQL like any built-in generator.
   private val q37 = QueryDef(
     "q37_text_bigrams",
     """SELECT lang, z[1] || ' ' || z[2] AS bigram, COUNT(*) AS n
       |FROM (SELECT lang, unnest(list_zip(l[1:len(l)-1], l[2:])) AS z
       |      FROM (SELECT lang, string_split(text, ' ') AS l FROM documents) t) u
       |GROUP BY lang, bigram ORDER BY n DESC, lang, bigram LIMIT 50""".stripMargin) { (s, dir) =>
+    graft.engine.expr.BigramGenerator.register(s)
     Tables.table(s, dir, "documents")
-      .select(col("lang"), toks.as("l"))
-      .select(col("lang"), explode(expr(
-        "zip_with(slice(l, 1, size(l) - 1), slice(l, 2, size(l) - 1), (a, b) -> concat(a, ' ', b))"))
-        .as("bigram"))
+      .selectExpr("lang", "bigrams(split(text, ' ')) AS bigram")
       .groupBy("lang", "bigram")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("lang"), col("bigram")).limit(50)

@@ -1,0 +1,171 @@
+package graft.engine.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.engine.{QueryDef, Tables}
+
+/**
+ * Similarity / near-dup extensions beyond the core LlmOps set: SimHash,
+ * n-gram Jaccard, embedding-cosine near-dup, and an IVF-style ANN path.
+ *
+ * Scale pattern shared by all of them: generate a small per-item signature
+ * or block key map-side, shuffle once on that key, and do quadratic work
+ * only inside bounded blocks.
+ */
+object SimilarityOps {
+
+  // --- q47: SimHash near-dup candidates (no oracle: xxhash64-specific) ----
+  // 64-bit SimHash per doc (sign of per-bit ±1 sums over token hashes),
+  // then banded hamming search: 4 bands of 16 bits; near-dups (small
+  // hamming distance) must collide in ≥1 band. Output: candidate pairs
+  // with their actual bit agreement.
+  private val q47 = QueryDef.noOracle("q47_dedup_simhash") { (s, dir) =>
+    // Stay inside whole-stage codegen: explode per-token hashes once, take
+    // 64 conditional-sum aggregates in ONE HashAggregate pass (higher-order
+    // lambdas would run interpreted and 64× slower), then pack the sign
+    // bits into a single 64-bit long.
+    val bitSums = Tables.table(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))")).as("h"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(expr("(shiftright(h, 0) & 1) = 1"), 1).otherwise(-1)).as("b0"),
+        (1 until 64).map(b =>
+          sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"b$b")): _*)
+    val simhash = (0 until 64)
+      .map(b => (col(s"b$b") >= 0).cast("long") * lit(1L << b))
+      .reduce(_ + _)
+    val sim = bitSums.select(col("doc_id"), simhash.as("sh"))
+    // Banded hamming search: 4×16-bit band keys sliced off the long; bucket
+    // per band with a size cap (a small shared vocabulary makes SimHash
+    // bands collide heavily; mega-buckets are near-identical clusters
+    // already surfaced by q31/q32 and would blow up quadratically).
+    val withBands = sim.select(col("doc_id"), col("sh"),
+      posexplode(expr(
+        "transform(sequence(0, 3), g -> shiftright(sh, g * 16) & 65535)")).as(Seq("band_id", "band_key")))
+    val pairs = withBands
+      .groupBy("band_id", "band_key")
+      .agg(expr("sort_array(collect_list(struct(doc_id, sh)))").as("xs"))
+      .where(size(col("xs")).between(2, 64))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(xs) - 1),
+          |  i -> transform(slice(xs, i + 1, size(xs) - i),
+          |       y -> named_struct('doc_a', xs[i - 1].doc_id, 'doc_b', y.doc_id,
+          |                         'matching_bits', 64 - bit_count(xs[i - 1].sh ^ y.sh)))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.matching_bits"))
+      .distinct()
+    pairs
+      .orderBy(col("matching_bits").desc, col("doc_a"), col("doc_b"))
+      .limit(200)
+  }
+
+  // --- q48: token-3-gram (shingle) Jaccard, blocked by (lang, source) -----
+  private val q48 = QueryDef(
+    "q48_dedup_ngram_jaccard",
+    """WITH sh AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_transform(range(1, len(l) - 1),
+      |                                 i -> array_to_string(l[i:i+2], ' '))) AS sh
+      |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS l FROM documents) t
+      |  WHERE len(l) >= 3)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(CAST(len(list_intersect(a.sh, b.sh)) AS DECIMAL(18,6))
+      |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS DECIMAL(38,6)) AS jaccard
+      |FROM sh a JOIN sh b
+      |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin) { (s, dir) =>
+    val sh = Tables.table(s, dir, "documents")
+      .withColumn("l", split(col("text"), " "))
+      .where(size(col("l")) >= 3)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("array_distinct(transform(sequence(1, size(l) - 2), i -> concat_ws(' ', slice(l, i, 3))))").as("sh"))
+    val a = sh.select(col("lang"), col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("lang").as("lang_b"), col("source").as("source_b"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, col("lang") === col("lang_b") && col("source") === col("source_b")
+        && col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("decimal(18,6)")
+          / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+          .cast("decimal(38,6)").as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(20)
+  }
+
+  // --- q49: embedding-cosine near-dup survivors, blocked by label ---------
+  // A vector is a "dup" if a LOWER-id vector in its label block has rounded
+  // cosine ≥ 0.40; survivors = the rest. min-id survivorship is the same
+  // deterministic rule q30 uses.
+  private val q49 = QueryDef(
+    "q49_dedup_embed",
+    """WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |dups AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE CAST(ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS DECIMAL(7,4)) >= 0.40)
+      |SELECT label, COUNT(*) AS n_total,
+      |  COUNT(*) FILTER (WHERE vec_id IN (SELECT vec_id FROM dups)) AS n_dups,
+      |  COUNT(*) FILTER (WHERE vec_id NOT IN (SELECT vec_id FROM dups)) AS n_survivors
+      |FROM n GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+    val n = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", expr("sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"))
+    val a = n.select(col("label").as("label_a"), col("vec_id").as("id_a"), col("e").as("ea"), col("nrm").as("na"))
+    val b = n.select(col("label").as("label_b"), col("vec_id").as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
+    val dups = a.join(b, col("label_a") === col("label_b") && col("id_a") < col("id_b"))
+      .where(round(expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") / (col("na") * col("nb")), 4)
+        .cast("decimal(7,4)") >= 0.40)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(1))
+    n.join(dups, Seq("vec_id"), "left")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("is_dup").isNotNull, 1).otherwise(0)).as("n_dups"),
+        sum(when(col("is_dup").isNull, 1).otherwise(0)).as("n_survivors"))
+      .orderBy("label")
+  }
+
+  // --- q50: IVF-style ANN (no oracle: fp centroid averaging is engine-
+  // specific; recall vs q33's brute force is asserted in the test suite) ---
+  // Train: per-label mean vector = the coarse quantizer (posexplode →
+  // avg per dimension → re-assemble). Search: probes scan the 2 nearest
+  // centroids' partitions ONLY — the inverted-file pattern that makes ANN
+  // sublinear at 100 TB (scan nprobe/nlist of the corpus).
+  private val q50 = QueryDef.noOracle("q50_ann_ivf") { (s, dir) =>
+    val emb = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", expr("sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"))
+    val centroids = emb
+      .select(col("label"), posexplode(col("e")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg(col("x")).as("cx"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)").as("ce"))
+      .withColumn("cnrm", expr("sqrt(aggregate(zip_with(ce, ce, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"))
+    val probes = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("nrm").as("pn"))
+    // coarse: nearest 2 centroids per probe
+    val wCoarse = Window.partitionBy("probe_id").orderBy(col("csim").desc, col("label"))
+    val chosen = probes.crossJoin(broadcast(centroids))
+      .withColumn("csim",
+        expr("aggregate(zip_with(pe, ce, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") / (col("pn") * col("cnrm")))
+      .withColumn("crn", row_number().over(wCoarse))
+      .where(col("crn") <= 2)
+      .select(col("probe_id"), col("pe"), col("pn"), col("label"))
+    // fine: exact cosine within the selected partitions only
+    val wFine = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
+    chosen.join(emb.withColumnRenamed("vec_id", "neighbor_id"), Seq("label"))
+      .where(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("sim",
+        round(expr("aggregate(zip_with(pe, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") / (col("pn") * col("nrm")), 4)
+          .cast("decimal(7,4)"))
+      .withColumn("rn", row_number().over(wFine))
+      .where(col("rn") <= 5)
+      .select(col("probe_id"), col("rn"), col("neighbor_id"), col("sim"))
+      .orderBy("probe_id", "rn")
+  }
+
+  def defs: Seq[QueryDef] = Seq(q47, q48, q49, q50)
+}

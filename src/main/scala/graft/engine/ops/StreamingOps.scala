@@ -111,5 +111,49 @@ object StreamingOps {
     s.table(sink).orderBy("wstart", "event_type")
   }
 
-  def defs: Seq[QueryDef] = Seq(q39, q40, q41, q42)
+  // --- q53: custom streaming state via flatMapGroupsWithState -------------
+  // Per-user running aggregate (count + latest ts) held in GroupState — the
+  // API for state machines Spark's built-in aggregates can't express. The
+  // static input arrives as ONE file → one micro-batch → exactly one
+  // emission per user, so the result is oracle-comparable to a plain
+  // GROUP BY. State partitions by group key: scale-out = shuffle
+  // partitioning, no code change.
+  private val q53 = QueryDef(
+    "q53_stream_stateful",
+    """SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS last_ts
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = s
+    import spark.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val perUser = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .selectExpr("user_id", "ts div 1000 AS ts_us")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          val (n0, last0) = state.getOption.getOrElse((0L, Long.MinValue))
+          var n = n0
+          var last = last0
+          rows.foreach { case (_, ts) => n += 1; if (ts > last) last = ts }
+          state.update((n, last))
+          Iterator((user, n, last))
+      }
+    val sink = s"q53_sink_${System.nanoTime()}"
+    val query = perUser.toDF("user_id", "n_events", "last_us")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.table(sink)
+      .select(col("user_id"), col("n_events"),
+        timestamp_micros(col("last_us")).as("last_ts"))
+      .orderBy("user_id")
+  }
+
+  def defs: Seq[QueryDef] = Seq(q39, q40, q41, q42, q53)
 }

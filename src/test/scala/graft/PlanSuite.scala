@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/**
+ * Physical-plan shape assertions (builder brief: ".explain the plan and
+ * iterate until it's the plan you'd want"). These guard the scale
+ * properties — pushdown, pruning, broadcast vs shuffle — against
+ * regressions that correctness checks can't see.
+ */
+class PlanSuite extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q01 pushes filters and prunes columns at the parquet scan") {
+    val p = plan("q01_scan_project_filter")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity,45.0)"), p)
+    // ReadSchema must NOT include untouched wide columns
+    assert(!p.contains("l_returnflag"), s"column pruning lost:\n$p")
+    assert(!p.contains("l_comment"), p)
+  }
+
+  test("q10 dimension join broadcasts") {
+    assert(plan("q10_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q11 fact-fact join sort-merges") {
+    assert(plan("q11_join_shuffle").contains("SortMergeJoin"))
+  }
+
+  test("q12 star join broadcasts all dimensions") {
+    val p = plan("q12_join_multiway")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts:\n$p")
+  }
+
+  test("q28 global top-k is TakeOrderedAndProject (O(k) at the driver)") {
+    assert(plan("q28_topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("q17 as-of join is window-based, not a pairwise join") {
+    val p = plan("q17_join_asof")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q31 signature dedup is a single aggregation, no join") {
+    val p = plan("q31_dedup_signature")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(!p.contains("Join"), s"near-dup must not pairwise-join:\n$p")
+  }
+}
