@@ -103,5 +103,38 @@ object Formats {
       .orderBy("n_name")
   }
 
-  def defs: Seq[QueryDef] = Seq(q02, q03)
+  // --- q52: bucketed co-located join (shuffle-free fact⋈fact) -------------
+  // Both sides bucketed+sorted on the join key at write time → the join
+  // plan has NO Exchange: at 100 TB this is the difference between
+  // re-shuffling two fact tables per query and a map-side merge. The
+  // result equals the plain join (oracle = plain SQL).
+  private val q52 = QueryDef(
+    "q52_bucketed_join",
+    """SELECT o_orderstatus, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val wh = Files.createTempDirectory("q52_bucketed").toString
+    val db = s"graft_buckets_${math.abs(dir.hashCode)}"
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh/$db'")
+    def bucketize(name: String, key: String): Unit =
+      if (!s.catalog.tableExists(s"$db.$name"))
+        Tables.table(s, dir, name)
+          .write.bucketBy(8, key).sortBy(key)
+          .option("path", s"$wh/$db/$name")
+          .saveAsTable(s"$db.$name")
+    bucketize("orders", "o_orderkey")
+    bucketize("lineitem", "l_orderkey")
+    // merge hint: at tiny test sf Spark would auto-broadcast and never
+    // exercise the bucket layout; fact⋈fact at real scale is SMJ anyway.
+    s.table(s"$db.orders").hint("merge")
+      .join(s.table(s"$db.lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  def defs: Seq[QueryDef] = Seq(q02, q03, q52)
 }

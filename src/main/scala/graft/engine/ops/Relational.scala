@@ -524,9 +524,33 @@ object Relational {
       .orderBy("tag", "nationkey")
   }
 
+  // --- q54: top-k per group via the custom TopKPerGroup operator ----------
+  // Full custom-plan stack (LogicalPlan + Strategy + bounded-heap exec,
+  // graft.plans.TopKPerGroup): O(n log k) per group instead of the window
+  // formulation's full per-group sort. Same oracle as the row_number()
+  // formulation — the custom operator must be semantically identical.
+  private val q54 = QueryDef(
+    "q54_topk_custom_plan",
+    """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |      FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, totalprice DESC, o_orderkey
+      |LIMIT 300""".stripMargin) { (s, dir) =>
+    val top = graft.plans.TopKPerGroup(
+      Tables.table(s, dir, "orders"),
+      groupCols = Seq("o_custkey"),
+      orderBy = Seq("o_totalprice" -> false, "o_orderkey" -> true),
+      k = 3)
+    top.select(col("o_custkey"), col("o_orderkey"), dec("o_totalprice").as("totalprice"))
+      .orderBy(col("o_custkey"), col("totalprice").desc, col("o_orderkey"))
+      .limit(300)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q01, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29)
+    q25, q26, q27, q28, q29, q54)
 }

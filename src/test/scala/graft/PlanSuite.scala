@@ -47,6 +47,21 @@ class PlanSuite extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q52 bucketed join is shuffle-free up to the join") {
+    val p = plan("q52_bucketed_join")
+    assert("Bucketed: true".r.findAllIn(p).size == 2, p)
+    assert(p.contains("SortMergeJoin"), p)
+    // only the post-join groupBy + orderBy exchanges remain
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2,
+      s"bucketed join must not shuffle its inputs:\n$p")
+  }
+
+  test("q54 plans the custom TopKPerGroupExec with a single shuffle") {
+    val p = plan("q54_topk_custom_plan")
+    assert(p.contains("TopKPerGroup"), s"custom strategy not applied:\n$p")
+    assert(!p.contains("Window"), s"must not fall back to the window formulation:\n$p")
+  }
+
   test("q31 signature dedup is a single aggregation, no join") {
     val p = plan("q31_dedup_signature")
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
