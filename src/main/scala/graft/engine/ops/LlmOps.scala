@@ -128,15 +128,16 @@ object LlmOps {
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
       |             ORDER BY sim DESC, neighbor_id) AS rn FROM sims) t
       |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin) { (s, dir) =>
+    graft.engine.expr.DotProduct.register(s)
     val n = Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("nrm", expr("sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"))
+      .withColumn("nrm", expr("sqrt(dot_product(e, e))"))
     val p = n.where(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("nrm").as("pn"))
     val sims = n.crossJoin(broadcast(p))
       .where(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        round(expr("aggregate(zip_with(pe, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") / (col("pn") * col("nrm")), 4)
+        round(expr("dot_product(pe, e)") / (col("pn") * col("nrm")), 4)
           .cast("decimal(7,4)").as("sim"))
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
     sims.select(col("probe_id"), row_number().over(w).as("rn"), col("neighbor_id"), col("sim"))
@@ -157,13 +158,14 @@ object LlmOps {
       |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
       |WHERE CAST(ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS DECIMAL(7,4)) >= 0.30
       |GROUP BY a.label ORDER BY a.label""".stripMargin) { (s, dir) =>
+    graft.engine.expr.DotProduct.register(s)
     val n = Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("nrm", expr("sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"))
+      .withColumn("nrm", expr("sqrt(dot_product(e, e))"))
     val a = n.select(col("label"), col("vec_id").as("id_a"), col("e").as("ea"), col("nrm").as("na"))
     val b = n.select(col("label").as("label_b"), col("vec_id").as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
     a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
-      .where(round(expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") / (col("na") * col("nb")), 4)
+      .where(round(expr("dot_product(ea, eb)") / (col("na") * col("nb")), 4)
         .cast("decimal(7,4)") >= 0.30)
       .groupBy("label")
       .agg(count(lit(1)).as("n_pairs"))

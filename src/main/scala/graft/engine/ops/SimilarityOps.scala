@@ -110,13 +110,14 @@ object SimilarityOps {
       |  COUNT(*) FILTER (WHERE vec_id IN (SELECT vec_id FROM dups)) AS n_dups,
       |  COUNT(*) FILTER (WHERE vec_id NOT IN (SELECT vec_id FROM dups)) AS n_survivors
       |FROM n GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+    graft.engine.expr.DotProduct.register(s)
     val n = Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("nrm", expr("sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"))
+      .withColumn("nrm", expr("sqrt(dot_product(e, e))"))
     val a = n.select(col("label").as("label_a"), col("vec_id").as("id_a"), col("e").as("ea"), col("nrm").as("na"))
     val b = n.select(col("label").as("label_b"), col("vec_id").as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
     val dups = a.join(b, col("label_a") === col("label_b") && col("id_a") < col("id_b"))
-      .where(round(expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") / (col("na") * col("nb")), 4)
+      .where(round(expr("dot_product(ea, eb)") / (col("na") * col("nb")), 4)
         .cast("decimal(7,4)") >= 0.40)
       .select(col("id_b").as("vec_id")).distinct()
       .withColumn("is_dup", lit(1))
@@ -135,22 +136,23 @@ object SimilarityOps {
   // centroids' partitions ONLY — the inverted-file pattern that makes ANN
   // sublinear at 100 TB (scan nprobe/nlist of the corpus).
   private val q50 = QueryDef.noOracle("q50_ann_ivf") { (s, dir) =>
+    graft.engine.expr.DotProduct.register(s)
     val emb = Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("nrm", expr("sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"))
+      .withColumn("nrm", expr("sqrt(dot_product(e, e))"))
     val centroids = emb
       .select(col("label"), posexplode(col("e")).as(Seq("pos", "x")))
       .groupBy("label", "pos").agg(avg(col("x")).as("cx"))
       .groupBy("label")
       .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)").as("ce"))
-      .withColumn("cnrm", expr("sqrt(aggregate(zip_with(ce, ce, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"))
+      .withColumn("cnrm", expr("sqrt(dot_product(ce, ce))"))
     val probes = emb.where(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("nrm").as("pn"))
     // coarse: nearest 2 centroids per probe
     val wCoarse = Window.partitionBy("probe_id").orderBy(col("csim").desc, col("label"))
     val chosen = probes.crossJoin(broadcast(centroids))
       .withColumn("csim",
-        expr("aggregate(zip_with(pe, ce, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") / (col("pn") * col("cnrm")))
+        expr("dot_product(pe, ce)") / (col("pn") * col("cnrm")))
       .withColumn("crn", row_number().over(wCoarse))
       .where(col("crn") <= 2)
       .select(col("probe_id"), col("pe"), col("pn"), col("label"))
@@ -159,7 +161,7 @@ object SimilarityOps {
     chosen.join(emb.withColumnRenamed("vec_id", "neighbor_id"), Seq("label"))
       .where(col("neighbor_id") =!= col("probe_id"))
       .withColumn("sim",
-        round(expr("aggregate(zip_with(pe, e, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") / (col("pn") * col("nrm")), 4)
+        round(expr("dot_product(pe, e)") / (col("pn") * col("nrm")), 4)
           .cast("decimal(7,4)"))
       .withColumn("rn", row_number().over(wFine))
       .where(col("rn") <= 5)

@@ -106,10 +106,12 @@ case class TopKPerGroupExec(
     copy(child = newChild)
 }
 
-/** spark.sql.extensions entry point: registers the strategy at session
-  * build time (the runtime extraStrategies path in [[TopKPerGroup.apply]]
+/** spark.sql.extensions entry point: registers the strategy + optimizer
+  * rule at session build time (the runtime GraftOptimizations.install path
   * covers pre-built sessions like the driver's). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+    e.injectOptimizerRule(_ => RewriteWindowTopK)
+  }
 }
