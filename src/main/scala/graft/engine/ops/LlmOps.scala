@@ -33,11 +33,10 @@ object LlmOps {
       |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type, ts ORDER BY event_id) AS rn
       |  FROM events) t
       |WHERE rn = 1 ORDER BY event_id LIMIT 300""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy("user_id", "event_type", "ts").orderBy("event_id")
-    Tables.table(s, dir, "events")
-      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
-        row_number().over(w).as("rn"))
-      .where(col("rn") === 1).drop("rn")
+    graft.operators.Dedup.exact(
+      Tables.table(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "ts"),
+      keys = Seq("user_id", "event_type", "ts"), survivorKey = "event_id")
       .orderBy("event_id").limit(300)
   }
 
@@ -52,12 +51,9 @@ object LlmOps {
       |FROM documents
       |GROUP BY 1 HAVING COUNT(*) >= 2
       |ORDER BY n_docs DESC, canonical_doc LIMIT 100""".stripMargin) { (s, dir) =>
-    Tables.table(s, dir, "documents")
-      .select(col("doc_id"),
-        array_join(array_sort(array_distinct(toks)), " ").as("sig"))
-      .groupBy("sig")
-      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc"))
-      .where(col("n_docs") >= 2)
+    graft.operators.Dedup
+      .signatureClusters(Tables.table(s, dir, "documents"), "doc_id", "text")
+      .select("sig", "n_docs", "canonical_doc")
       .orderBy(col("n_docs").desc, col("canonical_doc")).limit(100)
   }
 
@@ -69,44 +65,12 @@ object LlmOps {
   // engine-specific → no oracle (cross-checked against q31's clusters in
   // the test suite).
   private val q32 = QueryDef.noOracle("q32_dedup_minhash") { (s, dir) =>
-    // Whole-stage-codegen minhash: explode tokens once, 16 min(xxhash64)
-    // aggregates in ONE HashAggregate pass (min over the multiset equals
-    // min over the set, so no distinct needed). Interpreted higher-order
-    // lambdas here cost ~10× and get recomputed per plan branch — avoided
-    // by keeping the whole pipeline linear.
-    val sigs = Tables.table(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .groupBy("doc_id")
-      .agg(
-        min(xxhash64(lit(0), col("t"))).as("m0"),
-        (1 until 16).map(i => min(xxhash64(lit(i), col("t"))).as(s"m$i")): _*)
-      // 4 bands of 4 rows: each band key is one long (narrow shuffle rows)
-      .select(col("doc_id"),
-        array((0 until 16).map(i => col(s"m$i")): _*).as("sig"),
-        array((0 until 4).map(g => xxhash64(
-          lit(g), col(s"m${4 * g}"), col(s"m${4 * g + 1}"),
-          col(s"m${4 * g + 2}"), col(s"m${4 * g + 3}"))): _*).as("bands"))
-    // Buckets are collect_list groups, capped at 64 docs — mega-buckets are
-    // exact-dup clusters already caught by q31's signature dedup, and the
-    // cap bounds the worst-case pair blowup (standard LSH practice).
-    // Pairs + estimates are generated inline per bucket, deduped across
-    // bands — one shuffle, no self-join, signatures never recomputed.
-    sigs
-      .select(col("doc_id"), col("sig"),
-        posexplode(col("bands")).as(Seq("band_id", "band_key")))
-      .groupBy("band_id", "band_key")
-      .agg(expr("sort_array(collect_list(struct(doc_id, sig)))").as("xs"))
-      .where(size(col("xs")).between(2, 64))
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(xs) - 1),
-          |  i -> transform(slice(xs, i + 1, size(xs) - i),
-          |       y -> named_struct('doc_a', xs[i - 1].doc_id, 'doc_b', y.doc_id,
-          |                         'n_eq', aggregate(zip_with(xs[i - 1].sig, y.sig,
-          |                                   (x, v) -> IF(x = v, 1, 0)), 0, (acc, x) -> acc + x)))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), col("p.n_eq"))
-      .distinct()
-      .select(col("doc_a"), col("doc_b"),
-        (col("n_eq").cast("decimal(9,4)") / 16).cast("decimal(5,4)").as("est_jaccard"))
+    // Library op: whole-stage-codegen minhash (explode + 16 min(xxhash64)
+    // aggregates in one pass), 4×4 banding, capped buckets, inline pair
+    // generation — one shuffle, no self-join. See graft.operators.Dedup.
+    graft.operators.Dedup
+      .minhashCandidates(Tables.table(s, dir, "documents"), "doc_id", "text",
+        numHashes = 16, bands = 4, bucketCap = 64)
       .orderBy("doc_a", "doc_b").limit(500)
   }
 
@@ -128,20 +92,9 @@ object LlmOps {
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
       |             ORDER BY sim DESC, neighbor_id) AS rn FROM sims) t
       |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin) { (s, dir) =>
-    graft.engine.expr.DotProduct.register(s)
-    val n = Tables.table(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("nrm", expr("sqrt(dot_product(e, e))"))
-    val p = n.where(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("nrm").as("pn"))
-    val sims = n.crossJoin(broadcast(p))
-      .where(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        round(expr("dot_product(pe, e)") / (col("pn") * col("nrm")), 4)
-          .cast("decimal(7,4)").as("sim"))
-    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
-    sims.select(col("probe_id"), row_number().over(w).as("rn"), col("neighbor_id"), col("sim"))
-      .where(col("rn") <= 5)
+    val emb = Tables.table(s, dir, "embeddings")
+    graft.operators.Similarity
+      .cosineTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 5)
       .orderBy("probe_id", "rn")
   }
 
@@ -158,15 +111,9 @@ object LlmOps {
       |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
       |WHERE CAST(ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS DECIMAL(7,4)) >= 0.30
       |GROUP BY a.label ORDER BY a.label""".stripMargin) { (s, dir) =>
-    graft.engine.expr.DotProduct.register(s)
-    val n = Tables.table(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("nrm", expr("sqrt(dot_product(e, e))"))
-    val a = n.select(col("label"), col("vec_id").as("id_a"), col("e").as("ea"), col("nrm").as("na"))
-    val b = n.select(col("label").as("label_b"), col("vec_id").as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
-    a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
-      .where(round(expr("dot_product(ea, eb)") / (col("na") * col("nb")), 4)
-        .cast("decimal(7,4)") >= 0.30)
+    graft.operators.Similarity
+      .blockedPairs(Tables.table(s, dir, "embeddings"),
+        "vec_id", "embedding", blockCol = "label", threshold = 0.30)
       .groupBy("label")
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("label")

@@ -295,16 +295,14 @@ object Relational {
       |   WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts < p.ts) AS view_ts
       |FROM events p WHERE p.event_type = 'purchase'
       |ORDER BY p.event_id LIMIT 300""".stripMargin) { (s, dir) =>
-    val ev = Tables.table(s, dir, "events")
-      .where(col("event_type").isin("view", "purchase"))
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("ts_us"))
-    val w = Window.partitionBy("user_id").orderBy("ts_us")
-      .rangeBetween(Window.unboundedPreceding, -1)
-    ev.withColumn("view_us", max(when(col("event_type") === "view", col("ts_us"))).over(w))
-      .where(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"),
-        timestamp_micros(col("view_us")).as("view_ts"))
+    val events = Tables.table(s, dir, "events")
+    graft.operators.AsofJoin.left(
+      left = events.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts"),
+      right = events.where(col("event_type") === "view"),
+      on = "user_id", leftTs = "ts", rightTs = "ts",
+      rightPayload = Map("ts" -> "view_ts"))
+      .select("event_id", "user_id", "view_ts")
       .orderBy("event_id").limit(300)
   }
 
@@ -548,9 +546,57 @@ object Relational {
       .limit(300)
   }
 
+  // --- q55: skew-safe two-phase (salted) aggregation ----------------------
+  // events has only ~15 distinct user_ids — a worst-case skew key. The
+  // salted shape shuffles on (user_id, salt) so each reducer handles 1/16th
+  // of a hot key, then a second tiny shuffle merges the partials. Decimal
+  // partials merge exactly, so result == the plain GROUP BY oracle.
+  private val q55 = QueryDef(
+    "q55_skew_salted_agg",
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "events")
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy("user_id", "salt")
+      .agg(count(lit(1)).as("pn"), sum(dec("value")).as("psum"))
+      .groupBy("user_id")
+      .agg(sum(col("pn")).as("n_events"),
+        sum(col("psum")).cast("decimal(38,2)").as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  // --- q57: TPC-H Q3 shape (shipping priority, adapted to the schema) -----
+  private val q57 = QueryDef(
+    "q57_tpch_q3_shape",
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+      |  CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, odate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .join(Tables.table(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.table(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("odate"),
+        col("o_orderpriority"))
+      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+        .cast("decimal(38,4)").as("revenue"))
+      .select("l_orderkey", "revenue", "odate", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q01, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q54)
+    q25, q26, q27, q28, q29, q54, q55, q57)
 }

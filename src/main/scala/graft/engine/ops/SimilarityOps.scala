@@ -21,41 +21,11 @@ object SimilarityOps {
   // hamming distance) must collide in ≥1 band. Output: candidate pairs
   // with their actual bit agreement.
   private val q47 = QueryDef.noOracle("q47_dedup_simhash") { (s, dir) =>
-    // Stay inside whole-stage codegen: explode per-token hashes once, take
-    // 64 conditional-sum aggregates in ONE HashAggregate pass (higher-order
-    // lambdas would run interpreted and 64× slower), then pack the sign
-    // bits into a single 64-bit long.
-    val bitSums = Tables.table(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))")).as("h"))
-      .groupBy("doc_id")
-      .agg(
-        sum(when(expr("(shiftright(h, 0) & 1) = 1"), 1).otherwise(-1)).as("b0"),
-        (1 until 64).map(b =>
-          sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"b$b")): _*)
-    val simhash = (0 until 64)
-      .map(b => (col(s"b$b") >= 0).cast("long") * lit(1L << b))
-      .reduce(_ + _)
-    val sim = bitSums.select(col("doc_id"), simhash.as("sh"))
-    // Banded hamming search: 4×16-bit band keys sliced off the long; bucket
-    // per band with a size cap (a small shared vocabulary makes SimHash
-    // bands collide heavily; mega-buckets are near-identical clusters
-    // already surfaced by q31/q32 and would blow up quadratically).
-    val withBands = sim.select(col("doc_id"), col("sh"),
-      posexplode(expr(
-        "transform(sequence(0, 3), g -> shiftright(sh, g * 16) & 65535)")).as(Seq("band_id", "band_key")))
-    val pairs = withBands
-      .groupBy("band_id", "band_key")
-      .agg(expr("sort_array(collect_list(struct(doc_id, sh)))").as("xs"))
-      .where(size(col("xs")).between(2, 64))
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(xs) - 1),
-          |  i -> transform(slice(xs, i + 1, size(xs) - i),
-          |       y -> named_struct('doc_a', xs[i - 1].doc_id, 'doc_b', y.doc_id,
-          |                         'matching_bits', 64 - bit_count(xs[i - 1].sh ^ y.sh)))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), col("p.matching_bits"))
-      .distinct()
-    pairs
+    // Library op: codegen 64-bit SimHash packed into one long, 4×16-bit
+    // banded hamming search with capped buckets. See graft.operators.Dedup.
+    graft.operators.Dedup
+      .simhashCandidates(Tables.table(s, dir, "documents"), "doc_id", "text",
+        bands = 4, bucketCap = 64)
       .orderBy(col("matching_bits").desc, col("doc_a"), col("doc_b"))
       .limit(200)
   }
@@ -110,18 +80,12 @@ object SimilarityOps {
       |  COUNT(*) FILTER (WHERE vec_id IN (SELECT vec_id FROM dups)) AS n_dups,
       |  COUNT(*) FILTER (WHERE vec_id NOT IN (SELECT vec_id FROM dups)) AS n_survivors
       |FROM n GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
-    graft.engine.expr.DotProduct.register(s)
-    val n = Tables.table(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("nrm", expr("sqrt(dot_product(e, e))"))
-    val a = n.select(col("label").as("label_a"), col("vec_id").as("id_a"), col("e").as("ea"), col("nrm").as("na"))
-    val b = n.select(col("label").as("label_b"), col("vec_id").as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
-    val dups = a.join(b, col("label_a") === col("label_b") && col("id_a") < col("id_b"))
-      .where(round(expr("dot_product(ea, eb)") / (col("na") * col("nb")), 4)
-        .cast("decimal(7,4)") >= 0.40)
-      .select(col("id_b").as("vec_id")).distinct()
+    val emb = Tables.table(s, dir, "embeddings")
+    val dups = graft.operators.Similarity
+      .blockedPairs(emb, "vec_id", "embedding", blockCol = "label", threshold = 0.40)
+      .select(col("doc_b").as("vec_id")).distinct()
       .withColumn("is_dup", lit(1))
-    n.join(dups, Seq("vec_id"), "left")
+    emb.select("vec_id", "label").join(dups, Seq("vec_id"), "left")
       .groupBy("label")
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("is_dup").isNotNull, 1).otherwise(0)).as("n_dups"),

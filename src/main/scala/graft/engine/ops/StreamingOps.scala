@@ -67,18 +67,9 @@ object StreamingOps {
       |  CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT) AS dur_s
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start LIMIT 500""".stripMargin) { (s, dir) =>
-    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.table(s, dir, "events")
-      .select(col("user_id"), col("event_id"), col("ts"),
-        when(lag(col("ts"), 1).over(byUser).isNull
-          || unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)) > 600000000L, 1)
-          .otherwise(0).as("is_new"))
-      .withColumn("sid", sum(col("is_new")).over(running))
-      .groupBy("user_id", "sid")
-      .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"),
-        // `div`, not `/`: floor semantics matching the oracle's `//`
-        expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000").as("dur_s"))
+    graft.operators.Sessionize
+      .summarize(Tables.table(s, dir, "events").select("user_id", "event_id", "ts"),
+        keyCol = "user_id", tsCol = "ts", gapSeconds = 600, tiebreak = "event_id")
       .select("user_id", "session_start", "n_events", "dur_s")
       .orderBy("user_id", "session_start").limit(500)
   }
@@ -155,5 +146,42 @@ object StreamingOps {
       .orderBy("user_id")
   }
 
-  def defs: Seq[QueryDef] = Seq(q39, q40, q41, q42, q53)
+  // --- q56: TRUE stream-stream interval join ------------------------------
+  // Purchases joined to the same user's views from the preceding hour: two
+  // watermarked file-source streams, event-time range condition (bounds the
+  // join state), append sink. Single-batch static input ⇒ result equals the
+  // batch interval join, so the oracle carries it.
+  private val q56 = QueryDef(
+    "q56_stream_interval_join",
+    """SELECT p.event_id AS purchase_id, v.event_id AS view_id
+      |FROM events p JOIN events v
+      |  ON p.event_type = 'purchase' AND v.event_type = 'view'
+      | AND p.user_id = v.user_id
+      | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+      |ORDER BY purchase_id, view_id LIMIT 500""".stripMargin) { (s, dir) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    def stream(kind: String, alias: String) =
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .where(col("event_type") === kind)
+        .select(col("event_id").as(s"${alias}_event_id"),
+          col("user_id").as(s"${alias}_user_id"), col("ts").as(s"${alias}_ts"))
+        .withWatermark(s"${alias}_ts", "1 hour")
+    val joined = stream("purchase", "p").join(stream("view", "v"),
+      col("p_user_id") === col("v_user_id")
+        && col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+        && col("v_ts") < col("p_ts"))
+      .select(col("p_event_id").as("purchase_id"), col("v_event_id").as("view_id"))
+    val sink = s"q56_sink_${System.nanoTime()}"
+    val query = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.table(sink).orderBy("purchase_id", "view_id").limit(500)
+  }
+
+  def defs: Seq[QueryDef] = Seq(q39, q40, q41, q42, q53, q56)
 }

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Reusable deduplication operators (library API — the oracle-gated queries
+ * in graft.engine.ops delegate here).
+ *
+ * All variants share the 100 TB shape: derive a signature / block key
+ * map-side, shuffle once on it, and never do corpus-wide pairwise work.
+ */
+object Dedup {
+
+  /** Exact dedup with a DETERMINISTIC survivor: the row with the smallest
+    * `survivorKey` per `keys` group. (dropDuplicates keeps an arbitrary,
+    * partition-order-dependent row — unsuitable for reproducible pipelines.) */
+  def exact(df: DataFrame, keys: Seq[String], survivorKey: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(survivorKey))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Token-set signature per row: sorted distinct tokens re-joined — an
+    * order/multiplicity-invariant canonical form. */
+  def tokenSetSignature(textCol: Column, sep: String = " "): Column =
+    array_join(array_sort(array_distinct(split(textCol, sep))), sep)
+
+  /** Near-dup clusters under the token-set signature: groups of ≥2 rows
+    * with identical signatures, with the minimum id as canonical. */
+  def signatureClusters(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), tokenSetSignature(col(textCol)).as("sig"))
+      .groupBy("sig")
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_doc"))
+      .where(col("n_docs") >= 2)
+
+  /** MinHash + LSH near-dup candidate pairs.
+    *
+    * `numHashes` minhash components (xxhash64 seeds, min over the token
+    * multiset — equal to min over the set) computed as codegen aggregates
+    * after a token explode; `bands` bands of `numHashes/bands` rows each
+    * hash to one long; docs colliding in ANY band bucket (capped at
+    * `bucketCap` — mega-buckets are exact-dup clusters better handled by
+    * [[signatureClusters]]) become candidates with an estimated jaccard.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4, bucketCap: Int = 64): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sigs = df
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("t"))
+      .groupBy("doc_id")
+      .agg(
+        min(xxhash64(lit(0), col("t"))).as("m0"),
+        (1 until numHashes).map(i => min(xxhash64(lit(i), col("t"))).as(s"m$i")): _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"),
+        array((0 until bands).map(g => xxhash64(
+          lit(g) +: (0 until rows).map(j => col(s"m${rows * g + j}")): _*)): _*).as("bands"))
+    sigs
+      .select(col("doc_id"), col("sig"),
+        posexplode(col("bands")).as(Seq("band_id", "band_key")))
+      .groupBy("band_id", "band_key")
+      .agg(expr("sort_array(collect_list(struct(doc_id, sig)))").as("xs"))
+      .where(size(col("xs")).between(2, bucketCap))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, size(xs) - 1),
+           |  i -> transform(slice(xs, i + 1, size(xs) - i),
+           |       y -> named_struct('doc_a', xs[i - 1].doc_id, 'doc_b', y.doc_id,
+           |                         'n_eq', aggregate(zip_with(xs[i - 1].sig, y.sig,
+           |                                   (x, v) -> IF(x = v, 1, 0)), 0, (acc, x) -> acc + x)))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.n_eq"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_eq").cast("decimal(9,4)") / numHashes)
+          .cast("decimal(5,4)").as("est_jaccard"))
+  }
+
+  /** SimHash banded near-dup candidate pairs: 64-bit SimHash per row
+    * (codegen conditional-sum aggregates packed into one long), searched
+    * via `bands` bands of 64/bands bits. Output: (doc_a, doc_b,
+    * matching_bits) for docs colliding in ≥1 band bucket (≤ bucketCap). */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, bucketCap: Int = 64): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val bitSums = df
+      .select(col(idCol).as("doc_id"),
+        explode(expr(s"transform(array_distinct(split($textCol, ' ')), t -> xxhash64(t))")).as("h"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(expr("(shiftright(h, 0) & 1) = 1"), 1).otherwise(-1)).as("b0"),
+        (1 until 64).map(b =>
+          sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"b$b")): _*)
+    val simhash = (0 until 64)
+      .map(b => (col(s"b$b") >= 0).cast("long") * lit(1L << b))
+      .reduce(_ + _)
+    bitSums.select(col("doc_id"), simhash.as("sh"))
+      .select(col("doc_id"), col("sh"),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), g -> shiftright(sh, g * $width) & $mask)"))
+          .as(Seq("band_id", "band_key")))
+      .groupBy("band_id", "band_key")
+      .agg(expr("sort_array(collect_list(struct(doc_id, sh)))").as("xs"))
+      .where(size(col("xs")).between(2, bucketCap))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(xs) - 1),
+          |  i -> transform(slice(xs, i + 1, size(xs) - i),
+          |       y -> named_struct('doc_a', xs[i - 1].doc_id, 'doc_b', y.doc_id,
+          |                         'matching_bits', 64 - bit_count(xs[i - 1].sh ^ y.sh)))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.matching_bits"))
+      .distinct()
+  }
+}
