@@ -20,9 +20,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup on the smallest sf: initializes Hadoop FS, parquet
-    // reader, codegen, shuffle, and window/join infrastructure once.
+    // read AND write paths (committers), codegen, shuffle, window/join,
+    // and streaming infrastructure once — so timed runs measure query
+    // work, not first-touch class loading (BASELINE.md's warm-session
+    // methodology).
     val warmSf = "/root/testdata/sf0.001"
-    Seq("q12_join_multiway", "q18_agg_hash", "q25_window_rank", "q36_text_tf")
+    Seq("q12_join_multiway", "q18_agg_hash", "q25_window_rank", "q36_text_tf",
+      "q03_multiformat_sink", "q52_bucketed_join", "q33_sim_cosine_topk",
+      "q17_join_asof", "q42_stream_watermark_dedup")
       .foreach { q =>
         try SparkEntry.queries(q)(spark, warmSf).count()
         catch { case _: Throwable => () }

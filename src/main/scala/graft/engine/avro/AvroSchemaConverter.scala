@@ -34,8 +34,10 @@ object AvroSchemaConverter {
 
   /** Any Avro schema → (Spark DataType, nullable). `union {null, T}` is the
     * Avro idiom for nullability; other unions are unsupported (the reference
-    * never uses them). */
+    * never uses them). Avro logical types map to their Spark equivalents. */
   def toSqlType(schema: Schema): (DataType, Boolean) = schema.getType match {
+    case _ if schema.getLogicalType != null =>
+      (logicalTypeFor(schema), false)
     case Schema.Type.STRING | Schema.Type.ENUM => (StringType, false)
     case Schema.Type.INT     => (IntegerType, false)
     case Schema.Type.LONG    => (LongType, false)
@@ -60,6 +62,21 @@ object AvroSchemaConverter {
     case other => throw new IllegalArgumentException(s"unsupported Avro type: $other")
   }
 
+  /** Avro logical types → Spark types (the standard parquet-avro mapping). */
+  private def logicalTypeFor(schema: Schema): DataType = {
+    import org.apache.avro.LogicalTypes
+    schema.getLogicalType match {
+      case d: LogicalTypes.Decimal => DecimalType(d.getPrecision, d.getScale)
+      case _: LogicalTypes.Date => DateType
+      case _: LogicalTypes.TimestampMillis | _: LogicalTypes.TimestampMicros => TimestampType
+      case _: LogicalTypes.LocalTimestampMillis | _: LogicalTypes.LocalTimestampMicros =>
+        TimestampNTZType
+      case u if u.getName == "uuid" => StringType
+      case other => throw new IllegalArgumentException(
+        s"unsupported Avro logical type: $other")
+    }
+  }
+
   /** GenericRecord → Row following the record's own schema. */
   def toRow(rec: GenericRecord): Row = {
     val fields = rec.getSchema.getFields.asScala.toSeq
@@ -68,6 +85,7 @@ object AvroSchemaConverter {
 
   private def convertValue(v: Any, schema: Schema): Any = {
     if (v == null) return null
+    if (schema.getLogicalType != null) return convertLogical(v, schema)
     schema.getType match {
       case Schema.Type.UNION =>
         val nonNull = schema.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
@@ -87,6 +105,41 @@ object AvroSchemaConverter {
           case (k, value) => k.toString -> convertValue(value, schema.getValueType)
         }.toMap
       case _ => v // int/long/float/double/boolean pass through
+    }
+  }
+
+  private def convertLogical(v: Any, schema: Schema): Any = {
+    import org.apache.avro.LogicalTypes
+    schema.getLogicalType match {
+      case d: LogicalTypes.Decimal =>
+        val unscaled = v match {
+          case bb: java.nio.ByteBuffer =>
+            val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out); out
+          case f: org.apache.avro.generic.GenericFixed => f.bytes()
+        }
+        new java.math.BigDecimal(new java.math.BigInteger(unscaled), d.getScale)
+      case _: LogicalTypes.Date =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+      case _: LogicalTypes.TimestampMillis =>
+        new java.sql.Timestamp(v.asInstanceOf[Long])
+      case _: LogicalTypes.TimestampMicros =>
+        val us = v.asInstanceOf[Long]
+        val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+        t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+        t
+      case _: LogicalTypes.LocalTimestampMillis =>
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(v.asInstanceOf[Long], 1000L),
+          (Math.floorMod(v.asInstanceOf[Long], 1000L) * 1000000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case _: LogicalTypes.LocalTimestampMicros =>
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(v.asInstanceOf[Long], 1000000L),
+          (Math.floorMod(v.asInstanceOf[Long], 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case u if u.getName == "uuid" => v.toString
+      case other => throw new IllegalArgumentException(
+        s"unsupported Avro logical type: $other")
     }
   }
 

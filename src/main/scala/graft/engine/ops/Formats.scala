@@ -117,14 +117,16 @@ object Formats {
     val wh = Files.createTempDirectory("q52_bucketed").toString
     val db = s"graft_buckets_${math.abs(dir.hashCode)}"
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh/$db'")
-    def bucketize(name: String, key: String): Unit =
+    // column-pruned copies: the bucket layout demo only needs the join key
+    // + the aggregated columns, so don't pay for writing the full tables
+    def bucketize(name: String, key: String, cols: Seq[String]): Unit =
       if (!s.catalog.tableExists(s"$db.$name"))
-        Tables.table(s, dir, name)
+        Tables.table(s, dir, name).select(cols.map(col): _*)
           .write.bucketBy(8, key).sortBy(key)
           .option("path", s"$wh/$db/$name")
           .saveAsTable(s"$db.$name")
-    bucketize("orders", "o_orderkey")
-    bucketize("lineitem", "l_orderkey")
+    bucketize("orders", "o_orderkey", Seq("o_orderkey", "o_orderstatus"))
+    bucketize("lineitem", "l_orderkey", Seq("l_orderkey", "l_extendedprice"))
     // merge hint: at tiny test sf Spark would auto-broadcast and never
     // exercise the bucket layout; fact⋈fact at real scale is SMJ anyway.
     s.table(s"$db.orders").hint("merge")

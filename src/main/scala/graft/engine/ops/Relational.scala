@@ -594,9 +594,44 @@ object Relational {
       .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
   }
 
+  // --- q58: exact percentiles (sort-based aggregate) ----------------------
+  // Both engines interpolate exactly ((1-f)*lo + f*hi over the sorted
+  // group); rounding to 2dp absorbs last-ulp differences.
+  private val q58 = QueryDef(
+    "q58_agg_percentile",
+    """SELECT o_orderstatus,
+      |  CAST(ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2) AS DECIMAL(18,2)) AS p50,
+      |  CAST(ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2) AS DECIMAL(18,2)) AS p90
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).cast("decimal(18,2)").as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).cast("decimal(18,2)").as("p90"))
+      .orderBy("o_orderstatus")
+  }
+
+  // --- q59: pivot (conditional aggregation with an explicit value list) ---
+  private val q59 = QueryDef(
+    "q59_pivot",
+    """SELECT user_id,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_id")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q01, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q54, q55, q57)
+    q25, q26, q27, q28, q29, q54, q55, q57, q58, q59)
 }

@@ -45,6 +45,13 @@ object SimilarityOps {
       |FROM sh a JOIN sh b
       |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
       |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin) { (s, dir) =>
+    // Blocked pairwise intersects. The inverted-index (posting-list join)
+    // alternative was measured and LOSES here: the synthetic vocabulary is
+    // tiny, so shingles are dense (shared by most docs in a block) and
+    // posting pairs blow up quadratically per shingle. Pairwise-inside-
+    // blocks is O(block² × |set|) regardless of density; at 100 TB with
+    // natural (sparse) text the posting-list join wins instead — density
+    // decides, so both formulations matter.
     val sh = Tables.table(s, dir, "documents")
       .withColumn("l", split(col("text"), " "))
       .where(size(col("l")) >= 3)

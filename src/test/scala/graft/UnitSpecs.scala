@@ -82,6 +82,37 @@ class AvroSchemaConverterSpec extends AnyFunSuite {
     assert(st("raw").dataType == BinaryType)
   }
 
+  test("logical types map to Spark equivalents and convert values") {
+    import org.apache.avro.generic.GenericRecordBuilder
+    val schema = parse(
+      """{"type":"record","name":"T","fields":[
+        |  {"name":"d","type":{"type":"int","logicalType":"date"}},
+        |  {"name":"tsm","type":{"type":"long","logicalType":"timestamp-millis"}},
+        |  {"name":"tsu","type":{"type":"long","logicalType":"timestamp-micros"}},
+        |  {"name":"money","type":{"type":"bytes","logicalType":"decimal","precision":10,"scale":2}},
+        |  {"name":"u","type":{"type":"string","logicalType":"uuid"}}
+        |]}""".stripMargin)
+    val st = AvroSchemaConverter.toStructType(schema)
+    assert(st("d").dataType == DateType)
+    assert(st("tsm").dataType == TimestampType)
+    assert(st("tsu").dataType == TimestampType)
+    assert(st("money").dataType == DecimalType(10, 2))
+    assert(st("u").dataType == StringType)
+    val rec = new GenericRecordBuilder(schema)
+      .set("d", 19723) // 2024-01-01
+      .set("tsm", 1704067200123L)
+      .set("tsu", 1704067200123456L)
+      .set("money", java.nio.ByteBuffer.wrap(java.math.BigInteger.valueOf(12345).toByteArray))
+      .set("u", "00000000-0000-0000-0000-000000000001")
+      .build()
+    val row = AvroSchemaConverter.toRow(rec)
+    assert(row.getDate(0).toString == "2024-01-01")
+    assert(row.getTimestamp(1).toInstant.toString == "2024-01-01T00:00:00.123Z")
+    assert(row.getTimestamp(2).toInstant.toString == "2024-01-01T00:00:00.123456Z")
+    assert(row.getDecimal(3) == new java.math.BigDecimal("123.45"))
+    assert(row.getString(4).endsWith("1"))
+  }
+
   test("non-nullable union is rejected") {
     val schema = parse(
       """{"type":"record","name":"T","fields":[
