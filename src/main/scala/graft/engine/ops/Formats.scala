@@ -32,16 +32,21 @@ object Formats {
       |    {"name": "meta", "type": {"type": "record", "name": "Meta", "fields": [
       |      {"name": "ip",   "type": "string"},
       |      {"name": "port", "type": "int"}
-      |    ]}}
+      |    ]}},
+      |    {"name": "created", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+      |    {"name": "day",     "type": {"type": "int", "logicalType": "date"}},
+      |    {"name": "price",   "type": {"type": "bytes", "logicalType": "decimal",
+      |                                 "precision": 10, "scale": 2}}
       |  ]
       |}""".stripMargin
 
-  /** The fixed fixture records (id, name, tags, ip, port) — the oracle's
-    * VALUES table mirrors these constants 1:1. */
-  private val fixtureRows: Seq[(Long, Option[String], Seq[String], String, Int)] = Seq(
-    (1L, Some("alice"), Seq("x", "y"), "10.0.0.1", 80),
-    (2L, None, Seq(), "10.0.0.2", 443),
-    (3L, Some("carol"), Seq("z"), "10.0.0.3", 8080))
+  /** The fixed fixture records — the oracle's VALUES table mirrors these
+    * constants 1:1. created = µs epoch, day = epoch days, price = unscaled
+    * cents (scale 2). */
+  private val fixtureRows: Seq[(Long, Option[String], Seq[String], String, Int, Long, Int, Long)] = Seq(
+    (1L, Some("alice"), Seq("x", "y"), "10.0.0.1", 80, 1704067200123456L, 19723, 1999L),
+    (2L, None, Seq(), "10.0.0.2", 443, 1704153600000000L, 19724, 50L),
+    (3L, Some("carol"), Seq("z"), "10.0.0.3", 8080, 1704240000999999L, 19725, 1234567L))
 
   // --- q02: Avro-schema-defined records → Parquet → read back -------------
   // The reference's write path (AvroWriteSupport + saveAsNewAPIHadoopFile)
@@ -50,21 +55,29 @@ object Formats {
   private val q02 = QueryDef(
     "q02_avro_schema_roundtrip",
     """SELECT * FROM (VALUES
-      |  (CAST(1 AS BIGINT), 'alice', ['x','y'], '10.0.0.1', 80),
-      |  (CAST(2 AS BIGINT), NULL, CAST([] AS VARCHAR[]), '10.0.0.2', 443),
-      |  (CAST(3 AS BIGINT), 'carol', ['z'], '10.0.0.3', 8080))
-      |  AS t(id, name, tags, meta_ip, meta_port)
+      |  (CAST(1 AS BIGINT), 'alice', ['x','y'], '10.0.0.1', 80,
+      |   TIMESTAMP '2024-01-01 00:00:00.123456', DATE '2024-01-01', CAST(19.99 AS DECIMAL(10,2))),
+      |  (CAST(2 AS BIGINT), NULL, CAST([] AS VARCHAR[]), '10.0.0.2', 443,
+      |   TIMESTAMP '2024-01-02 00:00:00', DATE '2024-01-02', CAST(0.50 AS DECIMAL(10,2))),
+      |  (CAST(3 AS BIGINT), 'carol', ['z'], '10.0.0.3', 8080,
+      |   TIMESTAMP '2024-01-03 00:00:00.999999', DATE '2024-01-03', CAST(12345.67 AS DECIMAL(10,2))))
+      |  AS t(id, name, tags, meta_ip, meta_port, created, day, price)
       |ORDER BY id""".stripMargin) { (s, dir) =>
     val schema = new Schema.Parser().parse(userEventAvsc)
     val metaSchema = schema.getField("meta").schema()
-    val records = fixtureRows.map { case (id, name, tags, ip, port) =>
+    val records = fixtureRows.map { case (id, name, tags, ip, port, createdUs, day, cents) =>
       val meta = new GenericRecordBuilder(metaSchema)
         .set("ip", ip).set("port", port).build()
       new GenericRecordBuilder(schema)
         .set("id", id).set("name", name.orNull)
         .set("tags", new GenericData.Array[String](
           schema.getField("tags").schema(), tags.asJava))
-        .set("meta", meta).build()
+        .set("meta", meta)
+        .set("created", createdUs)
+        .set("day", day)
+        .set("price", java.nio.ByteBuffer.wrap(
+          java.math.BigInteger.valueOf(cents).toByteArray))
+        .build()
     }
     val structType = AvroSchemaConverter.toStructType(schema)
     val rows = records.map(AvroSchemaConverter.toRow)
@@ -73,7 +86,8 @@ object Formats {
     df.write.mode("overwrite").parquet(s"$tmp/parquet")
     s.read.parquet(s"$tmp/parquet")
       .select(col("id"), col("name"), col("tags"),
-        col("meta.ip").as("meta_ip"), col("meta.port").as("meta_port"))
+        col("meta.ip").as("meta_ip"), col("meta.port").as("meta_port"),
+        col("created"), col("day"), col("price"))
       .orderBy("id")
   }
 

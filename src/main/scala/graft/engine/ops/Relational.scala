@@ -629,9 +629,20 @@ object Relational {
       .orderBy("user_id")
   }
 
+  // --- q60: seeded sampling (no oracle: sampler is engine-specific) -------
+  // Deterministic for a fixed (seed, partitioning) within Spark; the driver
+  // records a rows-only check. At scale, sample() pushes into the scan.
+  private val q60 = QueryDef.noOracle("q60_sample") { (s, dir) =>
+    Tables.table(s, dir, "lineitem")
+      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("l_returnflag")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q01, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q54, q55, q57, q58, q59)
+    q25, q26, q27, q28, q29, q54, q55, q57, q58, q59, q60)
 }

@@ -183,5 +183,33 @@ object StreamingOps {
     s.table(sink).orderBy("purchase_id", "view_id").limit(500)
   }
 
-  def defs: Seq[QueryDef] = Seq(q39, q40, q41, q42, q53, q56)
+  // --- q61: foreachBatch sink --------------------------------------------
+  // The programmable sink surface: each micro-batch of the complete-mode
+  // aggregation overwrites a parquet target; after AvailableNow drains, the
+  // target holds the full result — oracle = the tumbling-count GROUP BY.
+  private val q61 = QueryDef(
+    "q61_stream_foreachbatch",
+    """SELECT date_trunc('hour', ts) AS wstart, event_type, COUNT(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin) { (s, dir) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val target = java.nio.file.Files.createTempDirectory("q61_sink").toString
+    val agg = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+    val query = agg.writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(s"$target/out")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(s"$target/out").orderBy("wstart", "event_type")
+  }
+
+  def defs: Seq[QueryDef] = Seq(q39, q40, q41, q42, q53, q56, q61)
 }

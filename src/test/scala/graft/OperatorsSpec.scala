@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsofJoin, Sessionize}
+
+/** Edge-case tests for the library operators on hand-built micro-fixtures
+  * (SURVEY §5.2.2): as-of no-match NULLs, strict inequality, tie handling;
+  * session gap boundary semantics. */
+class OperatorsSpec extends SparkTestBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("AsofJoin.left: strict earlier-than, no-match NULL, per-key isolation") {
+    import spark.implicits._
+    val purchases = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // exact-tie with a view → strict < excludes it
+      (2L, 10L, ts("2024-01-01 12:00:00")), // matches the 10:00 view
+      (3L, 20L, ts("2024-01-01 09:00:00")), // user 20 has no views → NULL
+      (4L, 30L, ts("2024-01-01 08:00:00"))  // view exists but LATER → NULL
+    ).toDF("event_id", "user_id", "ts")
+    val views = Seq(
+      (100L, 10L, ts("2024-01-01 10:00:00")),
+      (101L, 30L, ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+
+    val out = AsofJoin.left(purchases, views, on = "user_id",
+      leftTs = "ts", rightTs = "ts", rightPayload = Map("ts" -> "view_ts"))
+      .select("event_id", "view_ts").collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+
+    assert(out(1L).isEmpty, "tie at identical ts must NOT match (strict <)")
+    assert(out(2L).contains(ts("2024-01-01 10:00:00")))
+    assert(out(3L).isEmpty, "user with no right rows gets NULL")
+    assert(out(4L).isEmpty, "later right rows must not match")
+  }
+
+  test("AsofJoin.left: picks the LATEST earlier right row, payload correct") {
+    import spark.implicits._
+    val left = Seq((1L, 5L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (200L, 5L, ts("2024-01-01 09:00:00")),
+      (201L, 5L, ts("2024-01-01 11:30:00")), // the latest earlier
+      (202L, 5L, ts("2024-01-01 11:59:59"))  // even later — this one wins
+    ).toDF("event_id", "user_id", "ts")
+    val out = AsofJoin.left(left, right, "user_id", "ts", "ts",
+      Map("ts" -> "view_ts", "event_id" -> "view_id")).collect().head
+    assert(out.getAs[Timestamp]("view_ts") == ts("2024-01-01 11:59:59"))
+    assert(out.getAs[Long]("view_id") == 202L)
+  }
+
+  test("Sessionize.byGap: boundary exactly at the gap stays in-session") {
+    import spark.implicits._
+    val gap = 600L // 10 min
+    val df = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 7L, ts("2024-01-01 10:10:00")), // exactly gap later → SAME session
+      (3L, 7L, ts("2024-01-01 10:20:01")), // gap + 1s → NEW session
+      (4L, 8L, ts("2024-01-01 10:00:00"))  // other key unaffected
+    ).toDF("event_id", "user_id", "ts")
+    val sessions = Sessionize.byGap(df, "user_id", "ts", gap, "event_id")
+      .select("event_id", "session_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sessions(1L) == sessions(2L), "gap boundary is inclusive (strict > starts new)")
+    assert(sessions(3L) == sessions(2L) + 1)
+    assert(sessions(4L) == 1L)
+  }
+
+  test("Sessionize.summarize matches manual session math") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 7L, ts("2024-01-01 10:05:00")),
+      (3L, 7L, ts("2024-01-01 11:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val out = Sessionize.summarize(df, "user_id", "ts", 600, "event_id")
+      .orderBy("session_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_events") == 2 && out(0).getAs[Long]("dur_s") == 300)
+    assert(out(1).getAs[Long]("n_events") == 1 && out(1).getAs[Long]("dur_s") == 0)
+  }
+}
