@@ -152,5 +152,26 @@ object Formats {
       .orderBy("o_orderstatus")
   }
 
-  def defs: Seq[QueryDef] = Seq(q02, q03, q52)
+  // --- q62: custom DataSource V2 connector --------------------------------
+  // graft.sources.SyntheticDocsSource generates rows arithmetically from
+  // doc_id across parallel input partitions; the oracle regenerates the
+  // identical rows from range() — proving the connector end-to-end.
+  private val q62 = QueryDef(
+    "q62_custom_source",
+    """SELECT lang, COUNT(*) AS n,
+      |  SUM(CAST(range AS BIGINT) * 37 % 91 + 10) AS sum_tokens,
+      |  SUM((CAST(range AS BIGINT) * 1315423911) % 1000000007) AS sum_checksum
+      |FROM (SELECT range, ['de','en','es','fr','zh'][CAST(range % 5 AS INT) + 1] AS lang
+      |      FROM range(1000))
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    s.read.format("graft.sources.SyntheticDocsSource")
+      .option("rows", "1000").option("partitions", "8").load()
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"),
+        sum(col("checksum")).as("sum_checksum"))
+      .orderBy("lang")
+  }
+
+  def defs: Seq[QueryDef] = Seq(q02, q03, q52, q62)
 }
