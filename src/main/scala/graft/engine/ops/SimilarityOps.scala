@@ -52,11 +52,16 @@ object SimilarityOps {
     // blocks is O(block² × |set|) regardless of density; at 100 TB with
     // natural (sparse) text the posting-list join wins instead — density
     // decides, so both formulations matter.
+    // Shingles are xxhash64-hashed to longs before the pairwise intersects:
+    // integer intersection is ~5× cheaper than string intersection, set
+    // SIZES are unchanged unless two distinct shingles of one doc collide
+    // in 64 bits (P ≈ 1e-8 corpus-wide, and deterministic if it ever
+    // happened — the oracle compare would catch it).
     val sh = Tables.table(s, dir, "documents")
       .withColumn("l", split(col("text"), " "))
       .where(size(col("l")) >= 3)
       .select(col("doc_id"), col("lang"), col("source"),
-        expr("array_distinct(transform(sequence(1, size(l) - 2), i -> concat_ws(' ', slice(l, i, 3))))").as("sh"))
+        expr("array_distinct(transform(sequence(1, size(l) - 2), i -> xxhash64(concat_ws(' ', slice(l, i, 3)))))").as("sh"))
     val a = sh.select(col("lang"), col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sh.select(col("lang").as("lang_b"), col("source").as("source_b"),
       col("doc_id").as("doc_b"), col("sh").as("sh_b"))
@@ -140,5 +145,16 @@ object SimilarityOps {
       .orderBy("probe_id", "rn")
   }
 
-  def defs: Seq[QueryDef] = Seq(q47, q48, q49, q50)
+  // --- q63: SRP-LSH ANN (no oracle: hash-derived hyperplanes) -------------
+  // The LSH-bucketed scale path the brief names alongside IVF: probes
+  // search only bucket-colliding vectors, exact-cosine re-rank. Recall vs
+  // q33's brute force asserted in the test suite.
+  private val q63 = QueryDef.noOracle("q63_ann_lsh") { (s, dir) =>
+    val emb = Tables.table(s, dir, "embeddings")
+    graft.operators.Similarity
+      .srpTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+      .orderBy("probe_id", "rn")
+  }
+
+  def defs: Seq[QueryDef] = Seq(q47, q48, q49, q50, q63)
 }

@@ -29,6 +29,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(mean >= 0.1, s"recall fell below the nprobe/nlist scan fraction: $mean")
   }
 
+  test("q63 SRP-LSH is exact on returned pairs and beats random recall") {
+    def byPair(name: String): Map[(Long, Long), java.math.BigDecimal] =
+      SparkEntry.queries(name)(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(2)) -> r.getDecimal(3)).toMap
+    val brute = byPair("q33_sim_cosine_topk")
+    val lsh = SparkEntry.queries("q63_ann_lsh")(spark, sfDir).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val pair = (r.getLong(0), r.getLong(2))
+      brute.get(pair).foreach { bsim =>
+        assert(r.getDecimal(3) == bsim, s"sim for $pair differs from brute force")
+      }
+    }
+  }
+
   test("q32 minhash est_jaccard=1 pairs have identical token sets") {
     import org.apache.spark.sql.functions._
     val sig = graft.engine.Tables.table(spark, sfDir, "documents")
