@@ -640,9 +640,46 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  // --- q64: MERGE/upsert (SCD type-1) via full outer join -----------------
+  // Vanilla Spark has no MERGE INTO against parquet; the scalable
+  // equivalent is one full outer join on the key: updates overwrite,
+  // unmatched changes insert, unmatched snapshot rows keep. Shuffles once
+  // on the merge key; at 100 TB the snapshot side would be bucketed on the
+  // key (q52) making re-merges shuffle-free.
+  private val q64 = QueryDef(
+    "q64_merge_upsert",
+    """WITH changes AS (
+      |  SELECT o_custkey AS custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS new_bal
+      |  FROM orders WHERE o_custkey % 3 = 0 GROUP BY o_custkey
+      |  UNION ALL
+      |  SELECT 900000 + r_regionkey, CAST(0 AS DECIMAL(18,2)) FROM region)
+      |SELECT COALESCE(s.c_custkey, c.custkey) AS c_custkey,
+      |  COALESCE(c.new_bal, CAST(s.c_acctbal AS DECIMAL(18,2))) AS acctbal,
+      |  CASE WHEN s.c_custkey IS NULL THEN 'insert'
+      |       WHEN c.custkey IS NULL THEN 'keep' ELSE 'update' END AS op
+      |FROM customer s FULL OUTER JOIN changes c ON s.c_custkey = c.custkey
+      |ORDER BY c_custkey LIMIT 300""".stripMargin) { (s, dir) =>
+    val changes = Tables.table(s, dir, "orders")
+      .where(col("o_custkey") % 3 === 0)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(dec("o_totalprice")).cast("decimal(18,2)").as("new_bal"))
+      .unionByName(Tables.table(s, dir, "region")
+        .select((lit(900000) + col("r_regionkey")).cast("bigint").as("custkey"),
+          lit(0).cast("decimal(18,2)").as("new_bal")))
+    Tables.table(s, dir, "customer")
+      .join(changes, col("c_custkey") === col("custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("custkey")).as("c_custkey"),
+        coalesce(col("new_bal"), dec("c_acctbal")).as("acctbal"),
+        when(col("c_custkey").isNull, "insert")
+          .when(col("custkey").isNull, "keep").otherwise("update").as("op"))
+      .orderBy("c_custkey").limit(300)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q01, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q54, q55, q57, q58, q59, q60)
+    q25, q26, q27, q28, q29, q54, q55, q57, q58, q59, q60, q64)
 }
