@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.expr.{BigramGenerator, DotProduct}
+
+/**
+ * Column-level function facade (library API): the engine's reusable scalar
+ * / generator functions in one place. `registerAll` makes the SQL names
+ * (`dot_product`, `bigrams`) available in a session; the Column APIs work
+ * without registration.
+ */
+object GraftFunctions {
+
+  /** Register every graft SQL function on the session. */
+  def registerAll(spark: SparkSession): Unit = {
+    DotProduct.register(spark)
+    BigramGenerator.register(spark)
+  }
+
+  /** Native codegen dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column = DotProduct.dot(a, b)
+
+  /** L2 norm of an array<double> column. */
+  def l2Norm(v: Column): Column = sqrt(DotProduct.dot(v, v))
+
+  /** Rounded decimal cosine similarity of two array<double> columns. */
+  def cosineSim(a: Column, b: Column, scale: Int = 4): Column =
+    round(dot(a, b) / (l2Norm(a) * l2Norm(b)), scale)
+      .cast(s"decimal(${scale + 3},$scale)")
+
+  /** Order/multiplicity-invariant token-set signature of a text column. */
+  def tokenSetSignature(text: Column, sep: String = " "): Column =
+    graft.operators.Dedup.tokenSetSignature(text, sep)
+
+  /** Engine-portable rolling-hash fingerprint of a text column (pure
+    * arithmetic fold — reproducible across engines and runs). Takes the
+    * column NAME (the fold is built as a SQL expression). */
+  def fingerprint(textCol: String): Column =
+    expr(s"""aggregate(
+            |  transform(split($textCol, ' '),
+            |            t -> cast(ascii(substr(t, 1, 1)) * 31 + length(t) AS BIGINT)),
+            |  cast(0 AS BIGINT),
+            |  (acc, v) -> (acc * 131 + v) % 1000000007)""".stripMargin)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish regex token count (shared-dialect pattern). */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+}
