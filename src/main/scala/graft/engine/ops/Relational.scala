@@ -677,9 +677,30 @@ object Relational {
       .orderBy("c_custkey").limit(300)
   }
 
+  // --- q65: ranking-function family: ntile / percent_rank / cume_dist ----
+  // percent_rank and cume_dist are exact small-integer ratios computed as
+  // identical double divisions in both engines → bit-equal without rounding.
+  private val q65 = QueryDef(
+    "q65_window_ranks",
+    """SELECT o_orderkey, o_orderstatus,
+      |  NTILE(4) OVER w AS quartile,
+      |  PERCENT_RANK() OVER w AS pr,
+      |  CUME_DIST() OVER w AS cd
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey LIMIT 300""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    Tables.table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("o_orderkey").limit(300)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q01, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q54, q55, q57, q58, q59, q60, q64)
+    q25, q26, q27, q28, q29, q54, q55, q57, q58, q59, q60, q64, q65)
 }
