@@ -156,5 +156,31 @@ object SimilarityOps {
       .orderBy("probe_id", "rn")
   }
 
-  def defs: Seq[QueryDef] = Seq(q47, q48, q49, q50, q63)
+  // --- q66: edit-distance fuzzy matching, blocked by (brand, type) --------
+  // The string-similarity member of the dedup family: levenshtein pairs
+  // inside (brand, type) blocks — the block key is part of the operator
+  // contract (same blocks in the oracle), and tighter blocks keep per-block
+  // work quadratic-in-small like every other near-dup op here. Both
+  // engines implement classic Wagner-Fischer, so distances agree exactly.
+  private val q66 = QueryDef(
+    "q66_fuzzy_levenshtein",
+    """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+      |  levenshtein(a.p_name, b.p_name) AS dist
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |ORDER BY dist, key_a, key_b LIMIT 200""".stripMargin) { (s, dir) =>
+    val p = Tables.table(s, dir, "part").select("p_partkey", "p_brand", "p_type", "p_name")
+    val a = p.select(col("p_brand"), col("p_type"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand").as("brand_b"), col("p_type").as("type_b"),
+      col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(b, col("p_brand") === col("brand_b") && col("p_type") === col("type_b")
+        && col("key_a") < col("key_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("dist") <= 3)
+      .select("key_a", "key_b", "dist")
+      .orderBy("dist", "key_a", "key_b").limit(200)
+  }
+
+  def defs: Seq[QueryDef] = Seq(q47, q48, q49, q50, q63, q66)
 }
