@@ -698,9 +698,47 @@ object Relational {
       .orderBy("o_orderkey").limit(300)
   }
 
+  // --- q67: schema-driven JSON parsing (from_json → struct) ---------------
+  // The typed counterpart of q08's get_json_object: props parses once into
+  // a struct whose fields are then ordinary columns.
+  private val q67 = QueryDef(
+    "q67_json_struct",
+    """SELECT event_type,
+      |  SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50 THEN 1 ELSE 0 END) AS n_high,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "events")
+      .withColumn("p", from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))))
+      .groupBy("event_type")
+      .agg(sum(when(col("p.k") > 50, 1).otherwise(0)).as("n_high"),
+        min(col("p.k")).as("min_k"), max(col("p.k")).as("max_k"))
+      .orderBy("event_type")
+  }
+
+  // --- q68: higher-order array predicates: exists / forall / filter -------
+  private val q68 = QueryDef(
+    "q68_array_predicates",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+      |SELECT
+      |  SUM(CASE WHEN len(list_filter(l, x -> x = 'the')) > 0 THEN 1 ELSE 0 END) AS n_has_the,
+      |  SUM(CASE WHEN len(list_filter(l, x -> length(x) < 2)) = 0 THEN 1 ELSE 0 END) AS n_all_long,
+      |  SUM(len(list_filter(l, x -> length(x) >= 6))) AS n_long_tokens
+      |FROM t""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "documents")
+      .withColumn("l", split(col("text"), " "))
+      .agg(
+        sum(when(exists(col("l"), x => x === "the"), 1).otherwise(0)).as("n_has_the"),
+        sum(when(forall(col("l"), x => length(x) >= 2), 1).otherwise(0)).as("n_all_long"),
+        sum(size(filter(col("l"), x => length(x) >= 6))).as("n_long_tokens"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q01, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q54, q55, q57, q58, q59, q60, q64, q65)
+    q25, q26, q27, q28, q29, q54, q55, q57, q58, q59, q60, q64, q65, q67, q68)
 }
