@@ -62,6 +62,23 @@ class PlanSuite extends SparkTestBase {
     assert(!p.contains("Window"), s"must not fall back to the window formulation:\n$p")
   }
 
+  test("partitioned sink enables partition pruning on re-read") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("prune_check").toString
+    graft.engine.Tables.table(spark, sfDir, "customer")
+      .withColumn("seg", col("c_mktsegment"))
+      .write.mode("overwrite").partitionBy("seg").parquet(tmp)
+    val read = spark.read.parquet(tmp).where(col("seg") === "BUILDING")
+    val p = read.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("seg"), p)
+    // pruned read touches ONE partition's rows only
+    val total = spark.read.parquet(tmp).count()
+    val pruned = read.count()
+    assert(pruned < total && pruned > 0)
+  }
+
   test("q31 signature dedup is a single aggregation, no join") {
     val p = plan("q31_dedup_signature")
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)

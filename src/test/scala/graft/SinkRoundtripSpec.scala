@@ -1,0 +1,32 @@
+package graft
+
+/** q03 writes three formats but only the parquet re-read is oracle-hashed;
+  * this spec closes the loop on the CSV/JSON sinks. */
+class SinkRoundtripSpec extends SparkTestBase {
+
+  test("q03 csv and json sinks hold the same rows as the parquet sink") {
+    import org.apache.spark.sql.functions._
+    // Re-run the q03 pipeline shape against temp sinks
+    val base = graft.engine.Tables.table(spark, sfDir, "customer")
+      .join(broadcast(graft.engine.Tables.table(spark, sfDir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"))
+    val tmp = java.nio.file.Files.createTempDirectory("sink_roundtrip").toString
+    base.write.mode("overwrite").parquet(s"$tmp/parquet")
+    base.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    base.write.mode("overwrite").json(s"$tmp/json")
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
+      df.collect().map(r => (r.getAs[String]("n_name"),
+        r.getAs[Any]("n_customers").toString.toLong)).toSet
+
+    val viaParquet = rows(spark.read.parquet(s"$tmp/parquet"))
+    val viaCsv = rows(spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(s"$tmp/csv"))
+    val viaJson = rows(spark.read.json(s"$tmp/json"))
+    assert(viaParquet.nonEmpty)
+    assert(viaCsv == viaParquet)
+    assert(viaJson == viaParquet)
+  }
+}
