@@ -736,9 +736,22 @@ object Relational {
         sum(size(filter(col("l"), x => length(x) >= 6))).as("n_long_tokens"))
   }
 
+  // --- q69: approximate percentile (sketch twin of q58, like q23↔q19) -----
+  // t-digest-style sketch state is O(accuracy), not O(group) — the 100 TB
+  // choice when exact sort-based percentiles are too expensive. Sketch
+  // results are engine-specific → rows-only check; q58 is the exact twin.
+  private val q69 = QueryDef.noOracle("q69_agg_approx_percentile") { (s, dir) =>
+    Tables.table(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9), 1000)").as("approx_p"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q01, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q54, q55, q57, q58, q59, q60, q64, q65, q67, q68)
+    q25, q26, q27, q28, q29, q54, q55, q57, q58, q59, q60,
+    q64, q65, q67, q68, q69)
 }
