@@ -196,5 +196,36 @@ object LlmOps {
       .orderBy("lang", "source")
   }
 
-  def defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38)
+  // --- q70: incremental dedup against a fingerprint ledger -----------------
+  // The production pattern: a persistent ledger of already-ingested content
+  // fingerprints; each new batch anti-joins against it and only unseen
+  // fingerprints pass (then get appended to the ledger). The ledger here is
+  // simulated as the fingerprints of doc_id < 250; the fingerprint is pure
+  // arithmetic (q46), so the oracle reproduces the whole flow. One shuffle
+  // on the fingerprint; at 100 TB the ledger would be bucketed on it.
+  private val q70 = QueryDef(
+    "q70_dedup_incremental",
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(text, ' '),
+      |                       t -> CAST(ascii(substr(t, 1, 1)) * 31 + length(t) AS BIGINT))),
+      |      (acc, v) -> (acc * 131 + v) % 1000000007) AS fingerprint
+      |  FROM documents),
+      |ledger AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 250)
+      |SELECT f.doc_id, f.fingerprint FROM fp f
+      |WHERE f.doc_id >= 250
+      |  AND f.fingerprint NOT IN (SELECT fingerprint FROM ledger)
+      |ORDER BY f.doc_id LIMIT 200""".stripMargin) { (s, dir) =>
+    val fp = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), graft.functions.GraftFunctions.fingerprint("text").as("fingerprint"))
+    val ledger = fp.where(col("doc_id") < 250)
+      .select(col("fingerprint").as("seen")).distinct()
+    fp.where(col("doc_id") >= 250)
+      .join(ledger, col("fingerprint") === col("seen"), "left_anti")
+      .orderBy("doc_id").limit(200)
+  }
+
+  def defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q70)
 }
