@@ -736,6 +736,19 @@ object Relational {
         sum(size(filter(col("l"), x => length(x) >= 6))).as("n_long_tokens"))
   }
 
+  // --- q71: stratified sampling (per-stratum fractions, seeded) -----------
+  // sampleBy keeps ~fraction of each stratum — the balanced-subset builder
+  // for training-data curation. Sampler is engine-specific → rows-only.
+  private val q71 = QueryDef.noOracle("q71_stratified_sample") { (s, dir) =>
+    Tables.table(s, dir, "documents")
+      .stat.sampleBy("lang",
+        Map("de" -> 0.5, "en" -> 0.3, "es" -> 0.2, "fr" -> 0.1, "zh" -> 0.05),
+        seed = 42L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("lang")
+  }
+
   // --- q69: approximate percentile (sketch twin of q58, like q23↔q19) -----
   // t-digest-style sketch state is O(accuracy), not O(group) — the 100 TB
   // choice when exact sort-based percentiles are too expensive. Sketch
@@ -753,5 +766,5 @@ object Relational {
     q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q54, q55, q57, q58, q59, q60,
-    q64, q65, q67, q68, q69)
+    q64, q65, q67, q68, q69, q71)
 }
