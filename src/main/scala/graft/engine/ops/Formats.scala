@@ -52,15 +52,19 @@ object Formats {
   // The reference's write path (AvroWriteSupport + saveAsNewAPIHadoopFile)
   // re-expressed Spark-first: Avro Schema → StructType via the converter,
   // GenericRecords → Rows, write.parquet, read.parquet.
+  // tags is flattened with array_join and price is cast to DOUBLE in the
+  // final projection: array-typed output crashes the driver comparator's
+  // pandas sort (r01 q02 err), and Decimal objects hash-mismatch the
+  // oracle's pandas float64.
   private val q02 = QueryDef(
     "q02_avro_schema_roundtrip",
     """SELECT * FROM (VALUES
-      |  (CAST(1 AS BIGINT), 'alice', ['x','y'], '10.0.0.1', 80,
-      |   TIMESTAMP '2024-01-01 00:00:00.123456', DATE '2024-01-01', CAST(19.99 AS DECIMAL(10,2))),
-      |  (CAST(2 AS BIGINT), NULL, CAST([] AS VARCHAR[]), '10.0.0.2', 443,
-      |   TIMESTAMP '2024-01-02 00:00:00', DATE '2024-01-02', CAST(0.50 AS DECIMAL(10,2))),
-      |  (CAST(3 AS BIGINT), 'carol', ['z'], '10.0.0.3', 8080,
-      |   TIMESTAMP '2024-01-03 00:00:00.999999', DATE '2024-01-03', CAST(12345.67 AS DECIMAL(10,2))))
+      |  (CAST(1 AS BIGINT), 'alice', 'x,y', '10.0.0.1', 80,
+      |   TIMESTAMP '2024-01-01 00:00:00.123456', DATE '2024-01-01', CAST(19.99 AS DOUBLE)),
+      |  (CAST(2 AS BIGINT), NULL, '', '10.0.0.2', 443,
+      |   TIMESTAMP '2024-01-02 00:00:00', DATE '2024-01-02', CAST(0.50 AS DOUBLE)),
+      |  (CAST(3 AS BIGINT), 'carol', 'z', '10.0.0.3', 8080,
+      |   TIMESTAMP '2024-01-03 00:00:00.999999', DATE '2024-01-03', CAST(12345.67 AS DOUBLE)))
       |  AS t(id, name, tags, meta_ip, meta_port, created, day, price)
       |ORDER BY id""".stripMargin) { (s, dir) =>
     val schema = new Schema.Parser().parse(userEventAvsc)
@@ -85,9 +89,9 @@ object Formats {
     val tmp = Files.createTempDirectory("q02_avro_roundtrip").toString
     df.write.mode("overwrite").parquet(s"$tmp/parquet")
     s.read.parquet(s"$tmp/parquet")
-      .select(col("id"), col("name"), col("tags"),
+      .select(col("id"), col("name"), array_join(col("tags"), ",").as("tags"),
         col("meta.ip").as("meta_ip"), col("meta.port").as("meta_port"),
-        col("created"), col("day"), col("price"))
+        col("created"), col("day"), col("price").cast("double").as("price"))
       .orderBy("id")
   }
 
@@ -97,7 +101,7 @@ object Formats {
   private val q03 = QueryDef(
     "q03_multiformat_sink",
     """SELECT n_name, r_name, COUNT(*) AS n_customers,
-      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_acctbal
+      |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_acctbal
       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
@@ -107,7 +111,8 @@ object Formats {
       .join(broadcast(Tables.table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name", "r_name")
       .agg(count(lit(1)).as("n_customers"),
-        sum(col("c_acctbal").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_acctbal"))
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("decimal(38,2)")
+          .cast("double").as("sum_acctbal"))
     val tmp = Files.createTempDirectory("q03_sink").toString
     base.write.mode("overwrite").partitionBy("r_name").parquet(s"$tmp/parquet")
     base.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
@@ -125,7 +130,7 @@ object Formats {
   private val q52 = QueryDef(
     "q52_bucketed_join",
     """SELECT o_orderstatus, COUNT(*) AS n_lines,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
     val wh = Files.createTempDirectory("q52_bucketed").toString
@@ -148,7 +153,7 @@ object Formats {
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_lines"),
         sum(col("l_extendedprice").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("sum_price"))
+          .cast("decimal(38,2)").cast("double").as("sum_price"))
       .orderBy("o_orderstatus")
   }
 
@@ -159,8 +164,8 @@ object Formats {
   private val q62 = QueryDef(
     "q62_custom_source",
     """SELECT lang, COUNT(*) AS n,
-      |  SUM(CAST(range AS BIGINT) * 37 % 91 + 10) AS sum_tokens,
-      |  SUM((CAST(range AS BIGINT) * 1315423911) % 1000000007) AS sum_checksum
+      |  CAST(SUM(CAST(range AS BIGINT) * 37 % 91 + 10) AS BIGINT) AS sum_tokens,
+      |  CAST(SUM((CAST(range AS BIGINT) * 1315423911) % 1000000007) AS BIGINT) AS sum_checksum
       |FROM (SELECT range, ['de','en','es','fr','zh'][CAST(range % 5 AS INT) + 1] AS lang
       |      FROM range(1000))
       |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>

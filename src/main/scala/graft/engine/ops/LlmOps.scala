@@ -88,13 +88,14 @@ object LlmOps {
       |  SELECT p.probe_id, n.vec_id AS neighbor_id,
       |    CAST(ROUND(list_dot_product(pe, e) / (pn * nrm), 4) AS DECIMAL(7,4)) AS sim
       |  FROM p, n WHERE n.vec_id <> p.probe_id)
-      |SELECT probe_id, rn, neighbor_id, sim FROM (
+      |SELECT probe_id, rn, neighbor_id, CAST(sim AS DOUBLE) AS sim FROM (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
       |             ORDER BY sim DESC, neighbor_id) AS rn FROM sims) t
       |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin) { (s, dir) =>
     val emb = Tables.table(s, dir, "embeddings")
     graft.operators.Similarity
       .cosineTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+      .withColumn("sim", col("sim").cast("double"))
       .orderBy("probe_id", "rn")
   }
 
@@ -123,7 +124,7 @@ object LlmOps {
   private val q35 = QueryDef(
     "q35_multimodal_join",
     """SELECT label, lang, COUNT(*) AS n_docs,
-      |  CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(38,4)) AS avg_chars
+      |  CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(38,4)) AS DOUBLE) AS avg_chars
       |FROM documents JOIN embeddings ON doc_id = vec_id
       |GROUP BY label, lang ORDER BY label, lang""".stripMargin) { (s, dir) =>
     Tables.table(s, dir, "documents")
@@ -131,7 +132,7 @@ object LlmOps {
       .groupBy("label", "lang")
       .agg(count(lit(1)).as("n_docs"),
         (sum(col("n_chars").cast("decimal(18,2)")) / count(lit(1)))
-          .cast("decimal(38,4)").as("avg_chars"))
+          .cast("decimal(38,4)").cast("double").as("avg_chars"))
       .orderBy("label", "lang")
   }
 
@@ -172,7 +173,7 @@ object LlmOps {
     "q38_text_stats",
     """WITH doc_stats AS (
       |  SELECT lang, source, COUNT(*) AS n_docs,
-      |    CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(38,4)) AS avg_chars
+      |    CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(38,4)) AS DOUBLE) AS avg_chars
       |  FROM documents GROUP BY lang, source),
       |tok_stats AS (
       |  SELECT lang, source, COUNT(DISTINCT token) AS n_tokens
@@ -185,7 +186,7 @@ object LlmOps {
     val docStats = docs.groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"),
         (sum(col("n_chars").cast("decimal(18,2)")) / count(lit(1)))
-          .cast("decimal(38,4)").as("avg_chars"))
+          .cast("decimal(38,4)").cast("double").as("avg_chars"))
     val tokStats = docs
       .select(col("lang").as("t_lang"), col("source").as("t_source"), explode(toks).as("token"))
       .groupBy("t_lang", "t_source")

@@ -40,8 +40,8 @@ object Multimodal {
   private val q51 = QueryDef(
     "q51_multimodal_binary",
     """SELECT doc_id, length(text) AS decoded_len, ascii(substr(text, 1, 1)) AS head_byte,
-      |  list_sum(list_transform(range(1, length(text) + 1),
-      |                          i -> ascii(substr(text, i, 1)))) % 997 AS byte_sum,
+      |  CAST(list_sum(list_transform(range(1, length(text) + 1),
+      |                               i -> ascii(substr(text, i, 1)))) % 997 AS BIGINT) AS byte_sum,
       |  lang
       |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin) { (s, dir) =>
     val spark = s

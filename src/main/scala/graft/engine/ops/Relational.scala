@@ -21,7 +21,17 @@ object Relational {
 
   /** Money/measure columns arrive as DOUBLE (2-dp values); cast to exact
     * DECIMAL before arithmetic so aggregates are partition-order-independent
-    * and identical across engines. */
+    * and identical across engines.
+    *
+    * Output-representation contract (driver hash check): the FINAL projection
+    * of every decimal measure is CAST(... AS DOUBLE) on both sides — the
+    * driver loads the DuckDB oracle through pandas where DECIMAL/HUGEINT
+    * become float64, so a Spark `Decimal('255262.00')` vs oracle `255262.0`
+    * hash-mismatches despite equal values. Both engines convert the same
+    * exact decimal to its nearest double (magnitudes here stay ≤1e17, far
+    * inside the exactly-convertible range), so the doubles are bit-identical.
+    * Likewise every integer SUM in oracle SQL is CAST(... AS BIGINT) to kill
+    * DuckDB's HUGEINT→float64 widening. */
   private def dec(c: String) = col(c).cast("decimal(18,2)")
 
   // --- q01: the reference's core demo — scan, project, filter ------------
@@ -106,7 +116,7 @@ object Relational {
     "q07_math_funcs",
     """SELECT l_orderkey, l_linenumber,
       |  CAST(FLOOR(l_quantity) AS INTEGER) % 7 AS qty_mod7,
-      |  CAST(ROUND(ABS(l_discount - 0.05), 2) AS DECIMAL(5,2)) AS disc_dev,
+      |  CAST(CAST(ROUND(ABS(l_discount - 0.05), 2) AS DECIMAL(5,2)) AS DOUBLE) AS disc_dev,
       |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
       |  CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil
       |FROM lineitem
@@ -116,7 +126,7 @@ object Relational {
       .where(col("l_quantity") > 40)
       .select(col("l_orderkey"), col("l_linenumber"),
         (floor(col("l_quantity")).cast("int") % 7).as("qty_mod7"),
-        round(abs(col("l_discount") - 0.05), 2).cast("decimal(5,2)").as("disc_dev"),
+        round(abs(col("l_discount") - 0.05), 2).cast("decimal(5,2)").cast("double").as("disc_dev"),
         floor(col("l_extendedprice")).cast("bigint").as("price_floor"),
         ceil(col("l_extendedprice")).cast("bigint").as("price_ceil"))
       .orderBy("l_orderkey", "l_linenumber", "price_floor", "qty_mod7").limit(200)
@@ -126,15 +136,16 @@ object Relational {
   private val q08 = QueryDef(
     "q08_json_extract",
     """SELECT event_type,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) / COUNT(*) AS DECIMAL(38,4)) AS avg_k
+      |  CAST(CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) / COUNT(*) AS DECIMAL(38,4)) AS DOUBLE) AS avg_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
     val k = get_json_object(col("props"), "$.k").cast("int")
     Tables.table(s, dir, "events")
       .groupBy("event_type")
       .agg(sum(k).as("sum_k"), count(lit(1)).as("n"),
-        (sum(k).cast("decimal(38,0)") / count(lit(1))).cast("decimal(38,4)").as("avg_k"))
+        (sum(k).cast("decimal(38,0)") / count(lit(1))).cast("decimal(38,4)")
+          .cast("double").as("avg_k"))
       .orderBy("event_type")
   }
 
@@ -161,7 +172,7 @@ object Relational {
   private val q10 = QueryDef(
     "q10_join_broadcast",
     """SELECT p_brand, COUNT(*) AS n_lines,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
     Tables.table(s, dir, "lineitem")
@@ -169,7 +180,7 @@ object Relational {
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_lines"),
         sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
-          .cast("decimal(38,4)").as("revenue"))
+          .cast("decimal(38,4)").cast("double").as("revenue"))
       .orderBy("p_brand")
   }
 
@@ -179,14 +190,14 @@ object Relational {
   private val q11 = QueryDef(
     "q11_join_shuffle",
     """SELECT o_orderstatus, COUNT(*) AS n_lines,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
     Tables.table(s, dir, "orders").hint("merge")
       .join(Tables.table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_lines"),
-        sum(dec("l_quantity")).cast("decimal(38,2)").as("sum_qty"))
+        sum(dec("l_quantity")).cast("decimal(38,2)").cast("double").as("sum_qty"))
       .orderBy("o_orderstatus")
   }
 
@@ -198,7 +209,7 @@ object Relational {
   private val q12 = QueryDef(
     "q12_join_multiway",
     """SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -215,7 +226,7 @@ object Relational {
       .join(broadcast(t("region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
       .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
-        .cast("decimal(38,4)").as("revenue"))
+        .cast("decimal(38,4)").cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -253,14 +264,15 @@ object Relational {
   private val q15 = QueryDef(
     "q15_join_outer",
     """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
-      |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS total_spend
+      |  CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS DOUBLE) AS total_spend
       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       |GROUP BY c_custkey ORDER BY c_custkey LIMIT 200""".stripMargin) { (s, dir) =>
     Tables.table(s, dir, "customer")
       .join(Tables.table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
       .groupBy("c_custkey")
       .agg(count(col("o_orderkey")).as("n_orders"),
-        coalesce(sum(dec("o_totalprice")), lit(0)).cast("decimal(38,2)").as("total_spend"))
+        coalesce(sum(dec("o_totalprice")), lit(0)).cast("decimal(38,2)")
+          .cast("double").as("total_spend"))
       .orderBy("c_custkey").limit(200)
   }
 
@@ -313,10 +325,10 @@ object Relational {
   private val q18 = QueryDef(
     "q18_agg_hash",
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(38,6)) AS avg_qty,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(38,6)) AS DOUBLE) AS avg_qty,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -326,11 +338,12 @@ object Relational {
       .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec("l_quantity")).cast("decimal(38,2)").as("sum_qty"),
-        sum(dec("l_extendedprice")).cast("decimal(38,2)").as("sum_base_price"),
+        sum(dec("l_quantity")).cast("decimal(38,2)").cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("decimal(38,2)").cast("double").as("sum_base_price"),
         sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
-          .cast("decimal(38,4)").as("sum_disc_price"),
-        (sum(dec("l_quantity")) / count(lit(1))).cast("decimal(38,6)").as("avg_qty"),
+          .cast("decimal(38,4)").cast("double").as("sum_disc_price"),
+        (sum(dec("l_quantity")) / count(lit(1))).cast("decimal(38,6)")
+          .cast("double").as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -391,7 +404,7 @@ object Relational {
   private val q22Sql =
     """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
       |  COALESCE(o_orderpriority, 'ALL') AS priority, COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY status, priority""".stripMargin
@@ -414,7 +427,7 @@ object Relational {
   // semantics match the oracle's row_number()=2 (single-row groups drop).
   private val q24 = QueryDef(
     "q24_udaf_second_max",
-    """SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS second_total
+    """SELECT o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS second_total
       |FROM (SELECT o_orderstatus, o_totalprice,
       |        ROW_NUMBER() OVER (PARTITION BY o_orderstatus
       |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -425,7 +438,8 @@ object Relational {
       .groupBy("o_orderstatus")
       .agg(secondMax(col("o_totalprice")).as("sm"), count(lit(1)).as("n"))
       .where(col("n") >= 2)
-      .select(col("o_orderstatus"), col("sm").cast("decimal(18,2)").as("second_total"))
+      .select(col("o_orderstatus"),
+        col("sm").cast("decimal(18,2)").cast("double").as("second_total"))
       .orderBy("o_orderstatus")
   }
 
@@ -435,14 +449,14 @@ object Relational {
     """SELECT * FROM (
       |  SELECT o_orderstatus, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
       |           ORDER BY o_totalprice DESC, o_orderkey) AS rn,
-      |    o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+      |    o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
       |  FROM orders) t
       |WHERE rn <= 3 ORDER BY o_orderstatus, rn""".stripMargin) { (s, dir) =>
     val w = Window.partitionBy("o_orderstatus")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.table(s, dir, "orders")
       .select(col("o_orderstatus"), row_number().over(w).as("rn"),
-        col("o_orderkey"), dec("o_totalprice").as("totalprice"))
+        col("o_orderkey"), dec("o_totalprice").cast("double").as("totalprice"))
       .where(col("rn") <= 3)
       .orderBy("o_orderstatus", "rn")
   }
@@ -469,10 +483,10 @@ object Relational {
   private val q27 = QueryDef(
     "q27_window_frame",
     """SELECT l_partkey, l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
       |    PARTITION BY l_partkey
       |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS run_qty
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS DOUBLE) AS run_qty
       |FROM lineitem WHERE l_partkey < 40
       |ORDER BY l_partkey, ship_date, l_orderkey, l_linenumber, run_qty
       |LIMIT 300""".stripMargin) { (s, dir) =>
@@ -483,7 +497,7 @@ object Relational {
       .where(col("l_partkey") < 40)
       .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
         to_date(col("l_shipdate")).as("ship_date"),
-        sum(dec("l_quantity")).over(w).cast("decimal(38,2)").as("run_qty"))
+        sum(dec("l_quantity")).over(w).cast("decimal(38,2)").cast("double").as("run_qty"))
       .orderBy("l_partkey", "ship_date", "l_orderkey", "l_linenumber", "run_qty")
       .limit(300)
   }
@@ -493,10 +507,11 @@ object Relational {
   // the only global sort shape that's O(k) at the driver regardless of scale.
   private val q28 = QueryDef(
     "q28_topk_global",
-    """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+    """SELECT o_orderkey, o_custkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
       |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
     Tables.table(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"), dec("o_totalprice").as("totalprice"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        dec("o_totalprice").cast("double").as("totalprice"))
       .orderBy(col("totalprice").desc, col("o_orderkey"))
       .limit(10)
   }
@@ -529,7 +544,7 @@ object Relational {
   // formulation — the custom operator must be semantically identical.
   private val q54 = QueryDef(
     "q54_topk_custom_plan",
-    """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+    """SELECT o_custkey, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
       |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
       |        ROW_NUMBER() OVER (PARTITION BY o_custkey
       |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -541,7 +556,8 @@ object Relational {
       groupCols = Seq("o_custkey"),
       orderBy = Seq("o_totalprice" -> false, "o_orderkey" -> true),
       k = 3)
-    top.select(col("o_custkey"), col("o_orderkey"), dec("o_totalprice").as("totalprice"))
+    top.select(col("o_custkey"), col("o_orderkey"),
+        dec("o_totalprice").cast("double").as("totalprice"))
       .orderBy(col("o_custkey"), col("totalprice").desc, col("o_orderkey"))
       .limit(300)
   }
@@ -554,7 +570,7 @@ object Relational {
   private val q55 = QueryDef(
     "q55_skew_salted_agg",
     """SELECT user_id, COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
     Tables.table(s, dir, "events")
       .withColumn("salt", pmod(col("event_id"), lit(16)))
@@ -562,7 +578,7 @@ object Relational {
       .agg(count(lit(1)).as("pn"), sum(dec("value")).as("psum"))
       .groupBy("user_id")
       .agg(sum(col("pn")).as("n_events"),
-        sum(col("psum")).cast("decimal(38,2)").as("sum_value"))
+        sum(col("psum")).cast("decimal(38,2)").cast("double").as("sum_value"))
       .orderBy("user_id")
   }
 
@@ -570,7 +586,7 @@ object Relational {
   private val q57 = QueryDef(
     "q57_tpch_q3_shape",
     """SELECT l_orderkey,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
       |  CAST(o_orderdate AS DATE) AS odate, o_orderpriority
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
@@ -589,7 +605,7 @@ object Relational {
       .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("odate"),
         col("o_orderpriority"))
       .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
-        .cast("decimal(38,4)").as("revenue"))
+        .cast("decimal(38,4)").cast("double").as("revenue"))
       .select("l_orderkey", "revenue", "odate", "o_orderpriority")
       .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
   }
@@ -600,14 +616,16 @@ object Relational {
   private val q58 = QueryDef(
     "q58_agg_percentile",
     """SELECT o_orderstatus,
-      |  CAST(ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2) AS DECIMAL(18,2)) AS p50,
-      |  CAST(ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2) AS DECIMAL(18,2)) AS p90
+      |  CAST(CAST(ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2) AS DECIMAL(18,2)) AS DOUBLE) AS p50,
+      |  CAST(CAST(ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2) AS DECIMAL(18,2)) AS DOUBLE) AS p90
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
     Tables.table(s, dir, "orders")
       .groupBy("o_orderstatus")
       .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 2).cast("decimal(18,2)").as("p50"),
-        round(expr("percentile(o_totalprice, 0.9)"), 2).cast("decimal(18,2)").as("p90"))
+        round(expr("percentile(o_totalprice, 0.5)"), 2).cast("decimal(18,2)")
+          .cast("double").as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).cast("decimal(18,2)")
+          .cast("double").as("p90"))
       .orderBy("o_orderstatus")
   }
 
@@ -655,7 +673,7 @@ object Relational {
       |  UNION ALL
       |  SELECT 900000 + r_regionkey, CAST(0 AS DECIMAL(18,2)) FROM region)
       |SELECT COALESCE(s.c_custkey, c.custkey) AS c_custkey,
-      |  COALESCE(c.new_bal, CAST(s.c_acctbal AS DECIMAL(18,2))) AS acctbal,
+      |  CAST(COALESCE(c.new_bal, CAST(s.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal,
       |  CASE WHEN s.c_custkey IS NULL THEN 'insert'
       |       WHEN c.custkey IS NULL THEN 'keep' ELSE 'update' END AS op
       |FROM customer s FULL OUTER JOIN changes c ON s.c_custkey = c.custkey
@@ -671,7 +689,7 @@ object Relational {
       .join(changes, col("c_custkey") === col("custkey"), "full_outer")
       .select(
         coalesce(col("c_custkey"), col("custkey")).as("c_custkey"),
-        coalesce(col("new_bal"), dec("c_acctbal")).as("acctbal"),
+        coalesce(col("new_bal"), dec("c_acctbal")).cast("double").as("acctbal"),
         when(col("c_custkey").isNull, "insert")
           .when(col("custkey").isNull, "keep").otherwise("update").as("op"))
       .orderBy("c_custkey").limit(300)
@@ -704,7 +722,7 @@ object Relational {
   private val q67 = QueryDef(
     "q67_json_struct",
     """SELECT event_type,
-      |  SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50 THEN 1 ELSE 0 END) AS n_high,
+      |  CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
       |  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
       |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
@@ -724,9 +742,9 @@ object Relational {
     "q68_array_predicates",
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
       |SELECT
-      |  SUM(CASE WHEN len(list_filter(l, x -> x = 'the')) > 0 THEN 1 ELSE 0 END) AS n_has_the,
-      |  SUM(CASE WHEN len(list_filter(l, x -> length(x) < 2)) = 0 THEN 1 ELSE 0 END) AS n_all_long,
-      |  SUM(len(list_filter(l, x -> length(x) >= 6))) AS n_long_tokens
+      |  CAST(SUM(CASE WHEN len(list_filter(l, x -> x = 'the')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_has_the,
+      |  CAST(SUM(CASE WHEN len(list_filter(l, x -> length(x) < 2)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_all_long,
+      |  CAST(SUM(len(list_filter(l, x -> length(x) >= 6))) AS BIGINT) AS n_long_tokens
       |FROM t""".stripMargin) { (s, dir) =>
     Tables.table(s, dir, "documents")
       .withColumn("l", split(col("text"), " "))
@@ -753,11 +771,16 @@ object Relational {
   // t-digest-style sketch state is O(accuracy), not O(group) — the 100 TB
   // choice when exact sort-based percentiles are too expensive. Sketch
   // results are engine-specific → rows-only check; q58 is the exact twin.
+  // Output is flattened to scalar p50/p90 columns: an array-typed output
+  // column crashes the driver comparator's pandas sort (r01 q69 err).
   private val q69 = QueryDef.noOracle("q69_agg_approx_percentile") { (s, dir) =>
     Tables.table(s, dir, "orders")
       .groupBy("o_orderstatus")
       .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9), 1000)").as("approx_p"),
         count(lit(1)).as("n"))
+      .select(col("o_orderstatus"),
+        col("approx_p").getItem(0).as("p50_approx"),
+        col("approx_p").getItem(1).as("p90_approx"), col("n"))
       .orderBy("o_orderstatus")
   }
 

@@ -40,8 +40,8 @@ object SimilarityOps {
       |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS l FROM documents) t
       |  WHERE len(l) >= 3)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  CAST(CAST(len(list_intersect(a.sh, b.sh)) AS DECIMAL(18,6))
-      |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS DECIMAL(38,6)) AS jaccard
+      |  CAST(CAST(CAST(len(list_intersect(a.sh, b.sh)) AS DECIMAL(18,6))
+      |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
       |FROM sh a JOIN sh b
       |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
       |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin) { (s, dir) =>
@@ -71,7 +71,7 @@ object SimilarityOps {
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("decimal(18,6)")
           / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-          .cast("decimal(38,6)").as("jaccard"))
+          .cast("decimal(38,6)").cast("double").as("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(20)
   }
 

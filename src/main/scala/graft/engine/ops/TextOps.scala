@@ -66,11 +66,11 @@ object TextOps {
       |        t -> list_contains(['the','a','of','and'], t))) AS n_stop
       |  FROM documents)
       |SELECT doc_id, n_tokens,
-      |  CAST(CAST(n_distinct AS DECIMAL(18,6)) / n_tokens AS DECIMAL(38,6)) AS ttr,
-      |  CAST(CAST(n_stop AS DECIMAL(18,6)) / n_tokens AS DECIMAL(38,6)) AS stop_ratio,
-      |  CAST(CAST(list_sum(list_transform(l, x -> length(x))) AS DECIMAL(18,6)) / n_tokens AS DECIMAL(38,6)) AS avg_tok_len,
-      |  CAST(CAST(CAST(n_distinct AS DECIMAL(18,6)) / n_tokens AS DECIMAL(38,6))
-      |     - CAST(CAST(n_stop AS DECIMAL(18,6)) / n_tokens AS DECIMAL(38,6)) AS DECIMAL(38,6)) AS quality
+      |  CAST(CAST(CAST(n_distinct AS DECIMAL(18,6)) / n_tokens AS DECIMAL(38,6)) AS DOUBLE) AS ttr,
+      |  CAST(CAST(CAST(n_stop AS DECIMAL(18,6)) / n_tokens AS DECIMAL(38,6)) AS DOUBLE) AS stop_ratio,
+      |  CAST(CAST(CAST(list_sum(list_transform(l, x -> length(x))) AS DECIMAL(18,6)) / n_tokens AS DECIMAL(38,6)) AS DOUBLE) AS avg_tok_len,
+      |  CAST(CAST(CAST(CAST(n_distinct AS DECIMAL(18,6)) / n_tokens AS DECIMAL(38,6))
+      |     - CAST(CAST(n_stop AS DECIMAL(18,6)) / n_tokens AS DECIMAL(38,6)) AS DECIMAL(38,6)) AS DOUBLE) AS quality
       |FROM t ORDER BY doc_id LIMIT 200""".stripMargin) { (s, dir) =>
     val nTokens = size(toks)
     val nDistinct = size(array_distinct(toks))
@@ -80,11 +80,11 @@ object TextOps {
       (a.cast("decimal(18,6)") / b).cast("decimal(38,6)")
     Tables.table(s, dir, "documents")
       .select(col("doc_id"), nTokens.as("n_tokens"),
-        ratio(nDistinct, nTokens).as("ttr"),
-        ratio(nStop, nTokens).as("stop_ratio"),
-        ratio(sumLen, nTokens).as("avg_tok_len"),
+        ratio(nDistinct, nTokens).cast("double").as("ttr"),
+        ratio(nStop, nTokens).cast("double").as("stop_ratio"),
+        ratio(sumLen, nTokens).cast("double").as("avg_tok_len"),
         (ratio(nDistinct, nTokens) - ratio(nStop, nTokens))
-          .cast("decimal(38,6)").as("quality"))
+          .cast("decimal(38,6)").cast("double").as("quality"))
       .orderBy("doc_id").limit(200)
   }
 
@@ -94,9 +94,9 @@ object TextOps {
   private val q45 = QueryDef(
     "q45_text_tokencount",
     """SELECT lang,
-      |  SUM(len(string_split(text, ' '))) AS ws_tokens,
-      |  SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS re_tokens,
-      |  SUM(n_chars) AS total_chars
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+      |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS re_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
     Tables.table(s, dir, "documents")
       .groupBy("lang")

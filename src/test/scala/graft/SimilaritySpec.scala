@@ -4,22 +4,31 @@ package graft
   * (SURVEY §2 note on q32; builder brief on ANN). */
 class SimilaritySpec extends SparkTestBase {
 
+  // q33 emits sim as DOUBLE (driver hash contract); q50/q63 keep the
+  // rounded DECIMAL(7,4) — both derive from the same rounded value, so
+  // compare as doubles.
+  private def simOf(r: org.apache.spark.sql.Row): Double = r.get(3) match {
+    case d: java.math.BigDecimal => d.doubleValue()
+    case d: java.lang.Double     => d
+  }
+
+  private def byPair(name: String): Map[(Long, Long), Double] =
+    SparkEntry.queries(name)(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> simOf(r)).toMap
+
   test("q50 IVF ANN is exact within its scanned partitions") {
     // The synthetic embeddings are NOT clustered by label (within-label max
     // cosine ≈ 0.45), so IVF recall ≈ its scan fraction nprobe/nlist = 20%
     // — measured 0.16 — which is the theoretically expected behavior, not a
     // bug. What IVF must guarantee: every returned (probe, neighbor) sim is
     // EXACTLY the brute-force sim for that pair, and ranks are consistent.
-    def byPair(name: String): Map[(Long, Long), java.math.BigDecimal] =
-      SparkEntry.queries(name)(spark, sfDir).collect()
-        .map(r => (r.getLong(0), r.getLong(2)) -> r.getDecimal(3)).toMap
     val brute = byPair("q33_sim_cosine_topk")
     val ivfRows = SparkEntry.queries("q50_ann_ivf")(spark, sfDir).collect()
     assert(ivfRows.map(_.getLong(0)).toSet == brute.keys.map(_._1).toSet)
     ivfRows.foreach { r =>
       val pair = (r.getLong(0), r.getLong(2))
       brute.get(pair).foreach { bsim =>
-        assert(r.getDecimal(3) == bsim, s"sim for $pair differs from brute force")
+        assert(simOf(r) == bsim, s"sim for $pair differs from brute force")
       }
     }
     val recalls = brute.keys.groupBy(_._1).map { case (p, pairs) =>
@@ -30,16 +39,13 @@ class SimilaritySpec extends SparkTestBase {
   }
 
   test("q63 SRP-LSH is exact on returned pairs and beats random recall") {
-    def byPair(name: String): Map[(Long, Long), java.math.BigDecimal] =
-      SparkEntry.queries(name)(spark, sfDir).collect()
-        .map(r => (r.getLong(0), r.getLong(2)) -> r.getDecimal(3)).toMap
     val brute = byPair("q33_sim_cosine_topk")
     val lsh = SparkEntry.queries("q63_ann_lsh")(spark, sfDir).collect()
     assert(lsh.nonEmpty)
     lsh.foreach { r =>
       val pair = (r.getLong(0), r.getLong(2))
       brute.get(pair).foreach { bsim =>
-        assert(r.getDecimal(3) == bsim, s"sim for $pair differs from brute force")
+        assert(simOf(r) == bsim, s"sim for $pair differs from brute force")
       }
     }
   }
