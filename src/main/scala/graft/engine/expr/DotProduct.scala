@@ -32,10 +32,17 @@ case class DotProduct(left: Expression, right: Expression)
     }
   override def dataType: DataType = DoubleType
 
+  // Mismatched lengths RAISE (zip_with-style strictness): silently dotting
+  // the common prefix would mask dimension bugs in similarity/ANN pipelines.
+  private def lengthError(nx: Int, ny: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"dot_product: array length mismatch ($nx vs $ny)")
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) lengthError(n, y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -48,7 +55,10 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  graft.engine.expr.DotProduct.lengthErrorJava($n, $b.numElements());
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $a.getDouble($i) * $b.getDouble($i);
@@ -63,6 +73,11 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object DotProduct {
+  /** Codegen entry point for the length-mismatch error (static Java call). */
+  def lengthErrorJava(nx: Int, ny: Int): Unit =
+    throw new IllegalArgumentException(
+      s"dot_product: array length mismatch ($nx vs $ny)")
+
   /** Column-level API: `dot(a, b)` usable directly in the DataFrame DSL. */
   def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftShims.column(

@@ -99,25 +99,37 @@ object LlmOps {
       .orderBy("probe_id", "rn")
   }
 
-  // --- q34: blocked similarity-threshold pair counts ----------------------
-  // Self-join BLOCKED on label — the 100 TB pattern (LSH/blocking before
-  // pairwise): each block's pair count is quadratic only in the block size,
-  // and blocks shuffle-partition independently.
-  private val q34 = QueryDef(
-    "q34_sim_threshold_count",
-    """WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
-      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-      |  FROM embeddings)
-      |SELECT a.label, COUNT(*) AS n_pairs
-      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE CAST(ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS DECIMAL(7,4)) >= 0.30
-      |GROUP BY a.label ORDER BY a.label""".stripMargin) { (s, dir) =>
-    graft.operators.Similarity
-      .blockedPairs(Tables.table(s, dir, "embeddings"),
-        "vec_id", "embedding", blockCol = "label", threshold = 0.30)
-      .groupBy("label")
-      .agg(count(lit(1)).as("n_pairs"))
-      .orderBy("label")
+  // --- q34: SRP-blocked similarity-threshold pair counts ------------------
+  // Candidate pairs come from CONTENT-derived SRP buckets (8 tables × 6
+  // sign bits, engine-portable arithmetic hyperplanes — see
+  // Similarity.srpBandedPairs), then the exact rounded-cosine threshold,
+  // rolled up by the lower id's label. This replaces metadata (label)
+  // blocking, whose 10 fixed blocks grow linearly with the corpus (⇒
+  // quadratic pairwise work at 100 TB); SRP block size is held constant by
+  // scaling bitsPerTable with log2(corpus). The oracle reproduces the
+  // identical buckets via the same integer arithmetic.
+  private val q34 = {
+    val buckets = (0 until 8).map(t =>
+      s"${graft.operators.Similarity.srpBucketSql("e", t, 6, 64)} AS b$t").mkString(", ")
+    val orCond = (0 until 8).map(t => s"a.b$t = b.b$t").mkString(" OR ")
+    QueryDef(
+      "q34_sim_threshold_count",
+      s"""WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |nb AS (SELECT vec_id, label, e, nrm, $buckets FROM n)
+         |SELECT a.label, COUNT(*) AS n_pairs
+         |FROM nb a JOIN nb b ON a.vec_id < b.vec_id AND ($orCond)
+         |WHERE CAST(ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS DECIMAL(7,4)) >= 0.30
+         |GROUP BY a.label ORDER BY a.label""".stripMargin) { (s, dir) =>
+      graft.operators.Similarity
+        .srpBandedPairs(Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.30, dim = 64, tables = 8, bitsPerTable = 6,
+          extra = Seq("label"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("label")
+    }
   }
 
   // --- q35: multimodal join (text ⋈ vectors) ------------------------------

@@ -30,43 +30,65 @@ object SimilarityOps {
       .limit(200)
   }
 
-  // --- q48: token-3-gram (shingle) Jaccard, blocked by (lang, source) -----
+  // --- q48: token-3-gram (shingle) Jaccard, banded-MinHash blocked --------
+  // Candidates come from CONTENT-derived banded MinHash over the shingle
+  // sets, not from metadata blocks: 2 bands × 2 permutation minima each —
+  // docs colliding in ≥1 band become candidates, then exact Jaccard ranks
+  // them. Block key cardinality grows WITH the corpus (band keys are
+  // content hashes), so per-block pairwise work stays constant at 100 TB —
+  // unlike the previous (lang, source) blocking with its fixed 100 blocks.
+  // Everything is engine-portable arithmetic (polynomial shingle hash, the
+  // same first-char/length token code as q46; linear-congruential band
+  // permutations mod 1e9+7) so the DuckDB oracle reproduces the IDENTICAL
+  // candidate set — measured max band-group size at sf0.01: 3 docs.
+  //
+  // The shingle hash has more collisions than xxhash64 (token code =
+  // first char × 31 + length), which slightly inflates intersections —
+  // IDENTICALLY in both engines, so the compare stays exact.
   private val q48 = QueryDef(
     "q48_dedup_ngram_jaccard",
-    """WITH sh AS (
-      |  SELECT doc_id, lang, source,
-      |    list_distinct(list_transform(range(1, len(l) - 1),
-      |                                 i -> array_to_string(l[i:i+2], ' '))) AS sh
-      |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS l FROM documents) t
-      |  WHERE len(l) >= 3)
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(l) - 1),
+      |    i -> (((CAST(ascii(substr(l[i],1,1))*31 + length(l[i]) AS BIGINT)) * 131
+      |          + (ascii(substr(l[i+1],1,1))*31 + length(l[i+1]))) * 131
+      |          + (ascii(substr(l[i+2],1,1))*31 + length(l[i+2]))) % 1000000007)) AS sh
+      |  FROM t),
+      |k AS (SELECT doc_id, sh,
+      |  list_min(list_transform(sh, h -> (37*h + 11) % 1000000007)) * 1000000007
+      |    + list_min(list_transform(sh, h -> (101*h + 29) % 1000000007)) AS k0,
+      |  list_min(list_transform(sh, h -> (193*h + 71) % 1000000007)) * 1000000007
+      |    + list_min(list_transform(sh, h -> (389*h + 113) % 1000000007)) AS k1
+      |  FROM sh)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  CAST(CAST(CAST(len(list_intersect(a.sh, b.sh)) AS DECIMAL(18,6))
       |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
-      |FROM sh a JOIN sh b
-      |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |FROM k a JOIN k b ON a.doc_id < b.doc_id AND (a.k0 = b.k0 OR a.k1 = b.k1)
       |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin) { (s, dir) =>
-    // Blocked pairwise intersects. The inverted-index (posting-list join)
-    // alternative was measured and LOSES here: the synthetic vocabulary is
-    // tiny, so shingles are dense (shared by most docs in a block) and
-    // posting pairs blow up quadratically per shingle. Pairwise-inside-
-    // blocks is O(block² × |set|) regardless of density; at 100 TB with
-    // natural (sparse) text the posting-list join wins instead — density
-    // decides, so both formulations matter.
-    // Shingles are xxhash64-hashed to longs before the pairwise intersects:
-    // integer intersection is ~5× cheaper than string intersection, set
-    // SIZES are unchanged unless two distinct shingles of one doc collide
-    // in 64 bits (P ≈ 1e-8 corpus-wide, and deterministic if it ever
-    // happened — the oracle compare would catch it).
+    def code(t: String) = s"cast(ascii(substr($t, 1, 1)) * 31 + length($t) AS BIGINT)"
     val sh = Tables.table(s, dir, "documents")
       .withColumn("l", split(col("text"), " "))
       .where(size(col("l")) >= 3)
-      .select(col("doc_id"), col("lang"), col("source"),
-        expr("array_distinct(transform(sequence(1, size(l) - 2), i -> xxhash64(concat_ws(' ', slice(l, i, 3)))))").as("sh"))
-    val a = sh.select(col("lang"), col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("lang").as("lang_b"), col("source").as("source_b"),
+      .select(col("doc_id"),
+        expr(s"""array_distinct(transform(sequence(1, size(l) - 2),
+                |  i -> ((${code("element_at(l, i)")} * 131
+                |        + ${code("element_at(l, i + 1)")}) * 131
+                |        + ${code("element_at(l, i + 2)")}) % 1000000007))""".stripMargin)
+          .as("sh"))
+    def minPerm(a: Long, c: Long) =
+      expr(s"array_min(transform(sh, h -> ($a * h + $c) % 1000000007))")
+    val keyed = sh.select(col("doc_id"), col("sh"),
+      posexplode(array(
+        minPerm(37, 11) * 1000000007L + minPerm(101, 29),
+        minPerm(193, 71) * 1000000007L + minPerm(389, 113))).as(Seq("band", "key")))
+    val a = keyed.select(col("band"), col("key"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = keyed.select(col("band").as("band_b"), col("key").as("key_b"),
       col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, col("lang") === col("lang_b") && col("source") === col("source_b")
+    a.join(b, col("band") === col("band_b") && col("key") === col("key_b")
         && col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b") // a pair may collide in both bands
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("decimal(18,6)")
@@ -75,34 +97,45 @@ object SimilarityOps {
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(20)
   }
 
-  // --- q49: embedding-cosine near-dup survivors, blocked by label ---------
-  // A vector is a "dup" if a LOWER-id vector in its label block has rounded
-  // cosine ≥ 0.40; survivors = the rest. min-id survivorship is the same
-  // deterministic rule q30 uses.
-  private val q49 = QueryDef(
-    "q49_dedup_embed",
-    """WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
-      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-      |  FROM embeddings),
-      |dups AS (
-      |  SELECT DISTINCT b.vec_id
-      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-      |  WHERE CAST(ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS DECIMAL(7,4)) >= 0.40)
-      |SELECT label, COUNT(*) AS n_total,
-      |  COUNT(*) FILTER (WHERE vec_id IN (SELECT vec_id FROM dups)) AS n_dups,
-      |  COUNT(*) FILTER (WHERE vec_id NOT IN (SELECT vec_id FROM dups)) AS n_survivors
-      |FROM n GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
-    val emb = Tables.table(s, dir, "embeddings")
-    val dups = graft.operators.Similarity
-      .blockedPairs(emb, "vec_id", "embedding", blockCol = "label", threshold = 0.40)
-      .select(col("doc_b").as("vec_id")).distinct()
-      .withColumn("is_dup", lit(1))
-    emb.select("vec_id", "label").join(dups, Seq("vec_id"), "left")
-      .groupBy("label")
-      .agg(count(lit(1)).as("n_total"),
-        sum(when(col("is_dup").isNotNull, 1).otherwise(0)).as("n_dups"),
-        sum(when(col("is_dup").isNull, 1).otherwise(0)).as("n_survivors"))
-      .orderBy("label")
+  // --- q49: embedding-cosine near-dup survivors, SRP-blocked --------------
+  // A vector is a "dup" if a LOWER-id vector sharing ≥1 of its SRP table
+  // buckets has rounded cosine ≥ 0.40; survivors = the rest. min-id
+  // survivorship is the same deterministic rule q30 uses. The SRP buckets
+  // are content-derived (engine-portable arithmetic — see
+  // Similarity.srpBandedPairs), replacing label blocking whose fixed block
+  // count makes per-block work quadratic in the corpus; the oracle
+  // reproduces the identical buckets.
+  private val q49 = {
+    val buckets = (0 until 8).map(t =>
+      s"${graft.operators.Similarity.srpBucketSql("e", t, 6, 64)} AS b$t").mkString(", ")
+    val orCond = (0 until 8).map(t => s"a.b$t = b.b$t").mkString(" OR ")
+    QueryDef(
+      "q49_dedup_embed",
+      s"""WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |nb AS (SELECT vec_id, label, e, nrm, $buckets FROM n),
+         |dups AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM nb a JOIN nb b ON a.vec_id < b.vec_id AND ($orCond)
+         |  WHERE CAST(ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS DECIMAL(7,4)) >= 0.40)
+         |SELECT label, COUNT(*) AS n_total,
+         |  COUNT(*) FILTER (WHERE vec_id IN (SELECT vec_id FROM dups)) AS n_dups,
+         |  COUNT(*) FILTER (WHERE vec_id NOT IN (SELECT vec_id FROM dups)) AS n_survivors
+         |FROM n GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      val emb = Tables.table(s, dir, "embeddings")
+      val dups = graft.operators.Similarity
+        .srpBandedPairs(emb, "vec_id", "embedding",
+          threshold = 0.40, dim = 64, tables = 8, bitsPerTable = 6)
+        .select(col("doc_b").as("vec_id")).distinct()
+        .withColumn("is_dup", lit(1))
+      emb.select("vec_id", "label").join(dups, Seq("vec_id"), "left")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("is_dup").isNotNull, 1).otherwise(0)).as("n_dups"),
+          sum(when(col("is_dup").isNull, 1).otherwise(0)).as("n_survivors"))
+        .orderBy("label")
+    }
   }
 
   // --- q50: IVF-style ANN (no oracle: fp centroid averaging is engine-
@@ -175,9 +208,16 @@ object SimilarityOps {
     val b = p.select(col("p_brand").as("brand_b"), col("p_type").as("type_b"),
       col("p_partkey").as("key_b"), col("p_name").as("name_b"))
     a.join(b, col("p_brand") === col("brand_b") && col("p_type") === col("type_b")
-        && col("key_a") < col("key_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .where(col("dist") <= 3)
+        && col("key_a") < col("key_b")
+        // length band: levenshtein(a,b) >= |len(a)-len(b)|, so dist<=3
+        // implies the lengths differ by <=3 — a free prune that skips the
+        // O(n·m) edit-distance DP for most pairs WITHOUT changing results.
+        && abs(length(col("name_a")) - length(col("name_b"))) <= 3)
+      // thresholded levenshtein: banded O(n·k) DP that bails out early and
+      // returns -1 past the threshold — identical accepted set as the
+      // unbounded distance filtered to <=3.
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 3))
+      .where(col("dist").between(0, 3))
       .select("key_a", "key_b", "dist")
       .orderBy("dist", "key_a", "key_b").limit(200)
   }

@@ -19,6 +19,22 @@ import graft.engine.{QueryDef, Tables}
  */
 object StreamingOps {
 
+  /** Run a streaming query with a right-sized state-partition count.
+    *
+    * A stateful query's state partitioning = `spark.sql.shuffle.partitions`
+    * at FIRST batch (then pinned in the checkpoint). Every micro-batch
+    * commits every state store partition (the interval join keeps 4 stores
+    * per partition), so an oversized count is pure fixed overhead per batch
+    * — and an undersized one caps parallelism at scale. It is therefore a
+    * deliberate knob, not an inherited batch setting: sized here for the
+    * local bench volume; a 100 TB deployment sets it to O(executor cores)
+    * once at checkpoint creation. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   // --- q39: tumbling 1 h window counts ------------------------------------
   private val q39 = QueryDef(
     "q39_stream_tumbling",
@@ -76,8 +92,13 @@ object StreamingOps {
 
   // --- q42: TRUE Structured Streaming run (no oracle: runtime semantics) --
   // File source over the events parquet → watermark → dedup-within-watermark
-  // → tumbling-window agg → memory sink, drained with Trigger.AvailableNow.
-  // On static input the finalized result equals q39 (asserted in tests).
+  // → tumbling-window agg → APPEND-mode foreachBatch parquet sink, drained
+  // with Trigger.AvailableNow. Append + watermark is the 100 TB-correct
+  // shape: each window is emitted exactly once when the watermark passes it
+  // and its state is dropped — a memory sink (or complete mode) would
+  // re-materialize the entire history in the driver every batch. On static
+  // input the emitted set is exactly q39 restricted to windows the final
+  // watermark (max ts - 1 h) finalized — asserted in tests.
   private val q42 = QueryDef.noOracle("q42_stream_watermark_dedup") { (s, dir) =>
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
@@ -92,14 +113,18 @@ object StreamingOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("wstart"), col("event_type"), col("n"))
-    val sink = s"q42_sink_${System.nanoTime()}"
-    val query = stream.writeStream
-      .format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    s.table(sink).orderBy("wstart", "event_type")
+    val target = java.nio.file.Files.createTempDirectory("q42_sink").toString
+    withStatePartitions(s, 8) {
+      val query = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) batch.write.mode("append").parquet(s"$target/out")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    s.read.parquet(s"$target/out").orderBy("wstart", "event_type")
   }
 
   // --- q53: custom streaming state via flatMapGroupsWithState -------------
@@ -133,24 +158,35 @@ object StreamingOps {
           state.update((n, last))
           Iterator((user, n, last))
       }
-    val sink = s"q53_sink_${System.nanoTime()}"
-    val query = perUser.toDF("user_id", "n_events", "last_us")
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    s.table(sink)
+    // foreachBatch parquet sink (not memory): update-mode emissions append
+    // per batch — at 100 TB the driver never materializes the result; here
+    // the single static batch yields exactly one row per user.
+    val target = java.nio.file.Files.createTempDirectory("q53_sink").toString
+    withStatePartitions(s, 8) {
+      val query = perUser.toDF("user_id", "n_events", "last_us")
+        .writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) batch.write.mode("append").parquet(s"$target/out")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    s.read.parquet(s"$target/out")
       .select(col("user_id"), col("n_events"),
         timestamp_micros(col("last_us")).as("last_ts"))
       .orderBy("user_id")
   }
 
   // --- q56: TRUE stream-stream interval join ------------------------------
-  // Purchases joined to the same user's views from the preceding hour: two
-  // watermarked file-source streams, event-time range condition (bounds the
-  // join state), append sink. Single-batch static input ⇒ result equals the
-  // batch interval join, so the oracle carries it.
+  // Purchases joined to the same user's views from the preceding hour: ONE
+  // watermarked file-source stream split into two filtered branches (not
+  // two independent scans), event-time range condition (bounds the join
+  // state), append-mode foreachBatch parquet sink (a memory sink would
+  // materialize the full join result in the driver — a collect in
+  // disguise). Single-batch static input ⇒ result equals the batch
+  // interval join, so the oracle carries it.
   private val q56 = QueryDef(
     "q56_stream_interval_join",
     """SELECT p.event_id AS purchase_id, v.event_id AS view_id
@@ -161,26 +197,31 @@ object StreamingOps {
       |ORDER BY purchase_id, view_id LIMIT 500""".stripMargin) { (s, dir) =>
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    def stream(kind: String, alias: String) =
-      s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .where(col("event_type") === kind)
-        .select(col("event_id").as(s"${alias}_event_id"),
-          col("user_id").as(s"${alias}_user_id"), col("ts").as(s"${alias}_ts"))
-        .withWatermark(s"${alias}_ts", "1 hour")
-    val joined = stream("purchase", "p").join(stream("view", "v"),
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def branch(kind: String, alias: String) = src
+      .where(col("event_type") === kind)
+      .select(col("event_id").as(s"${alias}_event_id"),
+        col("user_id").as(s"${alias}_user_id"), col("ts").as(s"${alias}_ts"))
+      .withWatermark(s"${alias}_ts", "1 hour")
+    val joined = branch("purchase", "p").join(branch("view", "v"),
       col("p_user_id") === col("v_user_id")
         && col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
         && col("v_ts") < col("p_ts"))
       .select(col("p_event_id").as("purchase_id"), col("v_event_id").as("view_id"))
-    val sink = s"q56_sink_${System.nanoTime()}"
-    val query = joined.writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    s.table(sink).orderBy("purchase_id", "view_id").limit(500)
+    val target = java.nio.file.Files.createTempDirectory("q56_sink").toString
+    withStatePartitions(s, 8) {
+      val query = joined.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) batch.write.mode("append").parquet(s"$target/out")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    s.read.parquet(s"$target/out").orderBy("purchase_id", "view_id").limit(500)
   }
 
   // --- q61: foreachBatch sink --------------------------------------------
@@ -200,14 +241,16 @@ object StreamingOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("wstart"), col("event_type"), col("n"))
-    val query = agg.writeStream
-      .outputMode("complete")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(s"$target/out")
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    withStatePartitions(s, 8) {
+      val query = agg.writeStream
+        .outputMode("complete")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(s"$target/out")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     s.read.parquet(s"$target/out").orderBy("wstart", "event_type")
   }
 

@@ -47,12 +47,17 @@ object AsofJoin {
     val withMatch = l.join(matched,
         col(on) === col("__k") && col("__ts_us") === col("__lts"), "left")
       .drop("__k", "__lts")
-    // right side deduped per (key, ts) with a deterministic min-first rule
+    // right side deduped per (key, ts): ONE deterministic survivor row via
+    // min_by on the whole payload struct — per-column min() would stitch a
+    // synthetic row out of different right rows when the payload has >1
+    // column.
     val payloadCols = rightPayload.toSeq.sortBy(_._1)
+    val payloadStruct = struct(payloadCols.map { case (src, _) => col(src) }: _*)
     val rightSlim = right
       .groupBy(col(on).as("__rk"), unix_micros(col(rightTs)).as("__rus"))
-      .agg(min(payloadCols.head._1).as(payloadCols.head._2),
-        payloadCols.tail.map { case (src, dst) => min(src).as(dst) }: _*)
+      .agg(min_by(payloadStruct, payloadStruct).as("__p"))
+      .select(Seq(col("__rk"), col("__rus")) ++
+        payloadCols.map { case (src, dst) => col("__p").getField(src).as(dst) }: _*)
     withMatch.join(rightSlim,
         col(on) === col("__rk") && col("__match_us") === col("__rus"), "left")
       .drop("__rk", "__rus", "__ts_us", "__side", "__match_us")

@@ -57,15 +57,21 @@ object Similarity {
     * O(candidates) not O(corpus).
     */
   def srpTopK(vectors: DataFrame, probes: DataFrame, idCol: String,
-      vecCol: String, k: Int, tables: Int = 8, bitsPerTable: Int = 6): DataFrame = {
+      vecCol: String, k: Int, tables: Int = 8, bitsPerTable: Int = 6,
+      dim: Int = 0): DataFrame = {
     val spark = vectors.sparkSession
     DotProduct.register(spark)
     val nPlanes = tables * bitsPerTable
-    val dim = 64
+    // dim<=0 → derive from the data (one tiny metadata-scale job). A wrong
+    // dim no longer degrades silently either way: DotProduct raises on any
+    // length mismatch with the generated hyperplanes.
+    val planeDim =
+      if (dim > 0) dim
+      else vectors.select(size(col(vecCol)).as("d")).head().getInt(0)
     val planes = spark.range(nPlanes).select(col("id").as("plane"),
       // double literals (500.5D): plain 500.5 parses as DECIMAL and would
       // silently turn the plane arrays into array<decimal>
-      expr(s"transform(sequence(0, ${dim - 1}), d -> cast(pmod(xxhash64(id, d), 1001) AS DOUBLE) / 500.5D - 1.0D)").as("h"))
+      expr(s"transform(sequence(0, ${planeDim - 1}), d -> cast(pmod(xxhash64(id, d), 1001) AS DOUBLE) / 500.5D - 1.0D)").as("h"))
     def buckets(df: DataFrame): DataFrame = {
       val withBits = withNorm(df, idCol, vecCol)
         .crossJoin(broadcast(planes))
@@ -96,6 +102,66 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
       .select("probe_id", "rn", "neighbor_id", "sim")
+  }
+
+  // ---- Engine-portable SRP blocking (oracle-checkable) -------------------
+  // Unlike srpTopK's xxhash64 hyperplanes (Spark-internal, rows-only
+  // checked), these planes are plain int64 arithmetic any engine reproduces
+  // bit-for-bit — so SRP-blocked operators keep a DuckDB oracle:
+  //   w_j[i] = (i * (2j+3) * 2654435761) % 1000003 - 500001   (i = 1..dim)
+  // Bucket of table t = the bitsPerTable sign bits of planes
+  // j = t*bitsPerTable+b. Near-random vectors spread ~uniformly, so block
+  // size ≈ n / 2^bitsPerTable: bitsPerTable scales as log2(n/targetBlock),
+  // the knob that keeps per-block pairwise work CONSTANT as the corpus
+  // grows — unlike metadata blocking (fixed block count, blocks grow
+  // linearly, pairwise work quadratically).
+
+  /** Integer-valued weights of SRP plane `j` (exact in double: < 2^53). */
+  private def planeWeights(j: Int, dim: Int): Seq[Double] =
+    (1 to dim).map(i => ((i.toLong * (2L * j + 3) * 2654435761L) % 1000003L - 500001L).toDouble)
+
+  /** One bucket column per SRP table, over a pre-cast array<double> column. */
+  def srpBuckets(e: Column, tables: Int, bitsPerTable: Int, dim: Int): Seq[Column] =
+    (0 until tables).map { t =>
+      (0 until bitsPerTable).map { b =>
+        when(DotProduct.dot(e, typedLit(planeWeights(t * bitsPerTable + b, dim))) >= 0,
+          lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+
+  /** DuckDB SQL computing the SAME bucket for table `t` over a DOUBLE[]
+    * column expression `e` — used by the oracle queries. */
+  def srpBucketSql(e: String, t: Int, bitsPerTable: Int, dim: Int): String =
+    (0 until bitsPerTable).map { b =>
+      val j = t * bitsPerTable + b
+      s"(CASE WHEN list_dot_product($e, list_transform(range(1, ${dim + 1}), " +
+        s"i -> CAST((i * ${2 * j + 3} * 2654435761) % 1000003 - 500001 AS DOUBLE))) >= 0 " +
+        s"THEN ${1L << b} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Pairs sharing ≥1 SRP table bucket whose rounded cosine meets
+    * `threshold` — the content-derived replacement for metadata blocking:
+    * candidate generation touches only bucket-colliding pairs (one shuffle
+    * on (table, bucket)), never a metadata block that grows with the
+    * corpus. `extra` columns are carried from the doc_a side.
+    * Output: (doc_a, doc_b, sim, extra...). */
+  def srpBandedPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, tables: Int = 8, bitsPerTable: Int = 6,
+      extra: Seq[String] = Nil): DataFrame = {
+    val n = withNorm(vectors, idCol, vecCol, extra)
+    val nb = n.select((Seq(col("__id"), col("__e"), col("__nrm")) ++ extra.map(col) :+
+      posexplode(array(srpBuckets(col("__e"), tables, bitsPerTable, dim): _*))
+        .as(Seq("__t", "__bkt"))): _*)
+    val a = nb.select(Seq(col("__t"), col("__bkt"), col("__id").as("doc_a"),
+      col("__e").as("__ea"), col("__nrm").as("__na")) ++ extra.map(col): _*)
+    val b = nb.select(col("__t").as("__tb"), col("__bkt").as("__bktb"),
+      col("__id").as("doc_b"), col("__e").as("__eb"), col("__nrm").as("__nb"))
+    a.join(b, col("__t") === col("__tb") && col("__bkt") === col("__bktb")
+        && col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b") // a pair may collide in several tables
+      .withColumn("sim", cosine(col("__ea"), col("__eb"), col("__na"), col("__nb")))
+      .where(col("sim") >= threshold)
+      .select(Seq(col("doc_a"), col("doc_b"), col("sim")) ++ extra.map(col): _*)
   }
 
   /** Pairs within a block whose rounded cosine meets `threshold` —

@@ -72,6 +72,45 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("content-derived blocking keeps per-block cardinality bounded") {
+    import org.apache.spark.sql.functions._
+    // q34/q49's SRP buckets: near-random vectors spread ~uniformly over
+    // 2^bitsPerTable buckets per table — max bucket ≈ a small multiple of
+    // n/64 (measured 22 at sf0.01), NOT a fixed metadata block that grows
+    // linearly with the corpus.
+    val emb = graft.engine.Tables.table(spark, sfDir, "embeddings")
+    val n = emb.count()
+    val maxBucket = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .select(posexplode(array(
+        graft.operators.Similarity.srpBuckets(col("e"), 8, 6, 64): _*))
+        .as(Seq("t", "b")))
+      .groupBy("t", "b").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxBucket <= math.max(16, 8 * n / 64),
+      s"SRP bucket grew past the uniform-spread bound: $maxBucket of $n")
+    // q48's minhash band keys (same arithmetic as the query): band groups
+    // are near-dup clusters — tiny and corpus-size-independent.
+    def code(t: String) = s"cast(ascii(substr($t, 1, 1)) * 31 + length($t) AS BIGINT)"
+    val sh = graft.engine.Tables.table(spark, sfDir, "documents")
+      .withColumn("l", split(col("text"), " "))
+      .where(size(col("l")) >= 3)
+      .select(col("doc_id"),
+        expr(s"""array_distinct(transform(sequence(1, size(l) - 2),
+                |  i -> ((${code("element_at(l, i)")} * 131
+                |        + ${code("element_at(l, i + 1)")}) * 131
+                |        + ${code("element_at(l, i + 2)")}) % 1000000007))""".stripMargin)
+          .as("sh"))
+    def minPerm(a: Long, c: Long) =
+      expr(s"array_min(transform(sh, h -> ($a * h + $c) % 1000000007))")
+    val maxBand = sh.select(posexplode(array(
+        minPerm(37, 11) * 1000000007L + minPerm(101, 29),
+        minPerm(193, 71) * 1000000007L + minPerm(389, 113))).as(Seq("band", "key")))
+      .groupBy("band", "key").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxBand <= 16, s"minhash band group grew past near-dup scale: $maxBand")
+  }
+
   test("q47 simhash candidate pairs are well-formed") {
     val rows = SparkEntry.queries("q47_dedup_simhash")(spark, sfDir).collect()
     assert(rows.nonEmpty)

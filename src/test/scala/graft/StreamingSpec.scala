@@ -11,12 +11,24 @@ import org.apache.spark.sql.streaming.Trigger
   * (the static dataset has no true late arrivals). */
 class StreamingSpec extends SparkTestBase {
 
-  test("q42 true streaming equals q39 batch twin on static input") {
+  test("q42 true streaming equals q39 batch twin on finalized windows") {
+    // Append mode emits exactly the windows the final watermark
+    // (max ts - 1 h) closed; the batch twin restricted to those windows
+    // must match exactly. The unfinalized tail must be nonempty (proving
+    // the watermark actually withheld open state) and small.
     val batch = SparkEntry.queries("q39_stream_tumbling")(spark, sfDir)
       .collect().map(_.toSeq).toSeq
     val stream = SparkEntry.queries("q42_stream_watermark_dedup")(spark, sfDir)
       .collect().map(_.toSeq).toSeq
-    assert(stream == batch)
+    val maxTs = graft.engine.Tables.table(spark, sfDir, "events")
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+    val watermarkMs = maxTs - 3600 * 1000L
+    val finalized = batch.filter(
+      _.head.asInstanceOf[Timestamp].getTime + 3600 * 1000L <= watermarkMs)
+    assert(stream == finalized)
+    val withheld = batch.size - finalized.size
+    assert(withheld > 0 && withheld <= 3 * 5,
+      s"expected only the open tail windows withheld, got $withheld")
   }
 
   test("watermark drops late events in append mode") {
