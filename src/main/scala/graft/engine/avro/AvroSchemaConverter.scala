@@ -148,4 +148,81 @@ object AvroSchemaConverter {
     case u: Utf8 => u.toString
     case s => String.valueOf(s)
   }
+
+  // --------------------------------------------------------------------
+  // Row → GenericRecord (the write-back converse of toRow): completes the
+  // round trip Schema → StructType → Row → GenericRecord, used by the Avro
+  // container writer. toGenericRecord(toRow(r), r.getSchema) ≡ r is
+  // property-tested on the q02 fixture schema.
+  // --------------------------------------------------------------------
+
+  /** Row (laid out per `schema`'s field order) → GenericRecord. */
+  def toGenericRecord(row: Row, schema: Schema): GenericRecord = {
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    schema.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
+      rec.put(i, toAvroValue(row.get(i), f.schema()))
+    }
+    rec
+  }
+
+  private def toAvroValue(v: Any, schema: Schema): Any = {
+    if (v == null) return null
+    if (schema.getLogicalType != null) return toAvroLogical(v, schema)
+    schema.getType match {
+      case Schema.Type.UNION =>
+        val nonNull = schema.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+        toAvroValue(v, nonNull)
+      case Schema.Type.STRING => v.toString
+      case Schema.Type.ENUM =>
+        new org.apache.avro.generic.GenericData.EnumSymbol(schema, v.toString)
+      case Schema.Type.BYTES =>
+        java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case Schema.Type.FIXED =>
+        new org.apache.avro.generic.GenericData.Fixed(schema, v.asInstanceOf[Array[Byte]])
+      case Schema.Type.RECORD => toGenericRecord(v.asInstanceOf[Row], schema)
+      case Schema.Type.ARRAY =>
+        // Rows deserialized on executors hold mutable.ArraySeq — accept any
+        // collection.Seq, not just immutable.Seq
+        val xs = v.asInstanceOf[scala.collection.Seq[Any]].toSeq
+          .map(toAvroValue(_, schema.getElementType))
+        new org.apache.avro.generic.GenericData.Array[Any](schema, xs.asJava)
+      case Schema.Type.MAP =>
+        v.asInstanceOf[scala.collection.Map[String, Any]].map {
+          case (k, value) => k -> toAvroValue(value, schema.getValueType)
+        }.toMap.asJava
+      case _ => v // int/long/float/double/boolean pass through
+    }
+  }
+
+  private def toAvroLogical(v: Any, schema: Schema): Any = {
+    import org.apache.avro.LogicalTypes
+    schema.getLogicalType match {
+      case d: LogicalTypes.Decimal =>
+        val bd = v.asInstanceOf[java.math.BigDecimal].setScale(d.getScale)
+        val bytes = bd.unscaledValue().toByteArray
+        if (schema.getType == Schema.Type.FIXED)
+          new org.apache.avro.generic.GenericData.Fixed(schema,
+            // left-pad with the sign byte to the fixed size
+            Array.fill[Byte](schema.getFixedSize - bytes.length)(
+              if (bd.signum() < 0) -1 else 0) ++ bytes)
+        else java.nio.ByteBuffer.wrap(bytes)
+      case _: LogicalTypes.Date =>
+        v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt
+      case _: LogicalTypes.TimestampMillis =>
+        v.asInstanceOf[java.sql.Timestamp].getTime
+      case _: LogicalTypes.TimestampMicros =>
+        val t = v.asInstanceOf[java.sql.Timestamp]
+        Math.multiplyExact(Math.floorDiv(t.getTime, 1000L), 1000000L) +
+          t.getNanos / 1000L
+      case _: LogicalTypes.LocalTimestampMillis =>
+        val dt = v.asInstanceOf[java.time.LocalDateTime]
+        dt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000L + dt.getNano / 1000000L
+      case _: LogicalTypes.LocalTimestampMicros =>
+        val dt = v.asInstanceOf[java.time.LocalDateTime]
+        dt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + dt.getNano / 1000L
+      case u if u.getName == "uuid" => v.toString
+      case other => throw new IllegalArgumentException(
+        s"unsupported Avro logical type: $other")
+    }
+  }
 }

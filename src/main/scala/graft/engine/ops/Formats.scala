@@ -48,6 +48,25 @@ object Formats {
     (2L, None, Seq(), "10.0.0.2", 443, 1704153600000000L, 19724, 50L),
     (3L, Some("carol"), Seq("z"), "10.0.0.3", 8080, 1704240000999999L, 19725, 1234567L))
 
+  /** The fixture as GenericRecords under `schema` (shared by q02/q72). */
+  def fixtureRecords(schema: Schema): Seq[org.apache.avro.generic.GenericRecord] = {
+    val metaSchema = schema.getField("meta").schema()
+    fixtureRows.map { case (id, name, tags, ip, port, createdUs, day, cents) =>
+      val meta = new GenericRecordBuilder(metaSchema)
+        .set("ip", ip).set("port", port).build()
+      new GenericRecordBuilder(schema)
+        .set("id", id).set("name", name.orNull)
+        .set("tags", new GenericData.Array[String](
+          schema.getField("tags").schema(), tags.asJava))
+        .set("meta", meta)
+        .set("created", createdUs)
+        .set("day", day)
+        .set("price", java.nio.ByteBuffer.wrap(
+          java.math.BigInteger.valueOf(cents).toByteArray))
+        .build()
+    }
+  }
+
   // --- q02: Avro-schema-defined records → Parquet → read back -------------
   // The reference's write path (AvroWriteSupport + saveAsNewAPIHadoopFile)
   // re-expressed Spark-first: Avro Schema → StructType via the converter,
@@ -68,21 +87,7 @@ object Formats {
       |  AS t(id, name, tags, meta_ip, meta_port, created, day, price)
       |ORDER BY id""".stripMargin) { (s, dir) =>
     val schema = new Schema.Parser().parse(userEventAvsc)
-    val metaSchema = schema.getField("meta").schema()
-    val records = fixtureRows.map { case (id, name, tags, ip, port, createdUs, day, cents) =>
-      val meta = new GenericRecordBuilder(metaSchema)
-        .set("ip", ip).set("port", port).build()
-      new GenericRecordBuilder(schema)
-        .set("id", id).set("name", name.orNull)
-        .set("tags", new GenericData.Array[String](
-          schema.getField("tags").schema(), tags.asJava))
-        .set("meta", meta)
-        .set("created", createdUs)
-        .set("day", day)
-        .set("price", java.nio.ByteBuffer.wrap(
-          java.math.BigInteger.valueOf(cents).toByteArray))
-        .build()
-    }
+    val records = fixtureRecords(schema)
     val structType = AvroSchemaConverter.toStructType(schema)
     val rows = records.map(AvroSchemaConverter.toRow)
     val df = s.createDataFrame(s.sparkContext.parallelize(rows, 1), structType)
@@ -191,5 +196,37 @@ object Formats {
       .orderBy("lang")
   }
 
-  def defs: Seq[QueryDef] = Seq(q02, q03, q52, q62)
+  // --- q72: Avro CONTAINER-FILE round trip through the DSv2 source --------
+  // The interchange half of the reference's Avro surface: fixture rows →
+  // GenericRecords (via AvroSchemaConverter.toGenericRecord — the write-
+  // back converse of q02's toRow) → distributed .avro container write →
+  // read back through graft.sources.AvroContainerSource (self-describing
+  // header schema, sync-marker byte-range splits). Same VALUES oracle as
+  // q02: the round trip must be lossless.
+  private val q72 = QueryDef(
+    "q72_avro_container_roundtrip",
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), 'alice', 'x,y', '10.0.0.1', 80,
+      |   TIMESTAMP '2024-01-01 00:00:00.123456', DATE '2024-01-01', CAST(19.99 AS DOUBLE)),
+      |  (CAST(2 AS BIGINT), NULL, '', '10.0.0.2', 443,
+      |   TIMESTAMP '2024-01-02 00:00:00', DATE '2024-01-02', CAST(0.50 AS DOUBLE)),
+      |  (CAST(3 AS BIGINT), 'carol', 'z', '10.0.0.3', 8080,
+      |   TIMESTAMP '2024-01-03 00:00:00.999999', DATE '2024-01-03', CAST(12345.67 AS DOUBLE)))
+      |  AS t(id, name, tags, meta_ip, meta_port, created, day, price)
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    val schema = new Schema.Parser().parse(userEventAvsc)
+    val structType = AvroSchemaConverter.toStructType(schema)
+    val rows = fixtureRecords(schema).map(AvroSchemaConverter.toRow)
+    val df = s.createDataFrame(s.sparkContext.parallelize(rows, 2), structType)
+    val tmp = Files.createTempDirectory("q72_avro_container").toString
+    graft.sources.AvroContainerSource.write(df, schema, s"$tmp/avro")
+    s.read.format("graft.sources.AvroContainerSource")
+      .option("path", s"$tmp/avro").load()
+      .select(col("id"), col("name"), array_join(col("tags"), ",").as("tags"),
+        col("meta.ip").as("meta_ip"), col("meta.port").as("meta_port"),
+        col("created"), col("day"), col("price").cast("double").as("price"))
+      .orderBy("id")
+  }
+
+  def defs: Seq[QueryDef] = Seq(q02, q03, q52, q62, q72)
 }
