@@ -83,6 +83,17 @@ object AvroSchemaConverter {
     Row.fromSeq(fields.map(f => convertValue(rec.get(f.name()), f.schema())))
   }
 
+  /** GenericRecord → Row restricted to `fieldNames` (projection pushdown:
+    * unused fields are never converted). */
+  def toRowProjected(rec: GenericRecord, fieldNames: Seq[String]): Row = {
+    val sch = rec.getSchema
+    Row.fromSeq(fieldNames.map { n =>
+      val f = sch.getField(n)
+      require(f != null, s"field $n missing from record schema ${sch.getName}")
+      convertValue(rec.get(f.pos()), f.schema())
+    })
+  }
+
   private def convertValue(v: Any, schema: Schema): Any = {
     if (v == null) return null
     if (schema.getLogicalType != null) return convertLogical(v, schema)

@@ -40,16 +40,21 @@ import graft.engine.avro.AvroSchemaConverter
  */
 class AvroContainerSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val files = AvroContainerSource.listFiles(options.get("path"))
-    require(files.nonEmpty, s"no .avro files under ${options.get("path")}")
-    AvroSchemaConverter.toStructType(AvroContainerSource.fileSchema(files.head))
+    val readerSchema = Option(options.get("avroSchema")).map(new Schema.Parser().parse(_))
+      .getOrElse {
+        val files = AvroContainerSource.listFiles(options.get("path"))
+        require(files.nonEmpty, s"no .avro files under ${options.get("path")}")
+        AvroContainerSource.fileSchema(files.head)
+      }
+    AvroSchemaConverter.toStructType(readerSchema)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new AvroContainerTable(properties.get("path"), schema,
       Option(properties.get("splitBytes")).map(_.toLong)
-        .getOrElse(32L * 1024 * 1024))
+        .getOrElse(32L * 1024 * 1024),
+      Option(properties.get("avroSchema")))
 }
 
 object AvroContainerSource {
@@ -87,15 +92,22 @@ object AvroContainerSource {
 }
 
 private class AvroContainerTable(path: String, sparkSchema: StructType,
-    splitBytes: Long) extends Table with SupportsRead {
+    splitBytes: Long, readerSchemaJson: Option[String])
+    extends Table with SupportsRead {
   override def name(): String = s"avro_container($path)"
   override def schema(): StructType = sparkSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns {
+      // Projection pushdown: Avro is row-major, so pruning doesn't skip I/O
+      // the way parquet does — but it DOES skip the Avro→Row→InternalRow
+      // conversion of every unused field, the CPU hot spot of this scan.
+      private var required: StructType = sparkSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): Scan = this
-      override def readSchema(): StructType = sparkSchema
+      override def readSchema(): StructType = required
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] =
         AvroContainerSource.listFiles(path).flatMap { f =>
@@ -106,29 +118,38 @@ private class AvroContainerTable(path: String, sparkSchema: StructType,
               math.min(start + splitBytes, f.length())): InputPartition)
         }.toArray
       override def createReaderFactory(): PartitionReaderFactory =
-        AvroReaderFactory(sparkSchema)
+        AvroReaderFactory(required, readerSchemaJson)
     }
 }
 
-/** Serializable factory shipped to executors (must not capture the scan). */
-private case class AvroReaderFactory(sparkSchema: StructType)
-    extends PartitionReaderFactory {
+/** Serializable factory shipped to executors (must not capture the scan).
+  *
+  * `readerSchemaJson` enables Avro SCHEMA EVOLUTION: when set, records are
+  * resolved from each file's writer schema to this reader schema by
+  * avro-core (removed fields dropped, added fields filled from their
+  * defaults) — old container files keep reading under a newer schema. */
+private case class AvroReaderFactory(required: StructType,
+    readerSchemaJson: Option[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val AvroSplit(file, start, end) = partition
     new PartitionReader[InternalRow] {
+      private val datumReader = new GenericDatumReader[GenericRecord]()
+      readerSchemaJson.foreach(j =>
+        datumReader.setExpected(new Schema.Parser().parse(j)))
       private val reader = new DataFileReader[GenericRecord](
-        new SeekableFileInput(new File(file)),
-        new GenericDatumReader[GenericRecord]())
+        new SeekableFileInput(new File(file)), datumReader)
       reader.sync(start)
       private val toCatalyst =
-        CatalystTypeConverters.createToCatalystConverter(sparkSchema)
+        CatalystTypeConverters.createToCatalystConverter(required)
+      private val fieldNames = required.fields.map(_.name).toSeq
       private var rec: GenericRecord = _
       override def next(): Boolean =
         if (reader.hasNext && !reader.pastSync(end)) {
           rec = reader.next(rec); true
         } else false
       override def get(): InternalRow =
-        toCatalyst(AvroSchemaConverter.toRow(rec)).asInstanceOf[InternalRow]
+        toCatalyst(AvroSchemaConverter.toRowProjected(rec, fieldNames))
+          .asInstanceOf[InternalRow]
       override def close(): Unit = reader.close()
     }
   }

@@ -52,6 +52,48 @@ class AvroContainerSpec extends SparkTestBase {
     assert(df.select("id").distinct().count() == n)
   }
 
+  test("projection pushdown prunes the scan to the selected columns") {
+    val schema = new Schema.Parser().parse(Formats.userEventAvsc)
+    val rows = Formats.fixtureRecords(schema).map(AvroSchemaConverter.toRow)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      AvroSchemaConverter.toStructType(schema))
+    val dir = Files.createTempDirectory("avro_prune").toString
+    AvroContainerSource.write(df, schema, s"$dir/out")
+    val pruned = spark.read.format("graft.sources.AvroContainerSource")
+      .option("path", s"$dir/out").load()
+      .select("id", "day")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head
+    assert(scan.output.map(_.name) == Seq("id", "day"),
+      s"scan should read only (id, day), got ${scan.output.map(_.name)}")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("reader schema evolves old files: added field defaults, removed field dropped") {
+    // v1 writer: (id, name); v2 reader adds score (default 0.5), drops name
+    val v1 = new Schema.Parser().parse(
+      """{"type":"record","name":"E","fields":[
+        |  {"name":"id","type":"long"},{"name":"name","type":"string"}]}""".stripMargin)
+    val v2Json =
+      """{"type":"record","name":"E","fields":[
+        |  {"name":"id","type":"long"},
+        |  {"name":"score","type":"double","default":0.5}]}""".stripMargin
+    val dir = Files.createTempDirectory("avro_evolve").toString
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](v1))
+    w.create(v1, new File(s"$dir/v1.avro"))
+    (1 to 3).foreach { i =>
+      val r = new GenericData.Record(v1)
+      r.put("id", i.toLong); r.put("name", s"n$i")
+      w.append(r)
+    }
+    w.close()
+    val evolved = spark.read.format("graft.sources.AvroContainerSource")
+      .option("path", dir).option("avroSchema", v2Json).load()
+    assert(evolved.columns.toSeq == Seq("id", "score"))
+    val got = evolved.collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(got == Seq((1L, 0.5), (2L, 0.5), (3L, 0.5)))
+  }
+
   test("distributed write produces one container per partition, read merges them") {
     val schema = new Schema.Parser().parse(Formats.userEventAvsc)
     val rows = Formats.fixtureRecords(schema).map(AvroSchemaConverter.toRow)
