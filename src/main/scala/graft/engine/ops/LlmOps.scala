@@ -122,10 +122,14 @@ object LlmOps {
          |FROM nb a JOIN nb b ON a.vec_id < b.vec_id AND ($orCond)
          |WHERE CAST(ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS DECIMAL(7,4)) >= 0.30
          |GROUP BY a.label ORDER BY a.label""".stripMargin) { (s, dir) =>
+      val emb = Tables.table(s, dir, "embeddings")
+      // label joins back onto the symmetric pair stream (a metadata lookup
+      // on doc_a) rather than riding through the self-join — see
+      // Similarity.srpBandedPairs on why the branches must stay symmetric.
       graft.operators.Similarity
-        .srpBandedPairs(Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.30, dim = 64, tables = 8, bitsPerTable = 6,
-          extra = Seq("label"))
+        .srpBandedPairs(emb, "vec_id", "embedding",
+          threshold = 0.30, dim = 64, tables = 8, bitsPerTable = 6)
+        .join(emb.select(col("vec_id").as("doc_a"), col("label")), "doc_a")
         .groupBy("label")
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("label")

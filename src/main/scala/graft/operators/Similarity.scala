@@ -143,25 +143,34 @@ object Similarity {
     * `threshold` — the content-derived replacement for metadata blocking:
     * candidate generation touches only bucket-colliding pairs (one shuffle
     * on (table, bucket)), never a metadata block that grows with the
-    * corpus. `extra` columns are carried from the doc_a side.
-    * Output: (doc_a, doc_b, sim, extra...). */
+    * corpus. The two self-join branches stay SYMMETRIC (ids + vectors
+    * only): attach metadata by joining back on doc_a/doc_b afterwards —
+    * measured, carrying extra columns through one branch desymmetrizes the
+    * plans and roughly doubles the pipeline cost.
+    * Output: (doc_a, doc_b, sim). */
   def srpBandedPairs(vectors: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, dim: Int, tables: Int = 8, bitsPerTable: Int = 6,
-      extra: Seq[String] = Nil): DataFrame = {
-    val n = withNorm(vectors, idCol, vecCol, extra)
-    val nb = n.select((Seq(col("__id"), col("__e"), col("__nrm")) ++ extra.map(col) :+
+      threshold: Double, dim: Int, tables: Int = 8,
+      bitsPerTable: Int = 6): DataFrame = {
+    val n = withNorm(vectors, idCol, vecCol)
+    val nb = n.select(col("__id"), col("__e"), col("__nrm"),
       posexplode(array(srpBuckets(col("__e"), tables, bitsPerTable, dim): _*))
-        .as(Seq("__t", "__bkt"))): _*)
-    val a = nb.select(Seq(col("__t"), col("__bkt"), col("__id").as("doc_a"),
-      col("__e").as("__ea"), col("__nrm").as("__na")) ++ extra.map(col): _*)
+        .as(Seq("__t", "__bkt")))
+    val a = nb.select(col("__t"), col("__bkt"), col("__id").as("doc_a"),
+      col("__e").as("__ea"), col("__nrm").as("__na"))
     val b = nb.select(col("__t").as("__tb"), col("__bkt").as("__bktb"),
       col("__id").as("doc_b"), col("__e").as("__eb"), col("__nrm").as("__nb"))
+    // Order matters for shuffle volume: compute the (cheap, codegen) cosine
+    // per collision, THRESHOLD, and drop the vectors BEFORE deduplicating
+    // pairs that collided in several tables — the dedup then shuffles a few
+    // narrow (id, id, sim) rows instead of millions of rows still carrying
+    // two dim-sized arrays. A pair's sim is identical in every table it
+    // collides in, so filter/dedup commute.
     a.join(b, col("__t") === col("__tb") && col("__bkt") === col("__bktb")
         && col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b") // a pair may collide in several tables
       .withColumn("sim", cosine(col("__ea"), col("__eb"), col("__na"), col("__nb")))
       .where(col("sim") >= threshold)
-      .select(Seq(col("doc_a"), col("doc_b"), col("sim")) ++ extra.map(col): _*)
+      .select(col("doc_a"), col("doc_b"), col("sim"))
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** Pairs within a block whose rounded cosine meets `threshold` —
