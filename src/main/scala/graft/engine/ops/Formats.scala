@@ -144,8 +144,15 @@ object Formats {
     // a fresh session re-registers the existing files with CLUSTERED BY
     // DDL instead of rewriting them, so only the first-ever invocation
     // pays the write.
-    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_buckets_${math.abs(dir.hashCode)}"
-    val db = s"graft_buckets_${math.abs(dir.hashCode)}"
+    // cache key covers the INPUT DATA (size + mtime), not just the path:
+    // regenerated testdata must never be served stale bucketed copies
+    def sig(name: String): String = {
+      val f = new java.io.File(s"$dir/$name.parquet")
+      s"${f.length}_${f.lastModified}"
+    }
+    val key = math.abs((dir + sig("orders") + sig("lineitem")).hashCode)
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_buckets_$key"
+    val db = s"graft_buckets_$key"
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh/$db'")
     // column-pruned copies: the bucket layout demo only needs the join key
     // + the aggregated columns, so don't pay for writing the full tables

@@ -77,6 +77,56 @@ object Dedup {
           .cast("decimal(5,4)").as("est_jaccard"))
   }
 
+  /** Exact Jaccard over shingle sets via an INVERTED INDEX (posting
+    * lists): explode (doc, shingle), self-join on the shingle, count
+    * co-occurrences per pair (= |A∩B|), finish with the set sizes.
+    *
+    * This is the sparse-data twin of the pairwise-inside-blocks
+    * formulation (q48): with natural text, a shingle appears in FEW
+    * documents, so the posting join touches only genuinely-overlapping
+    * pairs — O(Σ df²) ≪ all-pairs; with a dense synthetic vocabulary it
+    * degenerates quadratically. Density decides, so the library ships
+    * both. `maxDocFreq` caps pathological hot shingles (a shingle in half
+    * the corpus carries no similarity signal but quadratic join cost) —
+    * capping excludes those shingles from intersections AND from set
+    * sizes, so jaccard stays a true Jaccard, just over the capped shingle
+    * universe (0 = no cap).
+    *
+    * `shinglesCol` must hold DISTINCT elements per row (array_distinct
+    * output) — sizes and co-occurrence counts assume set semantics.
+    *
+    * Output: (doc_a, doc_b, inter, size_a, size_b, jaccard) for pairs with
+    * jaccard ≥ minJaccard.
+    */
+  def jaccardPostings(df: DataFrame, idCol: String, shinglesCol: String,
+      minJaccard: Double, maxDocFreq: Long = 0L): DataFrame = {
+    val postingsAll = df.select(col(idCol).as("__doc"),
+      explode(col(shinglesCol)).as("__sh"))
+    val postings =
+      if (maxDocFreq <= 0) postingsAll
+      else {
+        val keep = postingsAll.groupBy("__sh")
+          .agg(count(lit(1)).as("__df")).where(col("__df") <= maxDocFreq)
+          .select("__sh")
+        postingsAll.join(keep, "__sh")
+      }
+    val sizes = postings.groupBy(col("__doc"))
+      .agg(count(lit(1)).as("__sz")) // shingle arrays are distinct per doc
+    val a = postings.select(col("__sh"), col("__doc").as("doc_a"))
+    val b = postings.select(col("__sh").as("__sh_b"), col("__doc").as("doc_b"))
+    a.join(b, col("__sh") === col("__sh_b") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("__doc").as("doc_a"), col("__sz").as("size_a")), "doc_a")
+      .join(sizes.select(col("__doc").as("doc_b"), col("__sz").as("size_b")), "doc_b")
+      .withColumn("jaccard",
+        (col("inter").cast("decimal(18,6)")
+          / (col("size_a") + col("size_b") - col("inter")))
+          .cast("decimal(38,6)").cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+  }
+
   /** SimHash banded near-dup candidate pairs: 64-bit SimHash per row
     * (codegen conditional-sum aggregates packed into one long), searched
     * via `bands` bands of 64/bands bits. Output: (doc_a, doc_b,

@@ -79,6 +79,32 @@ class PlanSuite extends SparkTestBase {
     assert(pruned < total && pruned > 0)
   }
 
+  test("q34/q48 content-blocked pair generation never plans a cartesian") {
+    Seq("q34_sim_threshold_count", "q48_dedup_ngram_jaccard").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q planned a nested loop:\n$p")
+    }
+  }
+
+  test("q72 avro container scan reads only the projected columns") {
+    // q72's final select drops nothing at sf-level, so check pruning on a
+    // narrower projection through the same source
+    import org.apache.spark.sql.functions.col
+    val schema = new org.apache.avro.Schema.Parser().parse(
+      graft.engine.ops.Formats.userEventAvsc)
+    val rows = graft.engine.ops.Formats.fixtureRecords(schema)
+      .map(graft.engine.avro.AvroSchemaConverter.toRow)
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      graft.engine.avro.AvroSchemaConverter.toStructType(schema))
+    val dir = java.nio.file.Files.createTempDirectory("q72_plan").toString
+    graft.sources.AvroContainerSource.write(df, schema, s"$dir/out")
+    val pruned = spark.read.format("graft.sources.AvroContainerSource")
+      .option("path", s"$dir/out").load().select(col("id"))
+    val leaf = pruned.queryExecution.executedPlan.collectLeaves().head
+    assert(leaf.output.map(_.name) == Seq("id"), leaf.output.mkString(","))
+  }
+
   test("q31 signature dedup is a single aggregation, no join") {
     val p = plan("q31_dedup_signature")
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)

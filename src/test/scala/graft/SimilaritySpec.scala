@@ -111,6 +111,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(maxBand <= 16, s"minhash band group grew past near-dup scale: $maxBand")
   }
 
+  test("posting-list jaccard equals brute-force pairwise jaccard") {
+    import org.apache.spark.sql.functions._
+    // same portable shingles as q48
+    def code(t: String) = s"cast(ascii(substr($t, 1, 1)) * 31 + length($t) AS BIGINT)"
+    val sh = graft.engine.Tables.table(spark, sfDir, "documents")
+      .withColumn("l", split(col("text"), " "))
+      .where(size(col("l")) >= 3)
+      .select(col("doc_id"),
+        expr(s"""array_distinct(transform(sequence(1, size(l) - 2),
+                |  i -> ((${code("element_at(l, i)")} * 131
+                |        + ${code("element_at(l, i + 1)")}) * 131
+                |        + ${code("element_at(l, i + 2)")}) % 1000000007))""".stripMargin)
+          .as("sh"))
+    val posted = graft.operators.Dedup
+      .jaccardPostings(sh, "doc_id", "sh", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    // brute force: every pair, exact array_intersect jaccard
+    val a = sh.select(col("doc_id").as("da"), col("sh").as("sa"))
+    val b = sh.select(col("doc_id").as("db"), col("sh").as("sb"))
+    val brute = a.join(b, col("da") < col("db"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("j", (col("inter").cast("decimal(18,6)")
+        / (size(col("sa")) + size(col("sb")) - col("inter")))
+        .cast("decimal(38,6)").cast("double"))
+      .where(col("j") >= 0.5)
+      .select("da", "db", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(posted == brute,
+      s"posting-list jaccard diverged: ${posted.size} vs ${brute.size} pairs")
+    assert(brute.nonEmpty, "fixture should contain at least one near-dup pair")
+  }
+
   test("q47 simhash candidate pairs are well-formed") {
     val rows = SparkEntry.queries("q47_dedup_simhash")(spark, sfDir).collect()
     assert(rows.nonEmpty)
