@@ -254,5 +254,45 @@ object StreamingOps {
     s.read.parquet(s"$target/out").orderBy("wstart", "event_type")
   }
 
-  def defs: Seq[QueryDef] = Seq(q39, q40, q41, q42, q53, q56, q61)
+  // --- q73: stream-static enrichment join ---------------------------------
+  // The most common production streaming shape: a stream enriched against a
+  // static (batch) dimension — here a per-user profile derived from the
+  // same events table, joined onto the streaming events, then aggregated.
+  // The static side is planned as an ordinary batch subtree (broadcast
+  // here; at 100 TB a shuffled or bucketed join) and re-evaluated per
+  // micro-batch; no stream-stream state is kept at all — that's the point
+  // of the shape. Single-batch static input ⇒ equals the batch join, so
+  // the oracle carries it.
+  private val q73 = QueryDef(
+    "q73_stream_static_join",
+    """WITH profile AS (
+      |  SELECT user_id, COUNT(*) AS profile_n FROM events GROUP BY user_id)
+      |SELECT e.user_id, COUNT(*) AS n_events, MIN(p.profile_n) AS profile_n
+      |FROM events e JOIN profile p ON e.user_id = p.user_id
+      |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin) { (s, dir) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val profile = Tables.table(s, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("profile_n"))
+      .withColumnRenamed("user_id", "p_user_id")
+    val enriched = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .join(broadcast(profile), col("user_id") === col("p_user_id"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), min(col("profile_n")).as("profile_n"))
+    val target = java.nio.file.Files.createTempDirectory("q73_sink").toString
+    withStatePartitions(s, 8) {
+      val query = enriched.writeStream
+        .outputMode("complete")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(s"$target/out")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    s.read.parquet(s"$target/out").orderBy("user_id")
+  }
+
+  def defs: Seq[QueryDef] = Seq(q39, q40, q41, q42, q53, q56, q61, q73)
 }

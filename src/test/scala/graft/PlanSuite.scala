@@ -105,6 +105,27 @@ class PlanSuite extends SparkTestBase {
     assert(leaf.output.map(_.name) == Seq("id"), leaf.output.mkString(","))
   }
 
+  test("hot aggregation paths stay inside whole-stage codegen") {
+    // q18 (TPC-H Q1 shape) is the canonical agg hot path: the scan →
+    // filter → partial agg pipeline must run in codegen spans, not
+    // interpreted operators. AQE's pre-execution explain omits the spans,
+    // so execute and inspect the final plan tree.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("q18_agg_hash")(spark, sfDir)
+    df.collect()
+    val executed = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    // AQE buries WholeStageCodegenExec inside query stages where plain
+    // collect() can't see them; the `*(n)` span markers in the string form
+    // are the reliable signal.
+    assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(executed).isDefined,
+      s"partial aggregation not inside a codegen span:\n$executed")
+    assert("""\*\(\d+\) Filter""".r.findFirstIn(executed).isDefined,
+      s"filter not inside a codegen span:\n$executed")
+  }
+
   test("q31 signature dedup is a single aggregation, no join") {
     val p = plan("q31_dedup_signature")
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
