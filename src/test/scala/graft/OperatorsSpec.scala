@@ -51,6 +51,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.getAs[Long]("view_id") == 202L)
   }
 
+  test("AsofJoin.left: duplicate (key, ts) right rows never mix payload columns") {
+    // Regression for the per-column min() dedup: with two right rows at the
+    // SAME (key, ts), the survivor must be ONE real row (the min_by struct
+    // winner), never a synthetic row mixing columns from both.
+    import spark.implicits._
+    val left = Seq((1L, 5L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      // (id=300, tag="zzz") and (id=301, tag="aaa") at the same ts:
+      // per-column min would fabricate (300, "aaa") — a row that exists
+      // nowhere in the input
+      (300L, "zzz", 5L, ts("2024-01-01 11:00:00")),
+      (301L, "aaa", 5L, ts("2024-01-01 11:00:00"))
+    ).toDF("view_id", "tag", "user_id", "ts")
+    val out = AsofJoin.left(left, right, "user_id", "ts", "ts",
+      Map("view_id" -> "view_id", "tag" -> "view_tag")).collect().head
+    val got = (out.getAs[Long]("view_id"), out.getAs[String]("view_tag"))
+    assert(got == (300L, "zzz") || got == (301L, "aaa"),
+      s"payload columns mixed across right rows: $got")
+  }
+
   test("Sessionize.byGap: boundary exactly at the gap stays in-session") {
     import spark.implicits._
     val gap = 600L // 10 min
