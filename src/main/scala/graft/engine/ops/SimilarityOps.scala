@@ -66,22 +66,13 @@ object SimilarityOps {
       |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
       |FROM k a JOIN k b ON a.doc_id < b.doc_id AND (a.k0 = b.k0 OR a.k1 = b.k1)
       |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin) { (s, dir) =>
-    def code(t: String) = s"cast(ascii(substr($t, 1, 1)) * 31 + length($t) AS BIGINT)"
+    import graft.functions.GraftFunctions
     val sh = Tables.table(s, dir, "documents")
       .withColumn("l", split(col("text"), " "))
       .where(size(col("l")) >= 3)
-      .select(col("doc_id"),
-        expr(s"""array_distinct(transform(sequence(1, size(l) - 2),
-                |  i -> ((${code("element_at(l, i)")} * 131
-                |        + ${code("element_at(l, i + 1)")}) * 131
-                |        + ${code("element_at(l, i + 2)")}) % 1000000007))""".stripMargin)
-          .as("sh"))
-    def minPerm(a: Long, c: Long) =
-      expr(s"array_min(transform(sh, h -> ($a * h + $c) % 1000000007))")
+      .select(col("doc_id"), GraftFunctions.hashedShingles("l").as("sh"))
     val keyed = sh.select(col("doc_id"), col("sh"),
-      posexplode(array(
-        minPerm(37, 11) * 1000000007L + minPerm(101, 29),
-        minPerm(193, 71) * 1000000007L + minPerm(389, 113))).as(Seq("band", "key")))
+      posexplode(GraftFunctions.minhashBandKeys("sh")).as(Seq("band", "key")))
     val a = keyed.select(col("band"), col("key"),
       col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = keyed.select(col("band").as("band_b"), col("key").as("key_b"),

@@ -44,6 +44,32 @@ object GraftFunctions {
             |  cast(0 AS BIGINT),
             |  (acc, v) -> (acc * 131 + v) % 1000000007)""".stripMargin)
 
+  /** Engine-portable hashed token-3-gram shingles (array<bigint>):
+    * polynomial roll of the fingerprint token code over each 3-token
+    * window, distinct'd — reproducible in any engine (used by the
+    * banded-MinHash blocking and its DuckDB oracle). Takes the column
+    * NAME of a tokens array column. */
+  def hashedShingles(tokensCol: String): Column = {
+    def code(t: String) = s"cast(ascii(substr($t, 1, 1)) * 31 + length($t) AS BIGINT)"
+    expr(s"""array_distinct(transform(sequence(1, size($tokensCol) - 2),
+            |  i -> ((${code(s"element_at($tokensCol, i)")} * 131
+            |        + ${code(s"element_at($tokensCol, i + 1)")}) * 131
+            |        + ${code(s"element_at($tokensCol, i + 2)")}) % 1000000007))""".stripMargin)
+  }
+
+  /** Banded MinHash block keys (2 bands × 2 linear-congruential minima,
+    * combined per band) over a distinct-shingle array column NAME. Docs
+    * sharing ≥1 band key are near-dup candidates; keys are content hashes,
+    * so block cardinality grows with the corpus (constant per-block work).
+    * Output: array<bigint> of band keys. */
+  def minhashBandKeys(shCol: String): Column = {
+    def minPerm(a: Long, c: Long) =
+      expr(s"array_min(transform($shCol, h -> ($a * h + $c) % 1000000007))")
+    array(
+      minPerm(37, 11) * 1000000007L + minPerm(101, 29),
+      minPerm(193, 71) * 1000000007L + minPerm(389, 113))
+  }
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(split(text, " "))
 

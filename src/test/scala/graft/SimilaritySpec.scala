@@ -89,23 +89,15 @@ class SimilaritySpec extends SparkTestBase {
       .agg(max("count")).collect()(0).getLong(0)
     assert(maxBucket <= math.max(16, 8 * n / 64),
       s"SRP bucket grew past the uniform-spread bound: $maxBucket of $n")
-    // q48's minhash band keys (same arithmetic as the query): band groups
-    // are near-dup clusters — tiny and corpus-size-independent.
-    def code(t: String) = s"cast(ascii(substr($t, 1, 1)) * 31 + length($t) AS BIGINT)"
+    // q48's minhash band keys (the same library functions the query uses):
+    // band groups are near-dup clusters — tiny and corpus-size-independent.
+    import graft.functions.GraftFunctions
     val sh = graft.engine.Tables.table(spark, sfDir, "documents")
       .withColumn("l", split(col("text"), " "))
       .where(size(col("l")) >= 3)
-      .select(col("doc_id"),
-        expr(s"""array_distinct(transform(sequence(1, size(l) - 2),
-                |  i -> ((${code("element_at(l, i)")} * 131
-                |        + ${code("element_at(l, i + 1)")}) * 131
-                |        + ${code("element_at(l, i + 2)")}) % 1000000007))""".stripMargin)
-          .as("sh"))
-    def minPerm(a: Long, c: Long) =
-      expr(s"array_min(transform(sh, h -> ($a * h + $c) % 1000000007))")
-    val maxBand = sh.select(posexplode(array(
-        minPerm(37, 11) * 1000000007L + minPerm(101, 29),
-        minPerm(193, 71) * 1000000007L + minPerm(389, 113))).as(Seq("band", "key")))
+      .select(col("doc_id"), GraftFunctions.hashedShingles("l").as("sh"))
+    val maxBand = sh
+      .select(posexplode(GraftFunctions.minhashBandKeys("sh")).as(Seq("band", "key")))
       .groupBy("band", "key").count()
       .agg(max("count")).collect()(0).getLong(0)
     assert(maxBand <= 16, s"minhash band group grew past near-dup scale: $maxBand")
@@ -114,16 +106,10 @@ class SimilaritySpec extends SparkTestBase {
   test("posting-list jaccard equals brute-force pairwise jaccard") {
     import org.apache.spark.sql.functions._
     // same portable shingles as q48
-    def code(t: String) = s"cast(ascii(substr($t, 1, 1)) * 31 + length($t) AS BIGINT)"
     val sh = graft.engine.Tables.table(spark, sfDir, "documents")
       .withColumn("l", split(col("text"), " "))
       .where(size(col("l")) >= 3)
-      .select(col("doc_id"),
-        expr(s"""array_distinct(transform(sequence(1, size(l) - 2),
-                |  i -> ((${code("element_at(l, i)")} * 131
-                |        + ${code("element_at(l, i + 1)")}) * 131
-                |        + ${code("element_at(l, i + 2)")}) % 1000000007))""".stripMargin)
-          .as("sh"))
+      .select(col("doc_id"), graft.functions.GraftFunctions.hashedShingles("l").as("sh"))
     val posted = graft.operators.Dedup
       .jaccardPostings(sh, "doc_id", "sh", minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
