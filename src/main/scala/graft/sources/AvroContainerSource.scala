@@ -38,7 +38,11 @@ import graft.engine.avro.AvroSchemaConverter
  * fans out to byte-range tasks exactly like a parquet scan, not one task
  * per file.
  */
-class AvroContainerSource extends TableProvider {
+class AvroContainerSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  /** Short name (ServiceLoader-registered): `spark.read.format("graft-avro")`. */
+  override def shortName(): String = "graft-avro"
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val readerSchema = Option(options.get("avroSchema")).map(new Schema.Parser().parse(_))
       .getOrElse {

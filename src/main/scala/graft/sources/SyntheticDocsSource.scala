@@ -27,7 +27,11 @@ import org.apache.spark.unsafe.types.UTF8String
  * partitions; each PartitionReader streams its slice without
  * materialization, so the source parallelizes like any file scan.
  */
-class SyntheticDocsSource extends TableProvider {
+class SyntheticDocsSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  /** Short name (ServiceLoader-registered): `spark.read.format("graft-docs")`. */
+  override def shortName(): String = "graft-docs"
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SyntheticDocsSource.schema
 

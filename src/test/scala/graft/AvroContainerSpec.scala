@@ -103,7 +103,8 @@ class AvroContainerSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("avro_write").toString
     AvroContainerSource.write(df, schema, s"$dir/out")
     assert(new File(s"$dir/out").listFiles().count(_.getName.endsWith(".avro")) == 2)
-    val back = spark.read.format("graft.sources.AvroContainerSource")
+    // short name resolves through the DataSourceRegister service file
+    val back = spark.read.format("graft-avro")
       .option("path", s"$dir/out").load()
     assert(back.count() == 3)
     assert(back.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
