@@ -213,5 +213,60 @@ object SimilarityOps {
       .orderBy("dist", "key_a", "key_b").limit(200)
   }
 
-  def defs: Seq[QueryDef] = Seq(q47, q48, q49, q50, q63, q66)
+  // --- q75: near-dup candidate pairs → connected components (clusters) ----
+  // The clustering step production dedup needs on top of candidate pairs:
+  // banded-MinHash candidates (q48's keys) become an edge list, connected
+  // components find the transitive dedup groups, and each group's min id is
+  // the survivor (q30's rule). Spark side: iterative min-label propagation
+  // (Dedup.connectedComponents, one edge shuffle per round, converged in a
+  // few rounds — near-dup clusters have tiny diameter). Oracle: recursive
+  // CTE transitive closure over the identical (engine-portable) edge list.
+  private val q75 = QueryDef(
+    "q75_dedup_components",
+    """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(l) - 1),
+      |    i -> (((CAST(ascii(substr(l[i],1,1))*31 + length(l[i]) AS BIGINT)) * 131
+      |          + (ascii(substr(l[i+1],1,1))*31 + length(l[i+1]))) * 131
+      |          + (ascii(substr(l[i+2],1,1))*31 + length(l[i+2]))) % 1000000007)) AS sh
+      |  FROM t),
+      |k AS (SELECT doc_id,
+      |  list_min(list_transform(sh, h -> (37*h + 11) % 1000000007)) * 1000000007
+      |    + list_min(list_transform(sh, h -> (101*h + 29) % 1000000007)) AS k0,
+      |  list_min(list_transform(sh, h -> (193*h + 71) % 1000000007)) * 1000000007
+      |    + list_min(list_transform(sh, h -> (389*h + 113) % 1000000007)) AS k1
+      |  FROM sh),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      |  FROM k a JOIN k b ON a.doc_id < b.doc_id AND (a.k0 = b.k0 OR a.k1 = b.k1)),
+      |edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+      |nodes AS (SELECT DISTINCT u AS node FROM edges),
+      |reach AS (
+      |  SELECT node AS src, node AS dst FROM nodes
+      |  UNION
+      |  SELECT r.src, e.v AS dst FROM reach r JOIN edges e ON r.dst = e.u)
+      |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+      |FROM (SELECT src, CAST(MIN(dst) AS BIGINT) AS component FROM reach GROUP BY src)
+      |GROUP BY component ORDER BY n_members DESC, component LIMIT 100""".stripMargin) { (s, dir) =>
+    import graft.functions.GraftFunctions
+    val sh = Tables.table(s, dir, "documents")
+      .withColumn("l", split(col("text"), " "))
+      .where(size(col("l")) >= 3)
+      .select(col("doc_id"), GraftFunctions.hashedShingles("l").as("sh"))
+    val keyed = sh.select(col("doc_id"),
+      posexplode(GraftFunctions.minhashBandKeys("sh")).as(Seq("band", "key")))
+    val a = keyed.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+    val b = keyed.select(col("band").as("band_b"), col("key").as("key_b"),
+      col("doc_id").as("doc_b"))
+    val pairs = a.join(b, col("band") === col("band_b") && col("key") === col("key_b")
+        && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    graft.operators.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .groupBy(col("label").as("component"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("component"))
+      .limit(100)
+  }
+
+  def defs: Seq[QueryDef] = Seq(q47, q48, q49, q50, q63, q66, q75)
 }

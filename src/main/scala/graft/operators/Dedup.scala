@@ -127,6 +127,54 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
   }
 
+  /** Connected components over an undirected candidate-pair edge list —
+    * the clustering step that turns near-dup candidate PAIRS into dedup
+    * groups with one survivor each (the min-id member, the q30 rule).
+    *
+    * Iterative min-label propagation: every node repeatedly adopts the
+    * minimum label among itself and its neighbors until fixpoint. Each
+    * iteration is one shuffle of the edge list — the GraphX-style
+    * distributed shape (large-star/small-star is the constant-factor
+    * refinement at extreme skew). Near-dup clusters have tiny diameter, so
+    * convergence takes a handful of iterations; the loop checks a
+    * converged flag per round (a driver action on a bounded count, the
+    * standard coordination pattern for iterative algorithms) and THROWS if
+    * `maxIter` is hit unconverged rather than returning partial labels.
+    *
+    * Output: (node, component) with component = min node id reachable.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct().persist()
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var prevCached: Option[DataFrame] = None
+    var converged = false
+    var i = 0
+    while (i < maxIter && !converged) {
+      val nmin = edges
+        .join(labels.select(col("node").as("__vn"), col("label").as("__vl")),
+          col("v") === col("__vn"))
+        .groupBy(col("u").as("__un")).agg(min("__vl").as("__nlabel"))
+      val next = labels.join(nmin, col("node") === col("__un"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("__nlabel"), col("label"))).as("label"),
+          (coalesce(col("__nlabel"), col("label")) < col("label")).as("__chg"))
+        .persist()
+      converged = next.where(col("__chg")).isEmpty // materializes `next`
+      prevCached.foreach(_.unpersist())
+      prevCached = Some(next)
+      labels = next.select("node", "label")
+      i += 1
+    }
+    edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations")
+    labels
+  }
+
   /** SimHash banded near-dup candidate pairs: 64-bit SimHash per row
     * (codegen conditional-sum aggregates packed into one long), searched
     * via `bands` bands of 64/bands bits. Output: (doc_a, doc_b,

@@ -129,6 +129,40 @@ class SimilaritySpec extends SparkTestBase {
     assert(brute.nonEmpty, "fixture should contain at least one near-dup pair")
   }
 
+  test("connectedComponents matches driver-side union-find") {
+    import org.apache.spark.sql.functions._
+    val sh = graft.engine.Tables.table(spark, sfDir, "documents")
+      .withColumn("l", split(col("text"), " "))
+      .where(size(col("l")) >= 3)
+      .select(col("doc_id"), graft.functions.GraftFunctions.hashedShingles("l").as("sh"))
+    val keyed = sh.select(col("doc_id"),
+      posexplode(graft.functions.GraftFunctions.minhashBandKeys("sh"))
+        .as(Seq("band", "key")))
+    val a = keyed.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+    val b = keyed.select(col("band").as("band_b"), col("key").as("key_b"),
+      col("doc_id").as("doc_b"))
+    val pairs = a.join(b, col("band") === col("band_b") && col("key") === col("key_b")
+        && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "fixture should produce candidate pairs")
+    // reference union-find on the collected edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> find(n)).toMap
+    val got = graft.operators.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "label propagation diverged from union-find")
+  }
+
   test("q47 simhash candidate pairs are well-formed") {
     val rows = SparkEntry.queries("q47_dedup_simhash")(spark, sfDir).collect()
     assert(rows.nonEmpty)
