@@ -235,5 +235,23 @@ object Formats {
       .orderBy("id")
   }
 
-  def defs: Seq[QueryDef] = Seq(q02, q03, q52, q62, q72)
+  // --- q76: ORC sink round trip (the remaining built-in columnar format) --
+  // Same sink discipline as q03: partitioned by the low-cardinality key so
+  // re-readers prune partitions; the re-read aggregates per (lang, source).
+  private val q76 = QueryDef(
+    "q76_orc_roundtrip",
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, dir) =>
+    val stats = Tables.table(s, dir, "documents")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    val tmp = Files.createTempDirectory("q76_orc").toString
+    stats.write.mode("overwrite").partitionBy("lang").orc(s"$tmp/orc")
+    s.read.orc(s"$tmp/orc")
+      .select("lang", "source", "n_docs", "sum_chars")
+      .orderBy("lang", "source")
+  }
+
+  def defs: Seq[QueryDef] = Seq(q02, q03, q52, q62, q72, q76)
 }
