@@ -27,7 +27,8 @@ object Bench {
     val warmSf = "/root/testdata/sf0.001"
     Seq("q12_join_multiway", "q18_agg_hash", "q25_window_rank", "q36_text_tf",
       "q03_multiformat_sink", "q52_bucketed_join", "q33_sim_cosine_topk",
-      "q17_join_asof", "q42_stream_watermark_dedup")
+      "q17_join_asof", "q42_stream_watermark_dedup",
+      "q72_avro_container_roundtrip", "q76_orc_roundtrip", "q75_dedup_components")
       .foreach { q =>
         try SparkEntry.queries(q)(spark, warmSf).count()
         catch { case _: Throwable => () }
