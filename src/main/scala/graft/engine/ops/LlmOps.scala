@@ -244,5 +244,55 @@ object LlmOps {
       .orderBy("doc_id").limit(200)
   }
 
-  def defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q70)
+  // --- q77: temperature rebalancing of the language mix -------------------
+  // The classic multilingual training-mix op: downsample over-represented
+  // strata toward uniform (temperature sampling, here α = 0.5 ⇒ per-lang
+  // quota = isqrt(n_lang)). Everything is DETERMINISTIC so the oracle
+  // carries it: the quota is integer sqrt (exactly computable in both
+  // engines — sqrt of an int64 is correctly rounded and FLOOR-safe), and
+  // the quota members are the first k docs per lang ordered by
+  // (fingerprint, doc_id) — the portable rolling-hash gives a stable
+  // pseudo-random order with no engine-specific sampler. One shuffle on
+  // lang (window) + a broadcast of per-lang quotas.
+  private val q77 = QueryDef(
+    "q77_temperature_resample",
+    """WITH fp AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(text, ' '),
+      |                       t -> CAST(ascii(substr(t, 1, 1)) * 31 + length(t) AS BIGINT))),
+      |      (acc, v) -> (acc * 131 + v) % 1000000007) AS fingerprint
+      |  FROM documents),
+      |quota AS (SELECT lang, COUNT(*) AS n_orig,
+      |    CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS k FROM fp GROUP BY lang),
+      |ranked AS (
+      |  SELECT f.lang, f.n_chars, q.n_orig, q.k,
+      |    ROW_NUMBER() OVER (PARTITION BY f.lang
+      |      ORDER BY f.fingerprint, f.doc_id) AS rn
+      |  FROM fp f JOIN quota q ON f.lang = q.lang)
+      |SELECT lang, CAST(MIN(n_orig) AS BIGINT) AS n_orig,
+      |  COUNT(*) AS n_selected,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sel_chars
+      |FROM ranked WHERE rn <= k
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val fp = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        graft.functions.GraftFunctions.fingerprint("text").as("fingerprint"))
+    val quota = fp.groupBy("lang")
+      .agg(count(lit(1)).as("n_orig"))
+      .withColumn("k", floor(sqrt(col("n_orig"))).cast("bigint"))
+      .withColumnRenamed("lang", "q_lang")
+    val w = Window.partitionBy("lang").orderBy("fingerprint", "doc_id")
+    fp.join(broadcast(quota), col("lang") === col("q_lang"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= col("k"))
+      .groupBy("lang")
+      .agg(min(col("n_orig")).as("n_orig"),
+        count(lit(1)).as("n_selected"),
+        sum(col("n_chars")).as("sel_chars"))
+      .orderBy("lang")
+  }
+
+  def defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q70, q77)
 }
