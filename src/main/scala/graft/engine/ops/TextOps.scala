@@ -132,5 +132,76 @@ object TextOps {
       .orderBy("doc_id").limit(200)
   }
 
-  def defs: Seq[QueryDef] = Seq(q43, q44, q45, q46)
+  // --- q78: decontamination against an eval set (n-gram overlap) ----------
+  // Every training pipeline removes documents overlapping its benchmark
+  // sets. The eval set here is docs with doc_id < 10; a training doc is
+  // contaminated if it shares ANY hashed 3-gram shingle with the eval set.
+  // Scale shape: the eval shingle set is tiny → broadcast semi-join against
+  // the corpus postings (map-only explode, no all-pairs); at real scale the
+  // eval set stays broadcastable by construction (benchmarks are small).
+  // Shingles are the engine-portable hashes, so the oracle reproduces the
+  // identical contamination verdicts.
+  private val q78 = QueryDef(
+    "q78_decontaminate",
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, lang, list_distinct(list_transform(range(1, len(l) - 1),
+      |    i -> (((CAST(ascii(substr(l[i],1,1))*31 + length(l[i]) AS BIGINT)) * 131
+      |          + (ascii(substr(l[i+1],1,1))*31 + length(l[i+1]))) * 131
+      |          + (ascii(substr(l[i+2],1,1))*31 + length(l[i+2]))) % 1000000007)) AS sh
+      |  FROM t),
+      |ev AS (SELECT DISTINCT unnest(sh) AS esh FROM sh WHERE doc_id < 10),
+      |cont AS (SELECT DISTINCT doc_id
+      |  FROM (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id >= 10) p
+      |  JOIN ev ON p.s = ev.esh)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM cont) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+      |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM cont) THEN 0 ELSE 1 END) AS BIGINT) AS n_clean
+      |FROM sh WHERE doc_id >= 10
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    import graft.functions.GraftFunctions
+    val sh = Tables.table(s, dir, "documents")
+      .withColumn("l", split(col("text"), " "))
+      .where(size(col("l")) >= 3)
+      .select(col("doc_id"), col("lang"), GraftFunctions.hashedShingles("l").as("sh"))
+    val evalShingles = sh.where(col("doc_id") < 10)
+      .select(explode(col("sh")).as("esh")).distinct()
+    val contaminated = sh.where(col("doc_id") >= 10)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(broadcast(evalShingles), col("s") === col("esh"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("is_cont", lit(1))
+    sh.where(col("doc_id") >= 10)
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_cont").isNotNull, 1).otherwise(0)).as("n_contaminated"),
+        sum(when(col("is_cont").isNull, 1).otherwise(0)).as("n_clean"))
+      .orderBy("lang")
+  }
+
+  // --- q79: pattern redaction (PII-scrub shape) ----------------------------
+  // The scrub operator every pipeline runs before training: replace every
+  // match of a pattern with a mask and account for what was removed. The
+  // corpus has no digits, so the stand-in pattern is a character class
+  // ([aeiou]+) — the operator shape (global regexp_replace + span
+  // accounting, map-only until the final bounded agg) is what matters; the
+  // class-only regex behaves identically in both engines' dialects.
+  private val q79 = QueryDef(
+    "q79_text_redact",
+    """SELECT lang,
+      |  CAST(SUM(len(regexp_extract_all(text, '[aeiou]+'))) AS BIGINT) AS n_spans,
+      |  CAST(SUM(length(text)) AS BIGINT) AS chars_before,
+      |  CAST(SUM(length(regexp_replace(text, '[aeiou]+', '#', 'g'))) AS BIGINT) AS chars_after
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        sum(size(regexp_extract_all(col("text"), lit("[aeiou]+"), lit(0)))).as("n_spans"),
+        sum(length(col("text"))).as("chars_before"),
+        sum(length(regexp_replace(col("text"), "[aeiou]+", "#"))).as("chars_after"))
+      .orderBy("lang")
+  }
+
+  def defs: Seq[QueryDef] = Seq(q43, q44, q45, q46, q78, q79)
 }
