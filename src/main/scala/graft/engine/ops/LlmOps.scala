@@ -294,5 +294,35 @@ object LlmOps {
       .orderBy("lang")
   }
 
-  def defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q70, q77)
+  // --- q80: deterministic train/val/test split -----------------------------
+  // Reproducible dataset splits keyed on CONTENT (the portable fingerprint
+  // mod 10 → 80/10/10), not on row order or a seeded sampler: the same
+  // document lands in the same split on any engine, any partitioning, any
+  // rerun — the property dataset governance actually needs. Map-only until
+  // the bounded per-(lang, split) aggregation.
+  private val q80 = QueryDef(
+    "q80_dataset_split",
+    """WITH fp AS (
+      |  SELECT lang, n_chars,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(text, ' '),
+      |                       t -> CAST(ascii(substr(t, 1, 1)) * 31 + length(t) AS BIGINT))),
+      |      (acc, v) -> (acc * 131 + v) % 1000000007) % 10 AS bucket
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN bucket <= 7 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |FROM fp GROUP BY lang, split ORDER BY lang, split""".stripMargin) { (s, dir) =>
+    val bucket = graft.functions.GraftFunctions.fingerprint("text") % 10
+    Tables.table(s, dir, "documents")
+      .withColumn("split",
+        when(bucket <= 7, "train").when(bucket === 8, "val").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy("lang", "split")
+  }
+
+  def defs: Seq[QueryDef] =
+    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q70, q77, q80)
 }

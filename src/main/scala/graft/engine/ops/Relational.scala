@@ -784,10 +784,35 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  // --- q81: UNPIVOT (melt) — the inverse of q59's pivot --------------------
+  // Wide per-user event counts back to long (user_id, event_type, n) rows,
+  // zeros retained — the relational surface member q59 was missing its
+  // inverse of. Spark's Dataset.unpivot emits one row per (id, column);
+  // the oracle reconstructs the same dense grid with a cross join against
+  // the fixed value list.
+  private val q81 = QueryDef(
+    "q81_unpivot",
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |t AS (SELECT * FROM (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')) AS v(event_type)),
+      |c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2)
+      |SELECT u.user_id, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+      |FROM u CROSS JOIN t
+      |LEFT JOIN c ON u.user_id = c.user_id AND t.event_type = c.event_type
+      |ORDER BY u.user_id, t.event_type LIMIT 500""".stripMargin) { (s, dir) =>
+    val kinds = Seq("click", "error", "purchase", "signup", "view")
+    Tables.table(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", kinds)
+      .count()
+      .na.fill(0L)
+      .unpivot(Array(col("user_id")), kinds.map(col).toArray, "event_type", "n")
+      .orderBy("user_id", "event_type").limit(500)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q01, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q54, q55, q57, q58, q59, q60,
-    q64, q65, q67, q68, q69, q71)
+    q64, q65, q67, q68, q69, q71, q81)
 }
