@@ -809,10 +809,32 @@ object Relational {
       .orderBy("user_id", "event_type").limit(500)
   }
 
+  // --- q84: ordered string aggregation (group-concat) ----------------------
+  // The string-aggregation surface: per group, the first 5 keys in sorted
+  // order joined to one string. Sorting inside the aggregate makes the
+  // result order-independent (a bare collect_list/string_agg is
+  // partition-order-dependent — never emit one unsorted).
+  private val q84 = QueryDef(
+    "q84_string_agg",
+    """SELECT o_orderpriority,
+      |  array_to_string(list_sort(list(o_orderkey))[1:5], ',') AS first_keys,
+      |  COUNT(*) AS n
+      |FROM orders WHERE o_orderkey < 1000
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "orders")
+      .where(col("o_orderkey") < 1000)
+      .groupBy("o_orderpriority")
+      .agg(
+        concat_ws(",", slice(sort_array(collect_list(col("o_orderkey"))), 1, 5))
+          .as("first_keys"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q01, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q54, q55, q57, q58, q59, q60,
-    q64, q65, q67, q68, q69, q71, q81)
+    q64, q65, q67, q68, q69, q71, q81, q84)
 }

@@ -294,5 +294,43 @@ object StreamingOps {
     s.read.parquet(s"$target/out").orderBy("user_id")
   }
 
-  def defs: Seq[QueryDef] = Seq(q39, q40, q41, q42, q53, q56, q61, q73)
+  // --- q82: time-series resample to an hourly grid + forward fill ---------
+  // The gap-filling shape time-series pipelines need: per-entity values on
+  // a REGULAR grid, holes filled with the last observation. Hourly value =
+  // the event with the max event_id in that hour (unique id ⇒ unambiguous
+  // rule both engines share); grid = the full hourly span cross-joined
+  // with the entities; ffill = last-non-null over an ordered window. One
+  // window shuffle on user_id; the grid explode is metadata-sized.
+  private val q82 = QueryDef(
+    "q82_resample_ffill",
+    """WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS hour, event_id, value
+      |  FROM events WHERE user_id <= 3),
+      |hourly AS (SELECT user_id, hour, arg_max(value, event_id) AS v
+      |  FROM ev GROUP BY 1, 2),
+      |bounds AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM ev),
+      |grid AS (SELECT u.user_id, g.hour
+      |  FROM (SELECT DISTINCT user_id FROM ev) u
+      |  CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      |              FROM bounds) g)
+      |SELECT g.user_id, g.hour,
+      |  LAST_VALUE(h.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.hour) AS v_ffill
+      |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+      |ORDER BY g.user_id, g.hour LIMIT 2000""".stripMargin) { (s, dir) =>
+    val ev = Tables.table(s, dir, "events")
+      .where(col("user_id") <= 3)
+      .withColumn("hour", date_trunc("hour", col("ts")))
+    val hourly = ev.groupBy("user_id", "hour")
+      .agg(expr("max_by(value, event_id)").as("v"))
+    val grid = ev.agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      .crossJoin(ev.select("user_id").distinct())
+    val w = Window.partitionBy("user_id").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("v_ffill", last(col("v"), ignoreNulls = true).over(w))
+      .select("user_id", "hour", "v_ffill")
+      .orderBy("user_id", "hour").limit(2000)
+  }
+
+  def defs: Seq[QueryDef] = Seq(q39, q40, q41, q42, q53, q56, q61, q73, q82)
 }
