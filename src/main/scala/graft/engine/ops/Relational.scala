@@ -809,6 +809,25 @@ object Relational {
       .orderBy("user_id", "event_type").limit(500)
   }
 
+  // --- q83: binned value distribution (fixed-width histogram) --------------
+  // The profiling shape: fixed-width buckets via floor arithmetic (both
+  // engines do the identical double divide + floor), top bucket clamped.
+  private val q83 = QueryDef(
+    "q83_histogram",
+    """SELECT CAST(LEAST(FLOOR(o_totalprice / 60000), 9) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n,
+      |  CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE) AS lo,
+      |  CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE) AS hi
+      |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "orders")
+      .groupBy(least(floor(col("o_totalprice") / 60000), lit(9))
+        .cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).cast("decimal(18,2)").cast("double").as("lo"),
+        max(col("o_totalprice")).cast("decimal(18,2)").cast("double").as("hi"))
+      .orderBy("bucket")
+  }
+
   // --- q84: ordered string aggregation (group-concat) ----------------------
   // The string-aggregation surface: per group, the first 5 keys in sorted
   // order joined to one string. Sorting inside the aggregate makes the
@@ -836,5 +855,5 @@ object Relational {
     q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q54, q55, q57, q58, q59, q60,
-    q64, q65, q67, q68, q69, q71, q81, q84)
+    q64, q65, q67, q68, q69, q71, q81, q83, q84)
 }
