@@ -172,6 +172,9 @@ object Dedup {
     edges.unpersist()
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter iterations")
+    // the final round's frame stays persisted on purpose: it was already
+    // materialized by the convergence check, so downstream consumers read
+    // the cache instead of replaying the whole iteration lineage
     labels
   }
 

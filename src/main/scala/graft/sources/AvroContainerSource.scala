@@ -80,7 +80,10 @@ object AvroContainerSource {
   /** Write `df` as one container file per partition under `dir` — the
     * distributed write-back path (Row → GenericRecord → DataFileWriter).
     * The Avro schema travels as its JSON string: avro Schema objects are
-    * not serializable task closures. */
+    * not serializable task closures. Files are named by partition id; a
+    * retried/speculative task overwrites its own file (same id, same
+    * deterministic content) — a production deployment would route through
+    * a FileCommitProtocol for attempt isolation. */
   def write(df: DataFrame, schema: Schema, dir: String): Unit = {
     val schemaJson = schema.toString
     new File(dir).mkdirs()
