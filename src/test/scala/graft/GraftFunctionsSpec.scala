@@ -30,6 +30,32 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(viaApi == viaQuery)
   }
 
+  test("dot_product raises on mismatched array lengths (codegen and interpreted)") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    // codegen path (whole-stage pipeline)
+    val eCodegen = intercept[Exception] {
+      df.select(GraftFunctions.dot(col("a"), col("b"))).collect()
+    }
+    assert(exceptionChain(eCodegen).exists(_.getMessage != null)
+      && exceptionChain(eCodegen).exists(m =>
+        Option(m.getMessage).exists(_.contains("length mismatch"))),
+      s"codegen path did not surface the length error: $eCodegen")
+    // interpreted path (expression eval outside codegen)
+    val expr = graft.engine.expr.DotProduct(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0, 2.0, 3.0),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0, 2.0),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+    val eInterp = intercept[IllegalArgumentException] { expr.eval(null) }
+    assert(eInterp.getMessage.contains("length mismatch"))
+  }
+
+  private def exceptionChain(t: Throwable): Seq[Throwable] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+
   test("registerAll exposes SQL names") {
     GraftFunctions.registerAll(spark)
     import spark.implicits._
