@@ -332,5 +332,38 @@ object StreamingOps {
       .orderBy("user_id", "hour").limit(2000)
   }
 
-  def defs: Seq[QueryDef] = Seq(q39, q40, q41, q42, q53, q56, q61, q73, q82)
+  // --- q85: TRUE streaming session windows (native session_window) --------
+  // q41's gaps-and-islands is the batch twin; this is the streaming path:
+  // session_window(ts, gap) + watermark merges per-key state incrementally
+  // and emits each session once the watermark passes its close. Boundary
+  // semantics differ from Sessionize by design (session_window starts a new
+  // session at diff == gap; the batch twin keeps it — asserted equivalent
+  // off-boundary in tests), and emission depends on the final watermark →
+  // rows-only check.
+  private val q85 = QueryDef.noOracle("q85_stream_session_native") { (s, dir) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val sessions = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+    val target = java.nio.file.Files.createTempDirectory("q85_sink").toString
+    withStatePartitions(s, 8) {
+      val query = sessions.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) batch.write.mode("append").parquet(s"$target/out")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    s.read.parquet(s"$target/out").orderBy("user_id", "session_start")
+  }
+
+  def defs: Seq[QueryDef] = Seq(q39, q40, q41, q42, q53, q56, q61, q73, q82, q85)
 }

@@ -31,6 +31,41 @@ class StreamingSpec extends SparkTestBase {
       s"expected only the open tail windows withheld, got $withheld")
   }
 
+  test("q85 native streaming sessions equal the batch twin on finalized sessions") {
+    import org.apache.spark.sql.expressions.Window
+    val events = graft.engine.Tables.table(spark, sfDir, "events")
+      .select("user_id", "event_id", "ts")
+    // Precondition for twin equivalence: session_window starts a NEW
+    // session at diff == gap while the batch twin keeps it — assert the
+    // fixture has no exact-boundary gaps so the semantics coincide.
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val boundary = events
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .where(col("gap_us") === 600L * 1000000L).count()
+    assert(boundary == 0, s"fixture has $boundary exact-gap pairs; twin comparison invalid")
+
+    val batch = graft.operators.Sessionize
+      .summarize(events, "user_id", "ts", 600, "event_id")
+      .select(col("user_id"), col("session_start"), col("n_events"), col("dur_s"))
+      .collect()
+    val maxTsMs = graft.engine.Tables.table(spark, sfDir, "events")
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+    val watermarkMs = maxTsMs - 3600 * 1000L
+    // a session is emitted once watermark passes its window end (last + gap)
+    val finalized = batch.filter { r =>
+      r.getAs[Timestamp]("session_start").getTime +
+        r.getAs[Long]("dur_s") * 1000L + 600 * 1000L <= watermarkMs
+    }.map(r => (r.getAs[Long]("user_id"),
+      r.getAs[Timestamp]("session_start").getTime, r.getAs[Long]("n_events"))).toSet
+    val stream = SparkEntry.queries("q85_stream_session_native")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start").getTime, r.getAs[Long]("n_events"))).toSet
+    assert(stream == finalized,
+      s"native sessions diverge: stream=${stream.size} batch-finalized=${finalized.size}")
+    assert(stream.nonEmpty)
+  }
+
   test("watermark drops late events in append mode") {
     // Spark's late-event filter in batch N uses the watermark that was
     // current DURING batch N-1 (eviction uses the newer one) — verified
