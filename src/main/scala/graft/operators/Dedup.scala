@@ -141,10 +141,18 @@ object Dedup {
     * standard coordination pattern for iterative algorithms) and THROWS if
     * `maxIter` is hit unconverged rather than returning partial labels.
     *
+    * Lineage: each round's plan would otherwise chain on every previous
+    * round, so planning time (and recovery replay) grows linearly with
+    * iterations — on a real cluster with high-diameter graphs that is the
+    * dominant driver cost. Every `checkpointEvery` rounds the label frame
+    * is `localCheckpoint`ed (eager, reuses the blocks the convergence
+    * check just materialized) which truncates the logical plan to a scan
+    * of the cached blocks.
+    *
     * Output: (node, component) with component = min node id reachable.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, checkpointEvery: Int = 3): DataFrame = {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct().persist()
@@ -158,11 +166,16 @@ object Dedup {
         .join(labels.select(col("node").as("__vn"), col("label").as("__vl")),
           col("v") === col("__vn"))
         .groupBy(col("u").as("__un")).agg(min("__vl").as("__nlabel"))
-      val next = labels.join(nmin, col("node") === col("__un"), "left")
+      val joined = labels.join(nmin, col("node") === col("__un"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("__nlabel"), col("label"))).as("label"),
           (coalesce(col("__nlabel"), col("label")) < col("label")).as("__chg"))
-        .persist()
+      // Periodic localCheckpoint truncates the plan (it chains one join per
+      // round otherwise); persist covers the rounds in between. Both are
+      // materialized by the convergence check, so no extra job is run.
+      val next =
+        if ((i + 1) % checkpointEvery == 0) joined.localCheckpoint(true)
+        else joined.persist()
       converged = next.where(col("__chg")).isEmpty // materializes `next`
       prevCached.foreach(_.unpersist())
       prevCached = Some(next)

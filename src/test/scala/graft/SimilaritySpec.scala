@@ -163,6 +163,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == expected, "label propagation diverged from union-find")
   }
 
+  test("connectedComponents converges on a diameter-10 chain and truncates lineage") {
+    // Path graph 0-1-2-…-10: min-label propagation moves label 0 one hop
+    // per round, so this needs the full iteration budget AND crosses
+    // several localCheckpoint boundaries (checkpointEvery=2) — verifying
+    // the truncated-lineage path computes the same fixpoint and the plan
+    // does not accumulate one join per round.
+    import spark.implicits._
+    val chain = (0L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = graft.operators.Dedup.connectedComponents(
+      chain, "doc_a", "doc_b", maxIter = 15, checkpointEvery = 2)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 10L).map(_ -> 0L).toMap)
+    // truncated lineage: the result's logical plan must NOT contain the
+    // ~10 iterations' worth of chained joins (a checkpoint scan has none)
+    val joins = labels.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.size
+    assert(joins <= 2, s"lineage not truncated: $joins joins still in the plan")
+    // diameter > maxIter must throw, not return partial labels
+    val tooDeep = intercept[IllegalStateException] {
+      graft.operators.Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIter = 5)
+    }
+    assert(tooDeep.getMessage.contains("converge"))
+  }
+
   test("q47 simhash candidate pairs are well-formed") {
     val rows = SparkEntry.queries("q47_dedup_simhash")(spark, sfDir).collect()
     assert(rows.nonEmpty)

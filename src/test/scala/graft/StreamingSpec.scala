@@ -66,6 +66,55 @@ class StreamingSpec extends SparkTestBase {
     assert(stream.nonEmpty)
   }
 
+  test("q73 sink shape: update-mode batches rewrite only touched buckets") {
+    // The q73 pipeline's sink contract (VERDICT r02 #1): an update-mode
+    // aggregate emits only the keys changed in the micro-batch, and
+    // MergeUpsert rewrites only the buckets those keys hash into. Two
+    // micro-batches (maxFilesPerTrigger=1): batch 1 inserts 64 users,
+    // batch 2 touches exactly 2 — its rewrite must be bucket-bounded, not
+    // snapshot-scale.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("q73_shape").toString
+    val src = s"$dir/src"
+    (1L to 64L).flatMap(u => Seq.fill(4)(u)).toDF("user_id")
+      .coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1100) // distinct mtimes → deterministic file order
+    Seq(1L, 1L, 2L).toDF("user_id")
+      .coalesce(1).write.mode("append").parquet(src)
+    val target = s"$dir/t"
+    val stats = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val agg = spark.readStream
+      .schema("user_id LONG")
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val carried = graft.operators.MergeUpsert.upsertBatch(
+            batch.sparkSession, target, batch, Seq("user_id"), numBuckets = 16)
+          stats.add((batch.count(), carried))
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = stats.toArray(Array.empty[(Long, Long)]).toSeq
+    assert(batches.size == 2, s"expected 2 micro-batches, got $batches")
+    val Seq((b1Rows, b1Carried), (b2Rows, b2Carried)) = batches
+    assert(b1Rows == 64 && b1Carried == 0)
+    assert(b2Rows == 2, s"update mode must emit only the 2 changed keys, got $b2Rows")
+    // 2 touched keys → ≤2 of 16 buckets → carried ≈ 2·(64/16) untouched-key
+    // rows from those buckets; far below the 62 a snapshot rewrite implies
+    assert(b2Carried <= 2 * (64 / 16),
+      s"batch 2 carried $b2Carried rows — rewrite not bounded by touched buckets")
+    val got = graft.operators.MergeUpsert.snapshot(spark, target)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (1L to 64L).map(u => u -> 4L).toMap ++ Map(1L -> 6L, 2L -> 5L)
+    assert(got == expected)
+  }
+
   test("watermark drops late events in append mode") {
     // Spark's late-event filter in batch N uses the watermark that was
     // current DURING batch N-1 (eviction uses the newer one) — verified
