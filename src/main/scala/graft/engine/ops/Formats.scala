@@ -253,5 +253,117 @@ object Formats {
       .orderBy("lang", "source")
   }
 
-  def defs: Seq[QueryDef] = Seq(q02, q03, q52, q62, q72, q76)
+  // --- q86/q87: messy-ingestion sources (VERDICT r02 #2) ------------------
+  // The single most common real pipeline entry point: CSV / JSON-lines
+  // files with malformed rows, read under PERMISSIVE mode with an explicit
+  // schema and a `_corrupt` record column, valid rows aggregated and
+  // corrupt rows ACCOUNTED (bucket -1) rather than silently dropped.
+  //
+  // The fixture is constant content at a versioned deterministic path, so
+  // the DuckDB oracle can read the same file: it parses all-VARCHAR (CSV) /
+  // raw lines + TRY_CAST(.. AS JSON) (JSON) and flags bad rows via
+  // TRY_CAST failures — the engine-portable mirror of PERMISSIVE. Fixture
+  // rows are built so the two notions of "malformed" provably coincide
+  // (no empty fields, no quoted numbers, no missing keys in valid rows).
+  //
+  // Scale: spark.read.csv/json over a directory is an ordinary distributed
+  // scan — schema enforcement and corrupt capture happen per-task inside
+  // the scan; the aggregate is map-side-combined. Nothing here is driver-
+  // bound except writing the constant fixture.
+
+  /** Write constant fixture content once; versioned path = idempotent. */
+  private def fixture(relPath: String, content: => String): String = {
+    val f = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/$relPath")
+    if (!f.exists()) {
+      f.getParentFile.mkdirs()
+      Files.write(f.toPath, content.getBytes("UTF-8"))
+    }
+    f.getAbsolutePath
+  }
+
+  private def csvFixture(): String = fixture("graft_csv_v2/messy.csv", {
+    val valid = (1 to 400).map(i =>
+      s"$i,cust_$i,${(i * 37) % 1000}.${"%02d".format(i % 100)}")
+    // one of each malformed class Spark's PERMISSIVE mode flags: all are
+    // TYPE failures (non-numeric key, double-dotted decimal, single-token
+    // garbage, all-dashes, triple-dotted decimal). NOTE deliberately
+    // excluded: short rows ("405,cust_405") — Spark null-pads missing
+    // trailing fields WITHOUT setting _corrupt, so they are not malformed
+    // under PERMISSIVE semantics (measured on 4.1.2).
+    val bad = Seq("x401,cust_x,12.00", "402,cust_402,12.3.4", "###",
+      "-,-,-", "405,cust_405,99.99.99")
+    (valid ++ bad).mkString("\n") + "\n"
+  })
+
+  private def jsonFixture(): String = fixture("graft_json_v1/messy.jsonl", {
+    val valid = (1 to 300).map(i =>
+      s"""{"id":$i,"name":"cust_$i","val":${(i * 37) % 1000}.${"%02d".format(i % 100)}}""")
+    // unquoted token, not JSON, string-typed id, string-typed decimal,
+    // truncated object
+    val bad = Seq("""{"id":x}""", "not json at all",
+      """{"id":"x303","name":"n","val":1.00}""",
+      """{"id":304,"name":"n","val":"zz"}""", """{"id":305,"name":"n""")
+    (valid ++ bad).mkString("\n") + "\n"
+  })
+
+  private def permissiveSummary(parsed: org.apache.spark.sql.DataFrame) = {
+    val flagged = parsed.select(col("id"), col("val"),
+      col("_corrupt").isNotNull.as("bad"))
+    flagged
+      .groupBy(when(col("bad"), lit(-1L)).otherwise(col("id") % 5).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("bad"), lit(0).cast("decimal(18,2)")).otherwise(col("val")))
+          .cast("double").as("sum_val"))
+      .orderBy("bucket")
+  }
+
+  private val permissiveSchema =
+    "id BIGINT, name STRING, val DECIMAL(18,2), _corrupt STRING"
+
+  private val q86 = QueryDef(
+    "q86_csv_permissive_source",
+    s"""WITH raw AS (
+       |  SELECT * FROM read_csv('${System.getProperty("java.io.tmpdir")}/graft_csv_v2/messy.csv',
+       |    columns={'id':'VARCHAR','name':'VARCHAR','val':'VARCHAR'},
+       |    header=false, delim=',', quote='', null_padding=true, auto_detect=false)),
+       |typed AS (
+       |  SELECT TRY_CAST(id AS BIGINT) AS id_t, TRY_CAST(val AS DECIMAL(18,2)) AS val_t,
+       |    (TRY_CAST(id AS BIGINT) IS NULL OR TRY_CAST(val AS DECIMAL(18,2)) IS NULL) AS bad
+       |  FROM raw)
+       |SELECT CASE WHEN bad THEN -1 ELSE id_t % 5 END AS bucket,
+       |  COUNT(*) AS n_rows,
+       |  CAST(SUM(CASE WHEN bad THEN CAST(0 AS DECIMAL(18,2)) ELSE val_t END) AS DOUBLE) AS sum_val
+       |FROM typed GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+    val parsed = s.read
+      .schema(permissiveSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(csvFixture())
+    permissiveSummary(parsed)
+  }
+
+  private val q87 = QueryDef(
+    "q87_json_permissive_source",
+    s"""WITH raw AS (
+       |  SELECT * FROM read_csv('${System.getProperty("java.io.tmpdir")}/graft_json_v1/messy.jsonl',
+       |    columns={'line':'VARCHAR'}, header=false, delim='|', quote='', auto_detect=false)),
+       |typed AS (
+       |  SELECT TRY_CAST(json_extract_string(TRY_CAST(line AS JSON), '$$.id') AS BIGINT) AS id_t,
+       |         TRY_CAST(json_extract_string(TRY_CAST(line AS JSON), '$$.val') AS DECIMAL(18,2)) AS val_t
+       |  FROM raw),
+       |flagged AS (SELECT id_t, val_t, (id_t IS NULL OR val_t IS NULL) AS bad FROM typed)
+       |SELECT CASE WHEN bad THEN -1 ELSE id_t % 5 END AS bucket,
+       |  COUNT(*) AS n_rows,
+       |  CAST(SUM(CASE WHEN bad THEN CAST(0 AS DECIMAL(18,2)) ELSE val_t END) AS DOUBLE) AS sum_val
+       |FROM flagged GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+    val parsed = s.read
+      .schema(permissiveSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(jsonFixture())
+    permissiveSummary(parsed)
+  }
+
+  def defs: Seq[QueryDef] = Seq(q02, q03, q52, q62, q72, q76, q86, q87)
 }

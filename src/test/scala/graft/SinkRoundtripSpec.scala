@@ -29,4 +29,17 @@ class SinkRoundtripSpec extends SparkTestBase {
     assert(viaCsv == viaParquet)
     assert(viaJson == viaParquet)
   }
+
+  test("q86/q87 permissive sources account for every malformed fixture row") {
+    // Each fixture plants exactly 5 type-failure rows; PERMISSIVE parsing
+    // must surface all 5 in the corrupt bucket (-1) and keep the valid
+    // row count exact (400 CSV / 300 JSON across buckets 0-4).
+    for ((name, nValid) <- Seq("q86_csv_permissive_source" -> 400L,
+                               "q87_json_permissive_source" -> 300L)) {
+      val rows = SparkEntry.queries(name)(spark, sfDir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows(-1L) == 5L, s"$name corrupt bucket: ${rows.get(-1L)}")
+      assert((0L to 4L).map(rows).sum == nValid, s"$name valid rows: $rows")
+    }
+  }
 }
