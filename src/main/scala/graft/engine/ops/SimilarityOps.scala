@@ -268,5 +268,41 @@ object SimilarityOps {
       .limit(100)
   }
 
-  def defs: Seq[QueryDef] = Seq(q47, q48, q49, q50, q63, q66, q75)
+  // --- q88: exact-substring dedup (shared k-token window, k=8) ------------
+  // The other industrial dedup family besides MinHash: flag doc pairs that
+  // share ANY run of k consecutive tokens, via an inverted index over
+  // portable rolling window hashes (Dedup.substringPairs — one shuffle to
+  // postings, hot-window df cap bounds quadratic work). The window-hash
+  // arithmetic is the same fold in both engines, so the oracle reproduces
+  // the exact candidate set; the oracle SQL's nested fold is generated
+  // from the same k below.
+  private val substringK = 8
+  private val substringCap = 50
+
+  /** DuckDB mirror of Dedup.windowHashes' fold, generated for the same k. */
+  private def duckWindowHashes(toks: String, k: Int): String = {
+    def code(e: String) = s"(CAST(ascii(substr($e, 1, 1)) AS BIGINT) * 31 + length($e))"
+    def fold(j: Int): String =
+      if (j == 0) code(s"$toks[i]")
+      else s"((${fold(j - 1)}) * 131 + ${code(s"$toks[i + $j]")}) % 1000000007"
+    s"list_distinct(list_transform(range(1, len($toks) - ${k - 1} + 1), i -> ${fold(k - 1)}))"
+  }
+
+  private val q88 = QueryDef(
+    "q88_dedup_substring",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |              WHERE len(string_split(text, ' ')) >= $substringK),
+       |wh AS (SELECT doc_id, unnest(${duckWindowHashes("t", substringK)}) AS h FROM toks),
+       |capped AS (SELECT h FROM wh GROUP BY h HAVING COUNT(*) <= $substringCap),
+       |p AS (SELECT wh.doc_id, wh.h FROM wh JOIN capped USING (h))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY doc_a, doc_b LIMIT 500""".stripMargin) { (s, dir) =>
+    graft.operators.Dedup.substringPairs(
+      Tables.table(s, dir, "documents").withColumn("t", split(col("text"), " ")),
+      "doc_id", "t", k = substringK, maxDocFreq = substringCap)
+      .orderBy("doc_a", "doc_b").limit(500)
+  }
+
+  def defs: Seq[QueryDef] = Seq(q47, q48, q49, q50, q63, q66, q75, q88)
 }

@@ -191,6 +191,50 @@ object Dedup {
     labels
   }
 
+  /** Portable rolling-hash codes of every k-token window (array<bigint>,
+    * distinct): h = fold(tokens in window)((acc * 131 + code(t)) mod 1e9+7)
+    * with the engine's shared token code (first-char ascii * 31 + length) —
+    * the k-generalization of `GraftFunctions.hashedShingles` (k=3). The
+    * token code is a coarse fingerprint, so distinct windows can collide;
+    * collisions are deterministic and IDENTICAL in any engine evaluating
+    * the same arithmetic, which is what lets a DuckDB oracle reproduce the
+    * exact candidate set. A production variant wanting fewer false merges
+    * swaps in xxhash64 per token (then forfeits the cross-engine oracle,
+    * like q32). */
+  def windowHashes(tokensCol: String, k: Int): Column = {
+    require(k >= 2, "window size must be at least 2 tokens")
+    def code(t: String) = s"cast(ascii(substr($t, 1, 1)) * 31 + length($t) AS BIGINT)"
+    def fold(j: Int): String =
+      if (j == 0) code(s"element_at($tokensCol, i)")
+      else s"((${fold(j - 1)}) * 131 + ${code(s"element_at($tokensCol, i + $j)")}) % 1000000007"
+    expr(s"array_distinct(transform(sequence(1, size($tokensCol) - ${k - 1}), i -> ${fold(k - 1)}))")
+  }
+
+  /** EXACT-SUBSTRING dedup candidates — the other industrial dedup family
+    * besides MinHash (the "50-token overlap" rule of large-corpus
+    * pipelines): doc pairs sharing at least one k-consecutive-token
+    * window, found via an inverted index on the rolling window hashes.
+    *
+    * Same 100 TB shape as [[jaccardPostings]]: map-side window hashing,
+    * one shuffle to build postings, `maxDocFreq` caps hot windows
+    * (boilerplate spans carry no dedup signal but quadratic join cost), so
+    * per-window work is bounded and total cost is O(Σ df²) over genuinely
+    * shared spans. Output: (doc_a, doc_b, n_shared) = count of DISTINCT
+    * shared window hashes per pair.
+    */
+  def substringPairs(df: DataFrame, idCol: String, tokensCol: String,
+      k: Int, maxDocFreq: Long = 50): DataFrame = {
+    val wh = df.where(size(col(tokensCol)) >= k)
+      .select(col(idCol).as("__doc"), explode(windowHashes(tokensCol, k)).as("__wh"))
+    val keep = wh.groupBy("__wh").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDocFreq).select("__wh")
+    val p = wh.join(keep, "__wh")
+    val a = p.select(col("__wh"), col("__doc").as("doc_a"))
+    val b = p.select(col("__wh").as("__wh_b"), col("__doc").as("doc_b"))
+    a.join(b, col("__wh") === col("__wh_b") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+  }
+
   /** SimHash banded near-dup candidate pairs: 64-bit SimHash per row
     * (codegen conditional-sum aggregates packed into one long), searched
     * via `bands` bands of 64/bands bits. Output: (doc_a, doc_b,

@@ -163,6 +163,47 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == expected, "label propagation diverged from union-find")
   }
 
+  test("substringPairs matches brute force and the df cap bounds postings") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val k = 8
+    val cap = 50L
+    val docs = graft.engine.Tables.table(spark, sfDir, "documents")
+      .withColumn("t", split(col("text"), " "))
+    // brute-force twin: window-hash sets per doc, capped postings, all pairs
+    val whs = docs.where(size(col("t")) >= k)
+      .select(col("doc_id"), Dedup.windowHashes("t", k).as("wh"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Long](1).toSet)
+    val df = whs.flatMap { case (_, s) => s }.groupBy(identity).map { case (h, v) => h -> v.size }
+    assert(df.values.max <= cap, "fixture unexpectedly exceeds the cap — pick a higher cap")
+    val kept = df.filter(_._2 <= cap).keySet
+    val brute = (for {
+      (a, sa) <- whs; (b, sb) <- whs if a < b
+      shared = (sa intersect sb) intersect kept if shared.nonEmpty
+    } yield (a, b) -> shared.size.toLong).toMap
+    val got = Dedup.substringPairs(docs, "doc_id", "t", k, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == brute, s"substring pairs diverged: got ${got.size}, brute ${brute.size}")
+    assert(brute.nonEmpty, "fixture should contain at least one shared-substring pair")
+
+    // cap bound: plant 60 docs sharing a boilerplate span (df=60 > cap) plus
+    // one pair sharing a unique span — only the unique pair may survive
+    import spark.implicits._
+    val boiler = "common header line repeated across every generated document body text"
+    // tails must differ under the coarse token code (first char + LENGTH),
+    // not just as strings — "tail_1".."tail_9" would collide and pair up
+    val planted = ((1L to 60L).map(i => (i, s"$boiler ${"x" * i.toInt}")) ++
+      Seq((61L, s"unique alpha beta gamma delta epsilon zeta eta theta"),
+          (62L, s"unique alpha beta gamma delta epsilon zeta eta theta")))
+      .toDF("doc_id", "text").withColumn("t", split(col("text"), " "))
+    val plantedPairs = Dedup.substringPairs(planted, "doc_id", "t", k, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plantedPairs == Set((61L, 62L)),
+      s"boilerplate windows above the df cap must not generate pairs: $plantedPairs")
+  }
+
   test("connectedComponents converges on a diameter-10 chain and truncates lineage") {
     // Path graph 0-1-2-…-10: min-label propagation moves label 0 one hop
     // per round, so this needs the full iteration budget AND crosses
