@@ -37,6 +37,24 @@ class PlanSuite extends SparkTestBase {
     assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts:\n$p")
   }
 
+  test("q41 sessionize shuffles and sorts once; second window sees boundaries only") {
+    // The r03 summarize shape: lag/lead/row_number fused in one full-data
+    // WindowExec; the session-counter window runs AFTER the boundary filter
+    // over ~2 rows/session, reusing the partitioning and order — so the
+    // whole query carries exactly one Exchange and one Sort (plus the
+    // TakeOrdered final), never a second full-data pass.
+    val p = plan("q41_stream_session")
+    assert("(\\d+)\\) Window".r.findAllIn(p).size == 2, p)
+    assert("(\\d+)\\) Exchange".r.findAllIn(p).size == 1, s"expected 1 exchange:\n$p")
+    assert("(\\d+)\\) Sort".r.findAllIn(p).size == 1, s"expected 1 sort:\n$p")
+    // the boundary filter must sit between the two Window nodes
+    val iWin = p.indexOf(") Window")
+    val iFilter = p.indexOf(") Filter", iWin + 1)
+    val iWin2 = p.indexOf(") Window", iWin + 1)
+    assert(iFilter >= 0 && iFilter < iWin2,
+      s"boundary filter not between the window passes:\n$p")
+  }
+
   test("q28 global top-k is TakeOrderedAndProject (O(k) at the driver)") {
     assert(plan("q28_topk_global").contains("TakeOrderedAndProject"))
   }
