@@ -261,7 +261,10 @@ object SimilarityOps {
     val pairs = a.join(b, col("band") === col("band_b") && col("key") === col("key_b")
         && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    graft.operators.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    // candidate-pair edges are corpus-fraction-sized: right-size the
+    // iterative stage's shuffles instead of inheriting the scan's count
+    graft.operators.Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+        shufflePartitions = Some(8))
       .groupBy(col("label").as("component"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("n_members").desc, col("component"))

@@ -150,36 +150,61 @@ object Dedup {
     * of the cached blocks.
     *
     * Output: (node, component) with component = min node id reachable.
+    *
+    * `shufflePartitions` right-sizes the per-round shuffles: the edge list
+    * is orders of magnitude smaller than the corpus (candidate pairs), so
+    * inheriting the corpus-sized `spark.sql.shuffle.partitions` pays
+    * rounds × shuffles × partitions in empty-task scheduling. Size it to
+    * the EDGE volume (a deliberate knob, like the streaming state
+    * partitions); at 100 TB with billions of candidate edges it goes UP.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20, checkpointEvery: Int = 3): DataFrame = {
+      maxIter: Int = 20, checkpointEvery: Int = 3,
+      shufflePartitions: Option[Int] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    shufflePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct().persist()
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // seed with min(self ∪ neighbors) straight off the edge aggregation —
+    // equivalent to (trivial init + one propagation round) for one shuffle
+    var labels = edges.groupBy(col("u")).agg(min(col("v")).as("__mv"))
+      .select(col("u").as("node"), least(col("u"), col("__mv")).as("label"))
+    // Convergence via the monotone label-sum invariant: labels only ever
+    // DECREASE (per-node min), so the sum strictly drops on any change and
+    // is stable exactly at the fixpoint — one scalar aggregate per round
+    // (a bounded driver action) instead of a changed-rows scan, and the
+    // round itself is join → union-self → single min groupBy: two shuffle
+    // boundaries, not three.
+    def labelSum(df: DataFrame): java.math.BigDecimal = df
+      .agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
     var prevCached: Option[DataFrame] = None
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (i < maxIter && !converged) {
-      val nmin = edges
+      val propagated = edges
         .join(labels.select(col("node").as("__vn"), col("label").as("__vl")),
           col("v") === col("__vn"))
-        .groupBy(col("u").as("__un")).agg(min("__vl").as("__nlabel"))
-      val joined = labels.join(nmin, col("node") === col("__un"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("__nlabel"), col("label"))).as("label"),
-          (coalesce(col("__nlabel"), col("label")) < col("label")).as("__chg"))
+        .select(col("u").as("node"), col("__vl").as("label"))
+        .unionByName(labels)
+        .groupBy("node").agg(min("label").as("label"))
       // Periodic localCheckpoint truncates the plan (it chains one join per
-      // round otherwise); persist covers the rounds in between. Both are
-      // materialized by the convergence check, so no extra job is run.
+      // round otherwise); persist covers the rounds in between. LAZY
+      // checkpoint on purpose: the convergence aggregate right below is the
+      // materializing action either way, so no extra job is run.
       val next =
-        if ((i + 1) % checkpointEvery == 0) joined.localCheckpoint(true)
-        else joined.persist()
-      converged = next.where(col("__chg")).isEmpty // materializes `next`
+        if ((i + 1) % checkpointEvery == 0) propagated.localCheckpoint(false)
+        else propagated.persist()
+      val s = labelSum(next) // materializes `next`
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       prevCached.foreach(_.unpersist())
       prevCached = Some(next)
-      labels = next.select("node", "label")
+      labels = next
       i += 1
     }
     edges.unpersist()
@@ -189,6 +214,7 @@ object Dedup {
     // materialized by the convergence check, so downstream consumers read
     // the cache instead of replaying the whole iteration lineage
     labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Portable rolling-hash codes of every k-token window (array<bigint>,
