@@ -1,0 +1,120 @@
+package graft.engine.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.engine.{QueryDef, Tables}
+
+/**
+ * Warehouse / maintenance surface (round 3): the operational shapes every
+ * production deployment of the engine runs beside its analytics —
+ * slowly-changing dimensions, small-file compaction, data profiling, and
+ * the full-SQL path with correlated subqueries (Catalyst decorrelation).
+ */
+object WarehouseOps {
+
+  // --- q89: SCD type-2 dimension build ------------------------------------
+  // Turn a per-key change stream into versioned rows with
+  // [valid_from, valid_to) ranges and a current flag — one lead() window
+  // per key, no joins, no self-reads. Map-side after a single shuffle on
+  // the key; at 100 TB the dimension builds partition-parallel exactly
+  // like q41's sessionize.
+  private val q89 = QueryDef(
+    "q89_scd2_dimension",
+    """SELECT user_id, event_id, value, ts AS valid_from,
+      |  LEAD(ts) OVER w AS valid_to,
+      |  CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+      |FROM events WHERE user_id <= 20
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, valid_from, event_id LIMIT 1000""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.table(s, dir, "events")
+      .where(col("user_id") <= 20)
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"),
+        when(lead(col("ts"), 1).over(w).isNull, 1).otherwise(0).as("is_current"))
+      .orderBy("user_id", "valid_from", "event_id").limit(1000)
+  }
+
+  // --- q90: small-file compaction (table maintenance) ---------------------
+  // The 100 TB operational reality: ingest leaves thousands of KB-sized
+  // files per partition; scans then pay one task + one open per file.
+  // Compaction = read → repartition to the target file count → rewrite.
+  // Content must be preserved EXACTLY (the oracle is the underlying
+  // query); the before/after file counts are asserted in tests.
+  private val q90 = QueryDef(
+    "q90_compact_small_files",
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS quantity
+      |FROM lineitem WHERE l_orderkey <= 2000
+      |ORDER BY l_orderkey, l_linenumber LIMIT 2000""".stripMargin) { (s, dir) =>
+    val base = Tables.table(s, dir, "lineitem")
+      .where(col("l_orderkey") <= 2000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(18,2)").cast("double").as("quantity"))
+    val tmp = Files.createTempDirectory("q90_compact").toString
+    // simulate the fragmented ingest state, then compact it
+    base.repartition(64).write.mode("overwrite").parquet(s"$tmp/small")
+    s.read.parquet(s"$tmp/small")
+      .repartition(2).write.mode("overwrite").parquet(s"$tmp/compacted")
+    s.read.parquet(s"$tmp/compacted")
+      .orderBy("l_orderkey", "l_linenumber").limit(2000)
+  }
+
+  /** File-count helper for the compaction spec (not part of the query). */
+  def parquetFileCount(dir: String): Int =
+    Option(new java.io.File(dir).listFiles())
+      .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+
+  // --- q91: one-pass column profiling (data quality) ----------------------
+  // Null counts, exact distinct counts, string-cast min/max for several
+  // columns in ONE aggregation (Catalyst plans multiple DISTINCTs via a
+  // single Expand — one scan), then stack() to long form. The profiling
+  // shape quality dashboards run over every ingest batch.
+  private val profiled = Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+  private val q91 = QueryDef(
+    "q91_profile_columns",
+    profiled.map(c =>
+      s"""SELECT '$c' AS col_name,
+         |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  MIN(CAST($c AS VARCHAR)) AS min_val,
+         |  MAX(CAST($c AS VARCHAR)) AS max_val
+         |FROM orders""".stripMargin).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")) { (s, dir) =>
+    val orders = Tables.table(s, dir, "orders")
+    val aggs = profiled.flatMap { c =>
+      Seq(count(when(col(c).isNull, 1)).as(s"__n_$c"),
+        countDistinct(col(c)).as(s"__d_$c"),
+        min(col(c).cast("string")).as(s"__mn_$c"),
+        max(col(c).cast("string")).as(s"__mx_$c"))
+    }
+    val wide = orders.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = profiled.map(c =>
+      s"'$c', __n_$c, __d_$c, __mn_$c, __mx_$c").mkString(", ")
+    wide.selectExpr(
+      s"stack(${profiled.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_val, max_val)")
+      .orderBy("col_name")
+  }
+
+  // --- q92: correlated scalar subquery (the full-SQL path) ----------------
+  // Declared THROUGH spark.sql over registered views — the surface a
+  // reference user's ad-hoc SQL hits. Catalyst decorrelates the correlated
+  // COUNT(*) subquery into an aggregate + outer join; integer-only
+  // comparisons keep cross-engine parity exact.
+  private val q92Sql =
+    """SELECT c_custkey, c_name,
+      |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |WHERE (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |      BETWEEN 8 AND 20
+      |ORDER BY c_custkey LIMIT 200""".stripMargin
+  private val q92 = QueryDef("q92_correlated_subquery", q92Sql) { (s, dir) =>
+    Tables.load(s, dir, Seq("customer", "orders"))
+    s.sql(q92Sql)
+  }
+
+  def defs: Seq[QueryDef] = Seq(q89, q90, q91, q92)
+}

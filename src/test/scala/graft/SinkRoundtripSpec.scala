@@ -30,6 +30,19 @@ class SinkRoundtripSpec extends SparkTestBase {
     assert(viaJson == viaParquet)
   }
 
+  test("compaction rewrites many small files into few without losing rows") {
+    import graft.engine.ops.WarehouseOps.parquetFileCount
+    val base = graft.engine.Tables.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber")
+    val tmp = java.nio.file.Files.createTempDirectory("compact_spec").toString
+    base.repartition(64).write.parquet(s"$tmp/small")
+    assert(parquetFileCount(s"$tmp/small") > 30, "fragmented state not created")
+    spark.read.parquet(s"$tmp/small")
+      .repartition(2).write.parquet(s"$tmp/compacted")
+    assert(parquetFileCount(s"$tmp/compacted") == 2)
+    assert(spark.read.parquet(s"$tmp/compacted").count() == base.count())
+  }
+
   test("q86/q87 permissive sources account for every malformed fixture row") {
     // Each fixture plants exactly 5 type-failure rows; PERMISSIVE parsing
     // must surface all 5 in the corrupt bucket (-1) and keep the valid
