@@ -312,6 +312,59 @@ object StreamingOps {
     graft.operators.MergeUpsert.snapshot(s, target).orderBy("user_id")
   }
 
+  // --- q93: TRUE stream-stream LEFT OUTER interval join -------------------
+  // q56's shape with outer semantics — the production question "which
+  // purchases had NO preceding view?". Matches stream out like the inner
+  // join; a null-extended row for an unmatched purchase is emitted only
+  // once the watermark proves no view can still arrive (watermark ≥ its
+  // match window's upper bound = the purchase ts). On static input that
+  // set is deterministic: every inner match, plus null rows for unmatched
+  // purchases with ts ≤ max_ts − 1 h — which is exactly the oracle below
+  // (view_id coalesced to −1 so ORDER BY/LIMIT truncation is
+  // engine-agnostic under either NULLS ordering).
+  private val q93 = QueryDef(
+    "q93_stream_outer_interval_join",
+    """WITH j AS (
+      |  SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.ts AS pts
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |    ON p.user_id = v.user_id
+      |   AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts)
+      |SELECT purchase_id, COALESCE(view_id, -1) AS view_id FROM j
+      |WHERE view_id IS NOT NULL
+      |   OR pts <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
+      |ORDER BY purchase_id, view_id LIMIT 500""".stripMargin) { (s, dir) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def branch(kind: String, alias: String) = src
+      .where(col("event_type") === kind)
+      .select(col("event_id").as(s"${alias}_event_id"),
+        col("user_id").as(s"${alias}_user_id"), col("ts").as(s"${alias}_ts"))
+      .withWatermark(s"${alias}_ts", "1 hour")
+    val joined = branch("purchase", "p").join(branch("view", "v"),
+      col("p_user_id") === col("v_user_id")
+        && col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+        && col("v_ts") < col("p_ts"),
+      "leftOuter")
+      .select(col("p_event_id").as("purchase_id"),
+        coalesce(col("v_event_id"), lit(-1L)).as("view_id"))
+    val target = java.nio.file.Files.createTempDirectory("q93_sink").toString
+    withStatePartitions(s, 8) {
+      val query = joined.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) batch.write.mode("append").parquet(s"$target/out")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    s.read.parquet(s"$target/out").orderBy("purchase_id", "view_id").limit(500)
+  }
+
   // --- q82: time-series resample to an hourly grid + forward fill ---------
   // The gap-filling shape time-series pipelines need: per-entity values on
   // a REGULAR grid, holes filled with the last observation. Hourly value =
@@ -405,5 +458,5 @@ object StreamingOps {
     s.read.parquet(s"$target/out").orderBy("user_id", "session_start")
   }
 
-  def defs: Seq[QueryDef] = Seq(q39, q40, q41, q42, q53, q56, q61, q73, q82, q85)
+  def defs: Seq[QueryDef] = Seq(q39, q40, q41, q42, q53, q56, q61, q73, q82, q85, q93)
 }
