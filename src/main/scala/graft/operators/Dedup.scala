@@ -241,23 +241,27 @@ object Dedup {
     * pipelines): doc pairs sharing at least one k-consecutive-token
     * window, found via an inverted index on the rolling window hashes.
     *
-    * Same 100 TB shape as [[jaccardPostings]]: map-side window hashing,
-    * one shuffle to build postings, `maxDocFreq` caps hot windows
-    * (boilerplate spans carry no dedup signal but quadratic join cost), so
-    * per-window work is bounded and total cost is O(Σ df²) over genuinely
-    * shared spans. Output: (doc_a, doc_b, n_shared) = count of DISTINCT
-    * shared window hashes per pair.
+    * Same 100 TB shape as the q32/q47 bucket pattern: map-side window
+    * hashing, ONE shuffle grouping postings per window hash, `maxDocFreq`
+    * caps hot windows (boilerplate spans carry no dedup signal but
+    * quadratic cost) so per-bucket pair generation is bounded, and the
+    * window-hash pipeline is evaluated exactly once (a posting self-JOIN
+    * would re-evaluate it per side plus once for the cap filter). Total
+    * cost is O(Σ df²) over genuinely shared spans. Output:
+    * (doc_a, doc_b, n_shared) = count of DISTINCT shared window hashes.
     */
   def substringPairs(df: DataFrame, idCol: String, tokensCol: String,
       k: Int, maxDocFreq: Long = 50): DataFrame = {
     val wh = df.where(size(col(tokensCol)) >= k)
       .select(col(idCol).as("__doc"), explode(windowHashes(tokensCol, k)).as("__wh"))
-    val keep = wh.groupBy("__wh").agg(count(lit(1)).as("__df"))
-      .where(col("__df") <= maxDocFreq).select("__wh")
-    val p = wh.join(keep, "__wh")
-    val a = p.select(col("__wh"), col("__doc").as("doc_a"))
-    val b = p.select(col("__wh").as("__wh_b"), col("__doc").as("doc_b"))
-    a.join(b, col("__wh") === col("__wh_b") && col("doc_a") < col("doc_b"))
+    wh.groupBy("__wh")
+      .agg(expr("sort_array(collect_list(__doc))").as("xs"))
+      .where(size(col("xs")).between(2, maxDocFreq))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(xs) - 1),
+          |  i -> transform(slice(xs, i + 1, size(xs) - i),
+          |       y -> named_struct('doc_a', xs[i - 1], 'doc_b', y))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
   }
 
