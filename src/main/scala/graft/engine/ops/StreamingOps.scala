@@ -316,12 +316,17 @@ object StreamingOps {
   // q56's shape with outer semantics — the production question "which
   // purchases had NO preceding view?". Matches stream out like the inner
   // join; a null-extended row for an unmatched purchase is emitted only
-  // once the watermark proves no view can still arrive (watermark ≥ its
-  // match window's upper bound = the purchase ts). On static input that
-  // set is deterministic: every inner match, plus null rows for unmatched
-  // purchases with ts ≤ max_ts − 1 h — which is exactly the oracle below
-  // (view_id coalesced to −1 so ORDER BY/LIMIT truncation is
-  // engine-agnostic under either NULLS ordering).
+  // once the left row leaves the join state. Eviction is NOT at the raw
+  // watermark: Spark derives the left-state retention from the join
+  // condition (`v_ts >= p_ts - 1h` ⇒ a purchase stays joinable for the
+  // 1 h interval), so the null row for an unmatched purchase emits once
+  // `p_ts < watermark - 1h = max_ts - 2h` (measured at sf0.001: an
+  // unmatched purchase 47 min inside the watermark stayed in state).
+  // On static input that set is deterministic — the oracle below; strict
+  // `<` at the boundary is unobservable (µs timestamps, no fixture row on
+  // it — same boundary-convention class as q42/q85). view_id coalesced to
+  // −1 so ORDER BY/LIMIT truncation is engine-agnostic under either
+  // NULLS ordering.
   private val q93 = QueryDef(
     "q93_stream_outer_interval_join",
     """WITH j AS (
@@ -332,7 +337,7 @@ object StreamingOps {
       |   AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts)
       |SELECT purchase_id, COALESCE(view_id, -1) AS view_id FROM j
       |WHERE view_id IS NOT NULL
-      |   OR pts <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
+      |   OR pts < (SELECT MAX(ts) - INTERVAL 2 HOUR FROM events)
       |ORDER BY purchase_id, view_id LIMIT 500""".stripMargin) { (s, dir) =>
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema

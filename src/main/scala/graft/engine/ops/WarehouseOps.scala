@@ -50,7 +50,7 @@ object WarehouseOps {
     """SELECT l_orderkey, l_linenumber,
       |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS quantity
       |FROM lineitem WHERE l_orderkey <= 2000
-      |ORDER BY l_orderkey, l_linenumber LIMIT 2000""".stripMargin) { (s, dir) =>
+      |ORDER BY l_orderkey, l_linenumber, quantity LIMIT 2000""".stripMargin) { (s, dir) =>
     val base = Tables.table(s, dir, "lineitem")
       .where(col("l_orderkey") <= 2000)
       .select(col("l_orderkey"), col("l_linenumber"),
@@ -60,8 +60,11 @@ object WarehouseOps {
     base.repartition(64).write.mode("overwrite").parquet(s"$tmp/small")
     s.read.parquet(s"$tmp/small")
       .repartition(2).write.mode("overwrite").parquet(s"$tmp/compacted")
+    // (l_orderkey, l_linenumber) is NOT unique in the generated lineitem
+    // (measured: 1.5k dup pairs at sf0.01) — quantity joins the sort so
+    // the LIMIT truncation is value-deterministic in both engines
     s.read.parquet(s"$tmp/compacted")
-      .orderBy("l_orderkey", "l_linenumber").limit(2000)
+      .orderBy("l_orderkey", "l_linenumber", "quantity").limit(2000)
   }
 
   /** File-count helper for the compaction spec (not part of the query). */
