@@ -850,10 +850,35 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  // --- q95: higher-order array functions (lambda surface) -----------------
+  // The codegen-friendly alternative to UDFs for per-row collection logic:
+  // filter / exists / aggregate / transform over token arrays, all inside
+  // the scan's projection — map-only, no shuffle until the final sort.
+  // DuckDB mirrors each with list_filter / list_sort / list_transform +
+  // list_sum (cast BIGINT: list_sum arrives as HUGEINT in pandas).
+  private val q95 = QueryDef(
+    "q95_higher_order_funcs",
+    """SELECT p_partkey,
+      |  len(list_filter(string_split(p_name, ' '), t -> length(t) > 5)) AS n_long,
+      |  len(string_split(p_name, ' ')) > 4 AS many_tokens,
+      |  CAST(list_sum(list_transform(string_split(p_name, ' '), t -> length(t))) AS BIGINT) AS total_len,
+      |  list_sort(string_split(p_name, ' '))[1] AS first_token
+      |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "part")
+      .withColumn("l", split(col("p_name"), " "))
+      .select(col("p_partkey"),
+        size(filter(col("l"), t => length(t) > 5)).as("n_long"),
+        (size(col("l")) > 4).as("many_tokens"),
+        aggregate(col("l"), lit(0L), (acc, t) => acc + length(t))
+          .as("total_len"),
+        element_at(array_sort(col("l")), 1).as("first_token"))
+      .orderBy("p_partkey").limit(500)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q01, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q54, q55, q57, q58, q59, q60,
-    q64, q65, q67, q68, q69, q71, q81, q83, q84)
+    q64, q65, q67, q68, q69, q71, q81, q83, q84, q95)
 }

@@ -463,5 +463,43 @@ object StreamingOps {
     s.read.parquet(s"$target/out").orderBy("user_id", "session_start")
   }
 
-  def defs: Seq[QueryDef] = Seq(q39, q40, q41, q42, q53, q56, q61, q73, q82, q85, q93)
+  // --- q94: per-event session-relative features ---------------------------
+  // The feature-engineering twin of q41: every EVENT keeps its row and
+  // gains session-relative features (session id, index within session,
+  // seconds since session start) — the shape that feeds sequence models.
+  // Sessionize.byGap (two window passes over one shuffle — per-row ids
+  // genuinely need both) + one more window family over (key, session_id),
+  // which reuses the same hash partitioning (user_id is a prefix).
+  private val q94 = QueryDef(
+    "q94_session_features",
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events WHERE user_id <= 10
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM e)
+      |SELECT user_id, event_id, session_id,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS event_idx,
+      |  CAST((epoch_us(ts) - epoch_us(MIN(ts) OVER (PARTITION BY user_id, session_id)))
+      |       // 1000000 AS BIGINT) AS elapsed_s
+      |FROM s ORDER BY user_id, event_id LIMIT 1000""".stripMargin) { (s, dir) =>
+    val sessions = graft.operators.Sessionize.byGap(
+      Tables.table(s, dir, "events").where(col("user_id") <= 10)
+        .select("user_id", "event_id", "ts"),
+      keyCol = "user_id", tsCol = "ts", gapSeconds = 600, tiebreak = "event_id")
+    val w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    sessions
+      .select(col("user_id"), col("event_id"), col("session_id"),
+        row_number().over(w).as("event_idx"),
+        ((unix_micros(col("ts")) - unix_micros(min(col("ts")).over(w)))
+          / lit(1000000L)).cast("bigint").as("elapsed_s"))
+      .orderBy("user_id", "event_id").limit(1000)
+  }
+
+  def defs: Seq[QueryDef] =
+    Seq(q39, q40, q41, q42, q53, q56, q61, q73, q82, q85, q93, q94)
 }
