@@ -211,7 +211,7 @@ object StreamingOps {
         && col("v_ts") < col("p_ts"))
       .select(col("p_event_id").as("purchase_id"), col("v_event_id").as("view_id"))
     val target = java.nio.file.Files.createTempDirectory("q56_sink").toString
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val query = joined.writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -357,7 +357,7 @@ object StreamingOps {
       .select(col("p_event_id").as("purchase_id"),
         coalesce(col("v_event_id"), lit(-1L)).as("view_id"))
     val target = java.nio.file.Files.createTempDirectory("q93_sink").toString
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val query = joined.writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
