@@ -875,10 +875,36 @@ object Relational {
       .orderBy("p_partkey").limit(500)
   }
 
+  // --- q96: MapType function family ---------------------------------------
+  // The map surface (map_from_arrays / map_filter / transform_values /
+  // map_values / element_at): per-row token→length maps, filtered and
+  // re-aggregated to scalars. DuckDB has no equivalent map pipeline — the
+  // oracle recomputes the same SCALARS from the distinct-token list, which
+  // is exactly what makes the map results verifiable. Map keys must be
+  // unique: tokens are array_distinct'd first. Map-only until the sort.
+  private val q96 = QueryDef(
+    "q96_map_funcs",
+    """WITH t AS (SELECT p_partkey, list_distinct(string_split(p_name, ' ')) AS ks FROM part)
+      |SELECT p_partkey,
+      |  len(list_filter(ks, k -> length(k) > 5)) AS n_long_vals,
+      |  CAST(2 * list_sum(list_transform(ks, k -> length(k))) AS BIGINT) AS sum_doubled,
+      |  length(list_sort(ks)[1]) AS first_key_len
+      |FROM t ORDER BY p_partkey LIMIT 500""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "part")
+      .withColumn("ks", array_distinct(split(col("p_name"), " ")))
+      .withColumn("m", map_from_arrays(col("ks"), transform(col("ks"), k => length(k))))
+      .select(col("p_partkey"),
+        size(map_filter(col("m"), (_, v) => v > 5)).as("n_long_vals"),
+        aggregate(map_values(transform_values(col("m"), (_, v) => v * 2)),
+          lit(0L), (acc, v) => acc + v).as("sum_doubled"),
+        element_at(col("m"), element_at(array_sort(col("ks")), 1)).as("first_key_len"))
+      .orderBy("p_partkey").limit(500)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q01, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q54, q55, q57, q58, q59, q60,
-    q64, q65, q67, q68, q69, q71, q81, q83, q84, q95)
+    q64, q65, q67, q68, q69, q71, q81, q83, q84, q95, q96)
 }
