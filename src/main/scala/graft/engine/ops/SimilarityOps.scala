@@ -307,5 +307,34 @@ object SimilarityOps {
       .orderBy("doc_a", "doc_b").limit(500)
   }
 
-  def defs: Seq[QueryDef] = Seq(q47, q48, q49, q50, q63, q66, q75, q88)
+  // --- q97: per-label embedding centroids ---------------------------------
+  // The embedding-AGGREGATION family (class prototypes, cluster centers,
+  // drift monitors): mean vector per label. Float sums are partition-order
+  // dependent, so both engines quantize each component to exact integer
+  // micros first (float→double widening is exact; ×1e6 + floor is
+  // deterministic IEEE) — the BIGINT sums are then order-free and the
+  // final division is one deterministic double op. posexplode → one
+  // shuffle on (label, dim); map-side partial sums do the heavy lifting,
+  // the same shape at 100 TB with billions of vectors.
+  private val q97 = QueryDef(
+    "q97_embedding_centroids",
+    """WITH q AS (
+      |  SELECT label,
+      |    UNNEST(range(len(embedding))) AS dim,
+      |    UNNEST(list_transform(embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS v
+      |  FROM embeddings)
+      |SELECT label, dim, CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1000000.0) AS centroid
+      |FROM q GROUP BY label, dim ORDER BY label, dim LIMIT 400""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        floor(col("x").cast("double") * 1000000).cast("bigint").as("v"))
+      .groupBy("label", "dim")
+      .agg((sum(col("v")).cast("double")
+        / (count(lit(1)) * lit(1000000.0))).as("centroid"))
+      .orderBy("label", "dim").limit(400)
+  }
+
+  def defs: Seq[QueryDef] = Seq(q47, q48, q49, q50, q63, q66, q75, q88, q97)
 }
