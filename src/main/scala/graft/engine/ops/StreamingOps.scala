@@ -500,6 +500,28 @@ object StreamingOps {
       .orderBy("user_id", "event_id").limit(1000)
   }
 
+  // --- q98: interval RANGE window frame (trailing 1 h per event) ----------
+  // The event-time sliding aggregate per ROW (not per fixed window): count
+  // of the user's events in the trailing hour, via a RANGE frame bounded
+  // by an INTERVAL. RANGE includes ts-peers by definition, so the result
+  // is tie-insensitive — no tiebreak column needed for exact parity. One
+  // shuffle + sort on the key; the frame scan is a sliding two-pointer
+  // inside each partition.
+  private val q98 = QueryDef(
+    "q98_window_range_interval",
+    """SELECT user_id, event_id,
+      |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+      |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_last_hour
+      |FROM events WHERE user_id <= 10
+      |ORDER BY user_id, event_id LIMIT 1000""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "events")
+      .where(col("user_id") <= 10)
+      .selectExpr("user_id", "event_id",
+        """COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+          |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_last_hour""".stripMargin)
+      .orderBy("user_id", "event_id").limit(1000)
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(q39, q40, q41, q42, q53, q56, q61, q73, q82, q85, q93, q94)
+    Seq(q39, q40, q41, q42, q53, q56, q61, q73, q82, q85, q93, q94, q98)
 }
