@@ -323,6 +323,42 @@ object LlmOps {
       .orderBy("lang", "split")
   }
 
+  // --- q99: sequence packing (concat-and-chunk) ---------------------------
+  // Turn variable-length documents into fixed 256-token training sequences:
+  // shard by portable hash (global order would serialize the running sum),
+  // cumulative token offsets per shard, each doc exploded over the
+  // sequences it overlaps. Output: per-sequence fill accounting. The
+  // shard/offset/chunk arithmetic is pure int64, so the oracle reproduces
+  // the layout exactly. operators/Packing.scala is the library API.
+  private val q99 = QueryDef(
+    "q99_sequence_packing",
+    """WITH d AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |    (doc_id * 2654435761) % 8 AS shard
+      |  FROM documents),
+      |p AS (
+      |  SELECT shard, doc_id, n_toks,
+    |    CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+      |  FROM d),
+      |x AS (
+      |  SELECT shard, doc_id, s, s + n_toks AS e,
+      |    unnest(range(s // 256, (s + n_toks - 1) // 256 + 1)) AS seq
+      |  FROM p)
+      |SELECT shard, seq, COUNT(*) AS n_docs,
+      |  CAST(SUM(LEAST(e, (seq + 1) * 256) - GREATEST(s, seq * 256)) AS BIGINT) AS n_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM x GROUP BY shard, seq ORDER BY shard, seq""".stripMargin) { (s, dir) =>
+    val docs = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), size(toks).as("n_toks"))
+    graft.operators.Packing.concatChunk(docs, "doc_id", "n_toks",
+        budget = 256, shards = 8)
+      .groupBy("shard", "seq")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("shard", "seq")
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q70, q77, q80)
+    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q70, q77, q80, q99)
 }

@@ -101,4 +101,46 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(0).getAs[Long]("n_events") == 2 && out(0).getAs[Long]("dur_s") == 300)
     assert(out(1).getAs[Long]("n_events") == 1 && out(1).getAs[Long]("dur_s") == 0)
   }
+
+  test("Packing.concatChunk: conservation, fill, chunk continuity") {
+    import spark.implicits._
+    import graft.operators.Packing
+    // token counts chosen to straddle several 16-token sequences, incl. one
+    // doc (40 toks) spanning 3+ sequences and a doc landing exactly on a
+    // boundary
+    val docs = (1L to 20L).map(i => (i, (i * 7 % 23 + 1).toInt)).toDF("doc_id", "n")
+    val out = Packing.concatChunk(docs, "doc_id", "n", budget = 16, shards = 4)
+      .collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    // every token of every doc lands in exactly one chunk
+    val expected = (1L to 20L).map(i => i -> (i * 7 % 23 + 1)).toMap
+    byDoc.foreach { case (id, rows) =>
+      assert(rows.map(_.getAs[Long]("n_toks")).sum == expected(id), s"doc $id")
+    }
+    // chunk spans are within [0, budget) and non-empty
+    out.foreach { r =>
+      val (s, e) = (r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end"))
+      assert(s >= 0 && e <= 16 && s < e, s"bad span [$s,$e)")
+    }
+    // within each (shard, seq), docs tile the sequence contiguously from 0
+    // (except the shard's final partially-filled sequence, which still
+    // starts at 0 and has no holes)
+    out.groupBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq")))
+      .foreach { case ((sh, sq), rows) =>
+        val spans = rows.sortBy(_.getAs[Long]("tok_start"))
+          .map(r => (r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end")))
+        assert(spans.head._1 == 0, s"shard $sh seq $sq starts at ${spans.head._1}")
+        spans.sliding(2).foreach {
+          case Array((_, e1), (s2, _)) => assert(e1 == s2, s"hole in $sh/$sq")
+          case _ =>
+        }
+      }
+    // every sequence except each shard's last is filled to the budget
+    val fills = out.groupBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq")))
+      .view.mapValues(_.map(_.getAs[Long]("n_toks")).sum).toMap
+    val lastSeq = fills.keys.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    fills.foreach { case ((sh, sq), f) =>
+      if (sq < lastSeq(sh)) assert(f == 16, s"underfilled $sh/$sq: $f") else assert(f <= 16)
+    }
+  }
 }
