@@ -359,6 +359,48 @@ object LlmOps {
       .orderBy("shard", "seq")
   }
 
+  // --- q101: TF-IDF top terms per document --------------------------------
+  // Corpus-wide document frequency joined back to per-doc term frequency;
+  // top-3 terms per doc by score. The idf is the LINEAR ratio N/df, not
+  // ln(N/df): integer-to-double division is correctly rounded by IEEE 754
+  // so both engines produce bit-identical doubles, while ln goes through
+  // libm and is not guaranteed correctly rounded — the determinism rule
+  // that governs every float in this repo (SURVEY §5.1). Shuffle shape:
+  // one on (doc_id, term), one on term for df, a broadcast of the
+  // term→df table (vocabulary ≪ corpus), one window on doc_id.
+  private val q101 = QueryDef(
+    "q101_tfidf_topterms",
+    """WITH tf AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term),
+      |dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT tfc.doc_id, tfc.term,
+      |    tfc.tf * (CAST(n.n AS DOUBLE) / dfc.df) AS score
+      |  FROM tfc JOIN dfc USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, term, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+      |  FROM scored)
+      |SELECT doc_id, rn, term, score FROM ranked WHERE rn <= 3
+      |ORDER BY doc_id, rn LIMIT 600""".stripMargin) { (s, dir) =>
+    val docs = Tables.table(s, dir, "documents")
+    val tfc = docs.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tfc.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tfc.join(broadcast(dfc), "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * (col("n").cast("double") / col("df"))).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("doc_id", "rn", "term", "score")
+      .orderBy("doc_id", "rn").limit(600)
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q70, q77, q80, q99)
+    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q70, q77, q80, q99, q101)
 }

@@ -336,5 +336,49 @@ object SimilarityOps {
       .orderBy("label", "dim").limit(400)
   }
 
-  def defs: Seq[QueryDef] = Seq(q47, q48, q49, q50, q63, q66, q75, q88, q97)
+  // --- q102: k-means nearest-centroid assignment --------------------------
+  // The clustering primitive behind cluster-balanced sampling / topic-level
+  // curation: assign every embedding to its nearest of k=8 centroids (the
+  // vectors with vec_id < 8 — data-dependent but deterministic) by squared
+  // L2. Distances are compared as floor(d2 × 1e6) BIGINTs with the
+  // centroid id as tiebreak, so the argmin is integer-exact on any engine.
+  // Scale shape (operators/Clustering.assign): centroids broadcast, the
+  // k-rows-per-vector expansion collapses in map-side partial aggregation,
+  // one shuffle of one row per vector. Lloyd's iterations are the library
+  // API (Clustering.kmeans, test-gated — iterated float means are
+  // engine-specific).
+  private val q102 = QueryDef(
+    "q102_kmeans_assign",
+    """WITH c AS (SELECT vec_id AS cid,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      |  FROM embeddings WHERE vec_id < 8),
+      |v AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      |  FROM embeddings),
+      |d AS (SELECT vec_id, label, cid,
+      |    CAST(floor((list_dot_product(ev, ev) - 2 * list_dot_product(ev, cv)
+      |      + list_dot_product(cv, cv)) * 1000000) AS BIGINT) AS d2m
+      |  FROM v CROSS JOIN c),
+      |a AS (SELECT vec_id, label, cid, d2m,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2m, cid) AS rn
+      |  FROM d)
+      |SELECT cid AS cluster, COUNT(*) AS n_vectors,
+      |  MIN(vec_id) AS first_vec, MAX(vec_id) AS last_vec,
+      |  CAST(SUM(d2m) AS BIGINT) AS sum_d2_micros,
+      |  CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+      |FROM a WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin) { (s, dir) =>
+    val emb = Tables.table(s, dir, "embeddings")
+    val centroids = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("cv"))
+    graft.operators.Clustering.assign(emb, "vec_id", "embedding", centroids)
+      .join(emb.select("vec_id", "label"), "vec_id")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("vec_id")).as("first_vec"), max(col("vec_id")).as("last_vec"),
+        sum(col("d2_micros")).as("sum_d2_micros"),
+        countDistinct(col("label")).as("n_labels"))
+      .orderBy("cluster")
+  }
+
+  def defs: Seq[QueryDef] = Seq(q47, q48, q49, q50, q63, q66, q75, q88, q97, q102)
 }

@@ -203,5 +203,56 @@ object TextOps {
       .orderBy("lang")
   }
 
-  def defs: Seq[QueryDef] = Seq(q43, q44, q45, q46, q78, q79)
+  // --- q100: repetition-based quality filter (Gopher-style) ---------------
+  // The MassiveText/Gopher family of repetition rules: documents dominated
+  // by repeated n-grams are boilerplate/spam and get filtered before
+  // training. Per doc: duplicate-bigram count, most-frequent-bigram count,
+  // adjacent-token repeats — all EXACT integers, thresholds applied by
+  // integer cross-multiplication (dup*20 > n_bigrams ⇔ frac > 5%) so no
+  // float division exists anywhere. Map-only per row (the per-row
+  // top-bigram scan is O(L²) in doc length — bounded by the tokenizer's
+  // max-doc-length guard at ingest, never by corpus size).
+  private val q100 = QueryDef(
+    "q100_repetition_filter",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |b AS (SELECT doc_id, len(l) AS n,
+      |    list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) AS bg,
+      |    len(list_filter(range(1, len(l)), i -> l[i] = l[i+1])) AS rep_adj
+      |  FROM t WHERE len(l) >= 2),
+      |m AS (SELECT doc_id, n, len(bg) AS n_bigrams,
+      |    len(bg) - len(list_distinct(bg)) AS dup_bigrams,
+      |    list_max(list_transform(list_distinct(bg),
+      |      d -> len(list_filter(bg, x -> x = d)))) AS top_bigram_n,
+      |    rep_adj
+      |  FROM b)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+      |  CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |  CAST(dup_bigrams AS BIGINT) AS dup_bigrams,
+      |  CAST(top_bigram_n AS BIGINT) AS top_bigram_n,
+      |  CAST(rep_adj AS BIGINT) AS rep_adjacent,
+      |  CASE WHEN dup_bigrams * 20 > n_bigrams OR rep_adj * 20 >= n
+      |       THEN 'filtered' ELSE 'kept' END AS verdict
+      |FROM m ORDER BY doc_id LIMIT 250""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "documents")
+      .withColumn("l", toks)
+      .where(size(col("l")) >= 2)
+      .withColumn("bg", expr(
+        "transform(sequence(1, size(l) - 1), i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"))
+      .withColumn("rep_adj", expr(
+        "size(filter(sequence(1, size(l) - 1), i -> element_at(l, i) = element_at(l, i + 1)))"))
+      .select(col("doc_id"),
+        size(col("l")).cast("long").as("n_tokens"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        (size(col("bg")) - size(array_distinct(col("bg")))).cast("long").as("dup_bigrams"),
+        expr("array_max(transform(array_distinct(bg), d -> size(filter(bg, x -> x = d))))")
+          .cast("long").as("top_bigram_n"),
+        col("rep_adj").cast("long").as("rep_adjacent"))
+      .withColumn("verdict",
+        when(col("dup_bigrams") * 20 > col("n_bigrams")
+          || col("rep_adjacent") * 20 >= col("n_tokens"), "filtered")
+          .otherwise("kept"))
+      .orderBy("doc_id").limit(250)
+  }
+
+  def defs: Seq[QueryDef] = Seq(q43, q44, q45, q46, q78, q79, q100)
 }

@@ -143,4 +143,30 @@ class OperatorsSpec extends SparkTestBase {
       if (sq < lastSeq(sh)) assert(f == 16, s"underfilled $sh/$sq: $f") else assert(f <= 16)
     }
   }
+
+  test("Clustering.kmeans: separates well-separated clusters, partition-order-free") {
+    import spark.implicits._
+    import graft.operators.Clustering
+    // 3 tight blobs far apart; ids interleaved across blobs so the init
+    // centroids (lowest 3 ids) start one-per-blob region
+    val centers = Seq((0.0, 0.0), (100.0, 100.0), (-100.0, 100.0))
+    val pts = (0 until 30).map { i =>
+      val (cx, cy) = centers(i % 3)
+      (i.toLong, Array(cx + (i % 5) * 0.1, cy + (i % 7) * 0.1))
+    }
+    val df = pts.toDF("id", "vec")
+    val out = Clustering.kmeans(df, "id", "vec", k = 3, iters = 4)
+      .select("id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // all members of a blob land together, blobs land apart
+    val byBlob = (0 until 30).groupBy(_ % 3).view.mapValues(_.map(i => out(i.toLong)).toSet)
+    byBlob.foreach { case (b, cs) => assert(cs.size == 1, s"blob $b split: $cs") }
+    assert(byBlob.values.map(_.head).toSet.size == 3, "blobs merged")
+    // identical result under a different partitioning (micro-quantized sums
+    // make the centroid means order-free)
+    val out2 = Clustering.kmeans(df.repartition(7), "id", "vec", k = 3, iters = 4)
+      .select("id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == out2)
+  }
 }
