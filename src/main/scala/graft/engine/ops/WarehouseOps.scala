@@ -119,5 +119,34 @@ object WarehouseOps {
     s.sql(q92Sql)
   }
 
-  def defs: Seq[QueryDef] = Seq(q89, q90, q91, q92)
+  // --- q103: bloom-filter semi-join pruning -------------------------------
+  // Runtime row-level pruning: a 2^20-bit bloom built DISTRIBUTED from the
+  // urgent orderkeys (per-word bit_or partials → one 128 KiB array row,
+  // broadcast), probe side pre-filtered by a codegen forall lambda BEFORE
+  // any join, then an exact semi join eliminates the false positives — so
+  // the result is bit-identical to the plain semi join the oracle runs.
+  // At 100 TB the bloom drops most probe rows at scan time, before the
+  // shuffle the exact join would otherwise pay; the build side never has a
+  // size requirement beyond the m/64-word bitset (operators/BloomFilter).
+  private val q103 = QueryDef(
+    "q103_bloom_semi_join",
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val urgent = Tables.table(s, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val pre = graft.operators.BloomFilter.semiFilter(
+      Tables.table(s, dir, "lineitem"), "l_orderkey", urgent, "o_orderkey",
+      bits = 1 << 20, hashes = 5)
+    pre.join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  def defs: Seq[QueryDef] = Seq(q89, q90, q91, q92, q103)
 }

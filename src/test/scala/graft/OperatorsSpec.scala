@@ -169,4 +169,18 @@ class OperatorsSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == out2)
   }
+
+  test("BloomFilter: no false negatives; FP rate bounded; prefilter superset of exact") {
+    import spark.implicits._
+    import graft.operators.BloomFilter
+    val members = (0L until 500L).map(_ * 3).toDF("k")     // 0,3,6,...
+    val probes = (0L until 3000L).toDF("p")                 // 1/3 are members
+    val bits = 64 * 256                                     // m=16384, n=500, k=5 → FP ~0.1%
+    val passed = BloomFilter.semiFilter(probes, "p", members, "k", bits, 5)
+      .as[Long].collect().toSet
+    val truth = (0L until 3000L).filter(v => v % 3 == 0 && v < 1500).toSet
+    assert(truth.subsetOf(passed), "false negative: a true member failed the bloom")
+    val fps = passed -- truth
+    assert(fps.size <= 30, s"FP rate too high: ${fps.size} of 2000 non-members passed")
+  }
 }
