@@ -522,6 +522,125 @@ object StreamingOps {
       .orderBy("user_id", "event_id").limit(1000)
   }
 
+  // --- q104: TRUE streaming incremental dedup against a fingerprint ledger -
+  // The production 100 TB ingest shape (VERDICT r03 #1): a continuously
+  // running stream drops documents whose content fingerprint was already
+  // ingested — either by a PRIOR run (the persistent ledger, loaded as
+  // flatMapGroupsWithState INITIAL STATE) or earlier in THIS stream (state
+  // updated as fingerprints are claimed). q70 is the batch twin; here the
+  // ledger lives in the state store partitioned by fingerprint, so
+  // scale-out is the state partitioning and each micro-batch touches only
+  // the fingerprints it carries — never a snapshot re-join.
+  //
+  // Determinism: the survivor for a new fingerprint is the MIN doc_id among
+  // the batch's claimants (not "first seen", which would be partition-order
+  // dependent). On static single-batch input the emitted set is exactly
+  // q70's anti-join result grouped per fingerprint — the oracle below.
+  // Unbounded streams would add GroupStateTimeout eviction keyed to a
+  // retention horizon; the ledger here is meant to persist, so NoTimeout.
+  private val q104 = QueryDef(
+    "q104_stream_incremental_dedup",
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(text, ' '),
+      |                       t -> CAST(ascii(substr(t, 1, 1)) * 31 + length(t) AS BIGINT))),
+      |      (acc, v) -> (acc * 131 + v) % 1000000007) AS fingerprint
+      |  FROM documents),
+      |ledger AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 250)
+      |SELECT MIN(doc_id) AS doc_id, fingerprint, COUNT(*) AS n_claims
+      |FROM fp
+      |WHERE doc_id >= 250
+      |  AND fingerprint NOT IN (SELECT fingerprint FROM ledger)
+      |GROUP BY fingerprint ORDER BY doc_id LIMIT 500""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = s
+    import spark.implicits._
+    val fpCol = graft.functions.GraftFunctions.fingerprint("text")
+    // The persistent ledger: fingerprints ingested by prior runs, loaded
+    // once as per-key initial state (true = already claimed).
+    val ledger = Tables.table(s, dir, "documents")
+      .where(col("doc_id") < 250)
+      .select(fpCol.as("fingerprint")).distinct()
+      .as[Long].map(f => (f, true))
+      .groupByKey(_._1).mapValues(_._2)
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val deduped = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .where(col("doc_id") >= 250)
+      .select(col("doc_id"), fpCol.as("fingerprint"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, (Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout(), ledger) {
+        case (fp: Long, rows: Iterator[(Long, Long)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty // already in the ledger: drop all
+          else {
+            var minId = Long.MaxValue
+            var n = 0L
+            rows.foreach { case (id, _) => n += 1; if (id < minId) minId = id }
+            state.update(true) // claim the fingerprint for future batches
+            Iterator((minId, fp, n))
+          }
+      }
+    val target = java.nio.file.Files.createTempDirectory("q104_sink").toString
+    withStatePartitions(s, 8) {
+      val query = deduped.toDF("doc_id", "fingerprint", "n_claims")
+        .writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) batch.write.mode("append").parquet(s"$target/out")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    s.read.parquet(s"$target/out").orderBy("doc_id").limit(500)
+  }
+
+  // --- q105: TRUE streaming sliding windows (1 h window, 30 min slide) ----
+  // q40's streaming twin (VERDICT r03 #2) — the most common production
+  // aggregation after tumbling. Watermark + append mode: each overlapping
+  // window is emitted exactly once when the watermark passes its end and
+  // its state is dropped; every event feeds exactly 2 live windows, so
+  // state is bounded by (watermark span / slide) windows per key. On
+  // static input the emitted set is deterministic: exactly the windows the
+  // final watermark (max ts − 1 h) finalized — q85's oracle recipe applied
+  // to q40's two shifted bucketizations.
+  private val q105 = QueryDef(
+    "q105_stream_sliding",
+    """WITH w AS (
+      |  SELECT date_trunc('hour', ts) AS wstart, event_type FROM events
+      |  UNION ALL
+      |  SELECT date_trunc('hour', ts - INTERVAL 30 MINUTE) + INTERVAL 30 MINUTE, event_type FROM events)
+      |SELECT wstart, event_type, COUNT(*) AS n FROM w
+      |WHERE wstart + INTERVAL 1 HOUR <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
+      |GROUP BY wstart, event_type ORDER BY wstart, event_type""".stripMargin) { (s, dir) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val windows = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+    val target = java.nio.file.Files.createTempDirectory("q105_sink").toString
+    withStatePartitions(s, 8) {
+      val query = windows.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) batch.write.mode("append").parquet(s"$target/out")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    s.read.parquet(s"$target/out").orderBy("wstart", "event_type")
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(q39, q40, q41, q42, q53, q56, q61, q73, q82, q85, q93, q94, q98)
+    Seq(q39, q40, q41, q42, q53, q56, q61, q73, q82, q85, q93, q94, q98,
+      q104, q105)
 }
