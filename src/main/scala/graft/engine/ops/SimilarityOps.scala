@@ -15,17 +15,52 @@ import graft.engine.{QueryDef, Tables}
  */
 object SimilarityOps {
 
-  // --- q47: SimHash near-dup candidates (no oracle: xxhash64-specific) ----
+  // --- q47: SimHash near-dup candidates (portable bit-sampling hashes) ----
   // 64-bit SimHash per doc (sign of per-bit ±1 sums over token hashes),
   // then banded hamming search: 4 bands of 16 bits; near-dups (small
   // hamming distance) must collide in ≥1 band. Output: candidate pairs
   // with their actual bit agreement.
-  private val q47 = QueryDef.noOracle("q47_dedup_simhash") { (s, dir) =>
-    // Library op: codegen 64-bit SimHash packed into one long, 4×16-bit
-    // banded hamming search with capped buckets. See graft.operators.Dedup.
+  //
+  // Oracle (r04, VERDICT r03 #4): the bit hashes are the portable LCG
+  // family (see Dedup.simhashCandidates `portable`), so DuckDB re-derives
+  // the 64 bit arrays, band keys, the 2..64 bucket cap, and the identical
+  // candidate set — the q48 recipe applied to bit sampling. The xxhash64
+  // variant stays available as the library default.
+  private val q47 = QueryDef(
+    "q47_dedup_simhash",
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    list_transform(list_distinct(string_split(text, ' ')),
+      |      t -> CAST(ascii(substr(t, 1, 1)) * 31 + length(t) AS BIGINT) % 1000003) AS hs
+      |  FROM documents),
+      |bt AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 64), bb -> CASE WHEN
+      |      list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(hs,
+      |        h -> CASE WHEN ((h * (2*bb+3)) % 1000003 * 2654435761) % 1000003 >= 500001
+      |             THEN 1 ELSE -1 END))) >= 0 THEN 1 ELSE 0 END) AS bits
+      |  FROM c),
+      |k AS (
+      |  SELECT doc_id, bits,
+      |    unnest(range(0, 4)) AS band_id,
+      |    unnest(list_transform(range(0, 4), g ->
+      |      list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 16),
+      |        j -> bits[CAST(g*16 + j + 1 AS INTEGER)] * (CAST(1 AS BIGINT) << CAST(j AS INTEGER))))))) AS band_key
+      |  FROM bt),
+      |g AS (SELECT band_id, band_key FROM k GROUP BY 1, 2
+      |      HAVING COUNT(*) BETWEEN 2 AND 64),
+      |e AS (SELECT k.* FROM k JOIN g USING (band_id, band_key))
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(list_sum(list_transform(range(1, 65),
+      |    i -> CASE WHEN a.bits[CAST(i AS INTEGER)] = b.bits[CAST(i AS INTEGER)]
+      |         THEN 1 ELSE 0 END)) AS BIGINT) AS matching_bits
+      |FROM e a JOIN e b ON a.band_id = b.band_id AND a.band_key = b.band_key
+      |                 AND a.doc_id < b.doc_id
+      |ORDER BY matching_bits DESC, doc_a, doc_b LIMIT 200""".stripMargin) { (s, dir) =>
     graft.operators.Dedup
       .simhashCandidates(Tables.table(s, dir, "documents"), "doc_id", "text",
-        bands = 4, bucketCap = 64)
+        bands = 4, bucketCap = 64, portable = true)
+      .withColumn("matching_bits", col("matching_bits").cast("bigint"))
       .orderBy(col("matching_bits").desc, col("doc_a"), col("doc_b"))
       .limit(200)
   }

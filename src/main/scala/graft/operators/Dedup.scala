@@ -268,20 +268,36 @@ object Dedup {
   /** SimHash banded near-dup candidate pairs: 64-bit SimHash per row
     * (codegen conditional-sum aggregates packed into one long), searched
     * via `bands` bands of 64/bands bits. Output: (doc_a, doc_b,
-    * matching_bits) for docs colliding in ≥1 band bucket (≤ bucketCap). */
+    * matching_bits) for docs colliding in ≥1 band bucket (≤ bucketCap).
+    *
+    * `portable = true` swaps the per-token bit source from xxhash64's 64
+    * bits to 64 LCG bit-samples of the engine's shared token code
+    * (first-char ascii × 31 + length, mod 1000003): bit b of token h is
+    * the threshold sign of `((h·(2b+3)) mod M · 2654435761) mod M` with
+    * M = 1000003 — plain int64 arithmetic (every intermediate < 2⁶²) any
+    * engine reproduces bit-for-bit, so a DuckDB oracle can re-derive the
+    * IDENTICAL candidate set (the q48 polynomial/LCG recipe). The coarse
+    * token code collides more than xxhash64 — identically in both
+    * engines. Default stays xxhash64 for production quality. */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, bucketCap: Int = 64): DataFrame = {
+      bands: Int = 4, bucketCap: Int = 64, portable: Boolean = false): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = (1L << width) - 1
+    val tokenHash =
+      if (portable)
+        s"transform(array_distinct(split($textCol, ' ')), t -> cast(ascii(substr(t, 1, 1)) * 31 + length(t) AS BIGINT) % 1000003)"
+      else s"transform(array_distinct(split($textCol, ' ')), t -> xxhash64(t))"
+    def bitCond(b: Int): String =
+      if (portable) s"((h * ${2 * b + 3}) % 1000003 * 2654435761) % 1000003 >= 500001"
+      else s"(shiftright(h, $b) & 1) = 1"
     val bitSums = df
-      .select(col(idCol).as("doc_id"),
-        explode(expr(s"transform(array_distinct(split($textCol, ' ')), t -> xxhash64(t))")).as("h"))
+      .select(col(idCol).as("doc_id"), explode(expr(tokenHash)).as("h"))
       .groupBy("doc_id")
       .agg(
-        sum(when(expr("(shiftright(h, 0) & 1) = 1"), 1).otherwise(-1)).as("b0"),
+        sum(when(expr(bitCond(0)), 1).otherwise(-1)).as("b0"),
         (1 until 64).map(b =>
-          sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"b$b")): _*)
+          sum(when(expr(bitCond(b)), 1).otherwise(-1)).as(s"b$b")): _*)
     val simhash = (0 until 64)
       .map(b => (col(s"b$b") >= 0).cast("long") * lit(1L << b))
       .reduce(_ + _)

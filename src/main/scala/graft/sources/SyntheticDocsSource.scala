@@ -33,15 +33,17 @@ class SyntheticDocsSource extends TableProvider
   override def shortName(): String = "graft-docs"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    if (options.getBoolean("withText", false)) SyntheticDocsSource.schemaWithText
-    else SyntheticDocsSource.schema
+    SyntheticDocsSource.schemaFor(
+      options.getBoolean("withText", false),
+      options.getBoolean("withMedia", false))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new SyntheticDocsTable(
       properties.getOrDefault("rows", "1000").toLong,
       properties.getOrDefault("partitions", "4").toInt,
-      properties.getOrDefault("withText", "false").toBoolean)
+      properties.getOrDefault("withText", "false").toBoolean,
+      properties.getOrDefault("withMedia", "false").toBoolean)
 }
 
 object SyntheticDocsSource {
@@ -54,6 +56,16 @@ object SyntheticDocsSource {
   /** Schema when `withText=true`: adds a generated document body. */
   val schemaWithText: StructType =
     schema.add(StructField("text", StringType, nullable = false))
+
+  /** Option-dependent schema: [+text] [+png, frames media payloads]. */
+  def schemaFor(withText: Boolean, withMedia: Boolean): StructType = {
+    var s = if (withText) schemaWithText else schema
+    if (withMedia) {
+      s = s.add(StructField("png", BinaryType, nullable = false))
+      s = s.add(StructField("frames", BinaryType, nullable = false))
+    }
+    s
+  }
 
   val langs: Array[String] = Array("de", "en", "es", "fr", "zh")
 
@@ -98,13 +110,88 @@ object SyntheticDocsSource {
     if (id % 10 == 1) sb.append(" u").append(id)
     sb.toString
   }
+
+  // ---- Media payloads (`withMedia=true`): GENUINE PNGs, in-JDK ----------
+  // The image/video columns a multimodal pipeline carries: real PNG bytes
+  // (java.awt.image + javax.imageio — lossless, so decoded pixels equal
+  // the generating arithmetic exactly). Pixel values are pure functions of
+  // (doc_id, frame, x, y), which is what lets the DuckDB oracle recompute
+  // every DECODED feature independently — if ImageIO encode OR decode were
+  // wrong, the feature compare would fail.
+
+  /** Image dims vary per doc: width 4–8, height 3–6. */
+  def imageDims(id: Long): (Int, Int) =
+    ((4 + id % 5).toInt, (3 + id % 4).toInt)
+
+  /** RGB pixel channel functions (each in 0..255). */
+  def pixelR(id: Long, x: Int, y: Int): Int = ((id * 7 + x * 13 + y * 31) % 256).toInt
+  def pixelG(id: Long, x: Int, y: Int): Int = ((id * 11 + x * 17 + y * 5) % 256).toInt
+  def pixelB(id: Long, x: Int, y: Int): Int = ((id * 3 + x * 19 + y * 23) % 256).toInt
+
+  /** A real RGB PNG whose pixels follow the channel functions above. */
+  def pngFor(id: Long): Array[Byte] = {
+    val (w, h) = imageDims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (pixelR(id, x, y) << 16) | (pixelG(id, x, y) << 8) | pixelB(id, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Video-style payload: 5–12 grayscale 8×6 PNG frames, each length-
+    * prefixed (4-byte big-endian) and concatenated. */
+  val frameWidth = 8
+  val frameHeight = 6
+  def frameCount(id: Long): Int = (5 + id % 8).toInt
+  def framePixel(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 7 + f * 41 + x * 13 + y * 31) % 256).toInt
+
+  def framesFor(id: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    var f = 0
+    val n = frameCount(id)
+    while (f < n) {
+      val img = new java.awt.image.BufferedImage(
+        frameWidth, frameHeight, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < frameHeight) {
+        var x = 0
+        while (x < frameWidth) {
+          raster.setSample(x, y, 0, framePixel(id, f, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      val fb = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", fb)
+      val bytes = fb.toByteArray
+      dos.writeInt(bytes.length)
+      dos.write(bytes)
+      f += 1
+    }
+    dos.flush()
+    bos.toByteArray
+  }
 }
 
-private class SyntheticDocsTable(rows: Long, partitions: Int, withText: Boolean)
+private class SyntheticDocsTable(rows: Long, partitions: Int,
+    withText: Boolean, withMedia: Boolean)
     extends Table with SupportsRead {
   override def name(): String = s"synthetic_docs($rows)"
   override def schema(): StructType =
-    if (withText) SyntheticDocsSource.schemaWithText else SyntheticDocsSource.schema
+    SyntheticDocsSource.schemaFor(withText, withMedia)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -119,12 +206,12 @@ private class SyntheticDocsTable(rows: Long, partitions: Int, withText: Boolean)
           .toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
-        DocsReaderFactory(withText)
+        DocsReaderFactory(withText, withMedia)
     }
 }
 
 /** Standalone serializable factory (a lambda would capture the scan). */
-private case class DocsReaderFactory(withText: Boolean)
+private case class DocsReaderFactory(withText: Boolean, withMedia: Boolean)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val DocsRange(start, end) = partition
@@ -133,11 +220,11 @@ private case class DocsReaderFactory(withText: Boolean)
       override def next(): Boolean = { id += 1; id < end }
       override def get(): InternalRow = {
         val (docId, lang, nTokens, checksum) = SyntheticDocsSource.rowFor(id)
-        if (withText)
-          InternalRow(docId, UTF8String.fromString(lang), nTokens, checksum,
-            UTF8String.fromString(SyntheticDocsSource.textFor(id)))
-        else
-          InternalRow(docId, UTF8String.fromString(lang), nTokens, checksum)
+        val fields = Seq[Any](docId, UTF8String.fromString(lang), nTokens, checksum) ++
+          (if (withText) Seq(UTF8String.fromString(SyntheticDocsSource.textFor(id))) else Nil) ++
+          (if (withMedia) Seq(SyntheticDocsSource.pngFor(id),
+            SyntheticDocsSource.framesFor(id)) else Nil)
+        InternalRow.fromSeq(fields)
       }
       override def close(): Unit = ()
     }

@@ -234,7 +234,7 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getLong(0) < r.getLong(1), "pairs must be ordered doc_a < doc_b")
-      val mb = r.getInt(2)
+      val mb = r.getLong(2)
       assert(mb >= 16 && mb <= 64, s"band collision implies >=16 matching bits, got $mb")
     }
   }

@@ -50,4 +50,44 @@ class SyntheticDocsSourceSpec extends SparkTestBase {
     val r = df.where("doc_id = 12").collect().head
     assert(r.getString(r.fieldIndex("text")) == textFor(12L))
   }
+
+  test("withMedia payloads are genuine PNGs whose pixels match the contract") {
+    import graft.sources.SyntheticDocsSource._
+    val df = spark.read.format("graft-docs")
+      .option("rows", 10).option("partitions", 2).option("withMedia", "true").load()
+    val rows = df.select("doc_id", "png", "frames").collect()
+    assert(rows.length == 10)
+    val pngMagic = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val png = r.getAs[Array[Byte]]("png")
+      // real PNG container, decodable by a third party (ImageIO here)
+      assert(png.take(4).sameElements(pngMagic), s"doc $id: not a PNG")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val (w, h) = imageDims(id)
+      assert(img.getWidth == w && img.getHeight == h)
+      // lossless roundtrip: every decoded pixel equals the generator
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        assert(((p >> 16) & 0xff) == pixelR(id, x, y), s"doc $id R($x,$y)")
+        assert(((p >> 8) & 0xff) == pixelG(id, x, y), s"doc $id G($x,$y)")
+        assert((p & 0xff) == pixelB(id, x, y), s"doc $id B($x,$y)")
+      }
+      // frames: length-prefixed PNG container per frame
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frames")))
+      var n = 0
+      while (in.available() >= 4) {
+        val len = in.readInt()
+        val buf = new Array[Byte](len)
+        in.readFully(buf)
+        assert(buf.take(4).sameElements(pngMagic), s"doc $id frame $n: not a PNG")
+        val fr = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(buf))
+        assert(fr.getWidth == frameWidth && fr.getHeight == frameHeight)
+        assert(fr.getRaster.getSample(3, 2, 0) == framePixel(id, n, 3, 2))
+        n += 1
+      }
+      assert(n == frameCount(id))
+    }
+  }
 }
