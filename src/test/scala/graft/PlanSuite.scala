@@ -149,4 +149,87 @@ class PlanSuite extends SparkTestBase {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
     assert(!p.contains("Join"), s"near-dup must not pairwise-join:\n$p")
   }
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE splits a skewed sort-merge join at runtime") {
+    // The 100 TB skew story (SCALING.md §skew) demonstrated, not asserted in
+    // prose: one key carries ~99% of the left side, so its shuffle partition
+    // is far beyond factor×median — OptimizeSkewedJoin must split it into
+    // advisory-sized sub-partitions, visible as SortMergeJoin(skew=true) in
+    // the final adaptive plan. Thresholds are shrunk to test scale; the
+    // mechanism (relative sizes at runtime) is exactly the production one.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1m",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      // pad must be incompressible: skew detection sees COMPRESSED shuffle
+      // partition bytes, and a constant pad lz4-compresses below threshold
+      val left = spark.range(200000L).select(
+        when(col("id") % 100 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        repeat(md5(col("id").cast("string")), 4).as("pad"))
+      val right = spark.range(1000L).select(col("id").as("k"),
+        col("id").as("r"))
+      val joined = left.join(right, "k")
+      joined.queryExecution.toRdd.count() // materialize the adaptive plan
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p                        => p.toString
+      }
+      assert(finalPlan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not split the skewed partition:\n$finalPlan")
+    }
+  }
+
+  test("CBO reorders a 3-table join under table statistics") {
+    // The other prose-only 100 TB claim (SURVEY §4.2): with ANALYZE'd row +
+    // column stats and spark.sql.cbo.joinReorder, Catalyst must rewrite the
+    // syntactic (big ⋈ med) ⋈ small order into one that joins the selective
+    // small table first — ~10^2 intermediate rows instead of ~10^5.
+    import org.apache.spark.sql.functions._
+    Seq("cbo_big", "cbo_med", "cbo_small").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // big.sk spreads over 100k values, small holds 100 of them (selectivity
+    // ~1e-3); big.mk ⊆ med.m_k entirely (selectivity ~1).
+    spark.range(100000L).select((col("id") % 20000).as("b_mk"),
+      col("id").as("b_sk")).write.saveAsTable("cbo_big")
+    spark.range(20000L).select(col("id").as("m_k"), (col("id") * 2).as("m_v"))
+      .write.saveAsTable("cbo_med")
+    spark.range(100L).select((col("id") * 1000).as("s_k"))
+      .write.saveAsTable("cbo_small")
+    Seq("cbo_big", "cbo_med", "cbo_small").foreach(t =>
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+    val q = """SELECT count(*) AS n
+              |FROM cbo_big b
+              |JOIN cbo_med m ON b.b_mk = m.m_k
+              |JOIN cbo_small s ON b.b_sk = s.s_k""".stripMargin
+    def leafOrder(): Seq[String] =
+      spark.sql(q).queryExecution.optimizedPlan.collectLeaves().map { l =>
+        val s = l.toString
+        if (s.contains("b_mk")) "big" else if (s.contains("m_k")) "med" else "small"
+      }
+    val syntactic = leafOrder() // CBO off: join order as written
+    assert(syntactic == Seq("big", "med", "small"), syntactic.toString)
+    withConf(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true") {
+      val reordered = leafOrder()
+      assert(reordered == Seq("big", "small", "med"),
+        s"cost-based reorder did not join the selective table first: $reordered")
+    }
+    Seq("cbo_big", "cbo_med", "cbo_small").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
