@@ -46,7 +46,24 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // Budget guard (SCALING.md §Bench budget): surface growth must not creep
+    // toward the 90 s gate silently. Queries over the 3.5 s per-query budget
+    // and totals over the 75 s soft budget are CALLED OUT in the JSON (the
+    // host is bimodal, so one slow sample is a signal, not proof); a total
+    // past the 90 s hard gate fails the run outright.
+    val perQueryBudget = 3.5
+    val softTotal = 75.0
+    val hardTotal = 90.0
+    val overBudget = results.collect {
+      case (k, v, true) if v > perQueryBudget => "\"" + k + "\""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"over_budget":$overBudget,"soft_budget_sec":$softTotal,"sf":"$sfDir"}""")
+    if (total > softTotal)
+      System.err.println(f"BENCH BUDGET WARNING: total $total%.1f s exceeds the $softTotal%.0f s soft budget (gate $hardTotal%.0f s)")
     spark.stop()
+    if (total > hardTotal && sfDir.endsWith("sf0.1")) {
+      System.err.println(f"BENCH BUDGET FAILURE: total $total%.1f s exceeds the $hardTotal%.0f s gate")
+      sys.exit(1)
+    }
   }
 }

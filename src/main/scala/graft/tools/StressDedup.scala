@@ -81,11 +81,19 @@ object StressDedup {
         Dedup.connectedComponents(pairs, "doc_a", "doc_b", maxIter = 20)
           .select("label").distinct().count())
 
+      // q88 shape: exact-substring pairs via the rolling-window inverted
+      // index (VERDICT r03 #8 — the newest quadratic-risk operator; the
+      // hot-window df cap is what bounds pair generation)
+      val (ssN, ssT) = timed(
+        Dedup.substringPairs(df.withColumn("toks", split(col("text"), " ")),
+          "doc_id", "toks", k = 8, maxDocFreq = 50).count())
+
       for ((op, t, n) <- Seq(
           ("q31 signatureClusters", sigT, sigN),
           ("q32 minhashCandidates", mhT, mhN),
           ("q48 banded pairs", prT, prN),
-          ("q75 connectedComponents", ccT, ccN)))
+          ("q75 connectedComponents", ccT, ccN),
+          ("q88 substringPairs", ssT, ssN)))
         println(f"| ${scale}x | $rows | $op | $t%.1f | $n | $blockMax | $blockP99 |")
     }
     spark.stop()
