@@ -401,6 +401,164 @@ object LlmOps {
       .orderBy("doc_id", "rn").limit(600)
   }
 
+  // --- q106: dataset mixing to explicit target proportions ----------------
+  // The "data mixing to spec" operator (q77's sqrt temperature is a POLICY;
+  // this takes the policy as INPUT): given integer target weights per lang
+  // (en 10 / de 3 / fr 3 / es 2 / zh 2 of 20), find the largest total the
+  // corpus can serve at those proportions (the scarcest lang binds it),
+  // then take each lang's quota deterministically by (portable fingerprint,
+  // doc_id) order. All quota arithmetic is small-int (exact in double, so
+  // FLOOR is portable); one shuffle on lang + two broadcast-sized aggs —
+  // at 100 TB the quota table is still 5 rows.
+  private val q106 = QueryDef(
+    "q106_dataset_mix",
+    """WITH fp AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(text, ' '),
+      |                       t -> CAST(ascii(substr(t, 1, 1)) * 31 + length(t) AS BIGINT))),
+      |      (acc, v) -> (acc * 131 + v) % 1000000007) AS fingerprint
+      |  FROM documents),
+      |wt(lang, w) AS (VALUES ('en', 10), ('de', 3), ('fr', 3), ('es', 2), ('zh', 2)),
+      |cap AS (
+      |  SELECT f.lang, COUNT(*) AS n_orig, MIN(wt.w) AS w,
+      |    CAST(FLOOR(COUNT(*) * 20.0 / MIN(wt.w)) AS BIGINT) AS t_max
+      |  FROM fp f JOIN wt ON f.lang = wt.lang GROUP BY f.lang),
+      |quota AS (
+      |  SELECT lang, n_orig,
+      |    CAST(FLOOR(w * (SELECT MIN(t_max) FROM cap) / 20.0) AS BIGINT) AS k
+      |  FROM cap),
+      |ranked AS (
+      |  SELECT f.lang, f.n_chars, q.n_orig, q.k,
+      |    ROW_NUMBER() OVER (PARTITION BY f.lang
+      |      ORDER BY f.fingerprint, f.doc_id) AS rn
+      |  FROM fp f JOIN quota q ON f.lang = q.lang)
+      |SELECT lang, CAST(MIN(n_orig) AS BIGINT) AS n_orig,
+      |  CAST(MIN(k) AS BIGINT) AS quota, COUNT(*) AS n_selected,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sel_chars
+      |FROM ranked WHERE rn <= k
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val weights = Seq(("en", 10L), ("de", 3L), ("fr", 3L), ("es", 2L), ("zh", 2L))
+      .toDF("w_lang", "w")
+    val fp = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        graft.functions.GraftFunctions.fingerprint("text").as("fingerprint"))
+    val cap = fp.join(broadcast(weights), col("lang") === col("w_lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_orig"), min(col("w")).as("w"))
+      .withColumn("t_max",
+        floor(col("n_orig") * lit(20.0) / col("w")).cast("bigint"))
+    val tBind = cap.agg(min(col("t_max")).as("t"))
+    val quota = cap.crossJoin(broadcast(tBind))
+      .select(col("lang").as("q_lang"), col("n_orig"),
+        floor(col("w") * col("t") / lit(20.0)).cast("bigint").as("k"))
+    val w = Window.partitionBy("lang").orderBy("fingerprint", "doc_id")
+    fp.join(broadcast(quota), col("lang") === col("q_lang"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= col("k"))
+      .groupBy("lang")
+      .agg(min(col("n_orig")).as("n_orig"), min(col("k")).as("quota"),
+        count(lit(1)).as("n_selected"), sum(col("n_chars")).as("sel_chars"))
+      .orderBy("lang")
+  }
+
+  // --- q107: curriculum length-bucketing by exact token-count quartiles ---
+  // Curriculum data ordering needs quantile buckets, but a global NTILE is
+  // a single-partition sort — the anti-pattern. Scale-safe exact quantiles
+  // instead: token counts have a BOUNDED domain, so aggregate a histogram
+  // (one shuffle on n_tok), cumulative-sum it (window over the tiny
+  // aggregated frame, NOT the corpus), read off the quartile boundaries,
+  // broadcast them, and assign buckets map-only. ceil(p*n) stays integer
+  // via (a + b - 1) arithmetic; everything is portable.
+  private val q107 = QueryDef(
+    "q107_curriculum_buckets",
+    """WITH d AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |hist AS (SELECT n_tok, COUNT(*) AS cnt FROM d GROUP BY n_tok),
+      |cum AS (
+      |  SELECT n_tok, SUM(cnt) OVER (ORDER BY n_tok) AS c FROM hist),
+      |n AS (SELECT COUNT(*) AS n FROM d),
+      |b AS (
+      |  SELECT
+      |    MIN(CASE WHEN c * 4 >= n.n THEN n_tok END) AS b25,
+      |    MIN(CASE WHEN c * 2 >= n.n THEN n_tok END) AS b50,
+      |    MIN(CASE WHEN c * 4 >= 3 * n.n THEN n_tok END) AS b75
+      |  FROM cum CROSS JOIN n GROUP BY n.n)
+      |SELECT
+      |  CASE WHEN n_tok <= b25 THEN 1 WHEN n_tok <= b50 THEN 2
+      |       WHEN n_tok <= b75 THEN 3 ELSE 4 END AS bucket,
+      |  COUNT(*) AS n_docs, CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+      |  CAST(MAX(n_tok) AS BIGINT) AS max_tok,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM d CROSS JOIN b
+      |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+    val d = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        size(toks).cast("bigint").as("n_tok"))
+    val hist = d.groupBy("n_tok").agg(count(lit(1)).as("cnt"))
+    // window over the DOMAIN-BOUNDED histogram, not the corpus
+    val cum = hist.withColumn("c",
+      sum(col("cnt")).over(Window.orderBy("n_tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = d.agg(count(lit(1)).as("n"))
+    val bounds = cum.crossJoin(broadcast(n)).agg(
+      min(when(col("c") * 4 >= col("n"), col("n_tok"))).as("b25"),
+      min(when(col("c") * 2 >= col("n"), col("n_tok"))).as("b50"),
+      min(when(col("c") * 4 >= col("n") * 3, col("n_tok"))).as("b75"))
+    d.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("n_tok") <= col("b25"), 1)
+          .when(col("n_tok") <= col("b50"), 2)
+          .when(col("n_tok") <= col("b75"), 3).otherwise(4))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), min(col("n_tok")).as("min_tok"),
+        max(col("n_tok")).as("max_tok"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("bucket")
+  }
+
+  // --- q108: vocabulary Zipf coverage (top tokens + cumulative share) -----
+  // Tokenizer/vocab design needs "how much of the corpus do the top-k
+  // tokens cover". Frequencies are one explode + groupBy (vocab is
+  // corpus-SUBLINEAR by Heaps' law); the top-50 extraction is
+  // TakeOrdered (O(k) at the driver, never a global sort); the cumulative
+  // sum then runs over just those 50 rows. reaches_half compares via
+  // integer cross-multiplication — no division crosses engines.
+  private val q108 = QueryDef(
+    "q108_vocab_coverage",
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |freq AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+      |total AS (SELECT SUM(freq) AS total FROM freq),
+      |top AS (
+      |  SELECT token, freq,
+      |    ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+      |  FROM freq ORDER BY freq DESC, token LIMIT 50)
+      |SELECT rank, token, freq,
+      |  CAST(SUM(freq) OVER (ORDER BY rank) AS BIGINT) AS cum_freq,
+      |  (SUM(freq) OVER (ORDER BY rank)) * 2 >= total.total AS reaches_half
+      |FROM top CROSS JOIN total
+      |ORDER BY rank""".stripMargin) { (s, dir) =>
+    val docs = Tables.table(s, dir, "documents")
+    val freq = docs.select(explode(toks).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val total = freq.agg(sum(col("freq")).as("total"))
+    val top = freq.orderBy(col("freq").desc, col("token")).limit(50)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("token"))))
+    val cumW = Window.orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("cum_freq", sum(col("freq")).over(cumW))
+      .withColumn("reaches_half", col("cum_freq") * 2 >= col("total"))
+      .select("rank", "token", "freq", "cum_freq", "reaches_half")
+      .orderBy("rank")
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q70, q77, q80, q99, q101)
+    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q70, q77, q80, q99,
+      q101, q106, q107, q108)
 }

@@ -2,6 +2,7 @@ package graft.engine.ops
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -148,5 +149,45 @@ object WarehouseOps {
       .orderBy("l_returnflag")
   }
 
-  def defs: Seq[QueryDef] = Seq(q89, q90, q91, q92, q103)
+  // --- q109: range-clustered data layout (sort-based scan skipping) -------
+  // The layout half of table maintenance q90 doesn't cover: rewrite a table
+  // range-partitioned + sorted on the filter columns, so every output file
+  // covers a narrow (source, n_chars) range and parquet row-group min/max
+  // statistics skip everything outside a query's range — the Z-order-lite
+  // that carries selective scans at 100 TB. Content is preserved exactly
+  // (the oracle is the underlying filter+agg); file-range disjointness is
+  // asserted in tests.
+  private val q109 = QueryDef(
+    "q109_sorted_layout",
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+      |FROM documents
+      |WHERE n_chars BETWEEN 200 AND 400
+      |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val tmp = Files.createTempDirectory("q109_layout").toString
+    Tables.table(s, dir, "documents")
+      .repartitionByRange(8, col("n_chars"), col("source"))
+      .sortWithinPartitions("n_chars", "source")
+      .write.mode("overwrite").parquet(s"$tmp/clustered")
+    s.read.parquet(s"$tmp/clustered")
+      .where(col("n_chars").between(200, 400))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("source")
+  }
+
+  /** The q109 layout rewrite alone (library API + test hook): returns the
+    * output dir so tests can assert per-file range disjointness. */
+  def rangeClusteredWrite(s: SparkSession, dir: String): String = {
+    val tmp = Files.createTempDirectory("layout_check").toString
+    Tables.table(s, dir, "documents")
+      .repartitionByRange(8, col("n_chars"), col("source"))
+      .sortWithinPartitions("n_chars", "source")
+      .write.mode("overwrite").parquet(s"$tmp/clustered")
+    s"$tmp/clustered"
+  }
+
+  def defs: Seq[QueryDef] = Seq(q89, q90, q91, q92, q103, q109)
 }

@@ -55,4 +55,29 @@ class SinkRoundtripSpec extends SparkTestBase {
       assert((0L to 4L).map(rows).sum == nValid, s"$name valid rows: $rows")
     }
   }
+
+  test("q109 range-clustered layout writes files with disjoint n_chars ranges") {
+    // The scan-skipping claim: every output file covers a narrow n_chars
+    // range, so parquet min/max statistics can eliminate whole files for a
+    // selective range predicate. Ranges may touch at a boundary value
+    // (repartitionByRange splits ties by the secondary key) but must not
+    // interleave.
+    import org.apache.spark.sql.functions._
+    val out = graft.engine.ops.WarehouseOps.rangeClusteredWrite(spark, sfDir)
+    val files = Option(new java.io.File(out).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length > 1, s"expected multiple range files in $out")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("n_chars")).cast("long"), max(col("n_chars")).cast("long"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, prevMax), (curMin, _)) =>
+        assert(curMin >= prevMax,
+          s"file ranges interleave: ${ranges.mkString(", ")}")
+      case _ =>
+    }
+  }
 }
