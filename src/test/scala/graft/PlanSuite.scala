@@ -150,6 +150,23 @@ class PlanSuite extends SparkTestBase {
     assert(!p.contains("Join"), s"near-dup must not pairwise-join:\n$p")
   }
 
+  test("q106/q107/q108 curation ops keep every join broadcast-side") {
+    // The quota/boundary/total frames are all tiny by construction; none of
+    // these queries may ever plan a shuffle join or a real cartesian — the
+    // only acceptable join shapes are broadcast hash and the 1-row
+    // broadcast nested-loop that a bounded crossJoin plans.
+    Seq("q106_dataset_mix", "q107_curriculum_buckets",
+        "q108_vocab_coverage").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q shuffles a join:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
+    }
+  }
+
+  test("q108 top-k extraction is TakeOrderedAndProject, not a global sort") {
+    assert(plan("q108_vocab_coverage").contains("TakeOrderedAndProject"))
+  }
+
   private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
