@@ -63,6 +63,7 @@ object SyntheticDocsSource {
     if (withMedia) {
       s = s.add(StructField("png", BinaryType, nullable = false))
       s = s.add(StructField("frames", BinaryType, nullable = false))
+      s = s.add(StructField("wav", BinaryType, nullable = false))
     }
     s
   }
@@ -184,6 +185,38 @@ object SyntheticDocsSource {
     dos.flush()
     bos.toByteArray
   }
+
+  /** Audio-style payload: a genuine RIFF/WAVE container (PCM16 mono,
+    * 8 kHz) whose samples are a pure function of (doc_id, i) — so the
+    * decoded amplitude features are recomputable by arithmetic alone,
+    * exactly like the PNG pixels. */
+  val wavSampleRate = 8000
+  def wavSampleCount(id: Long): Int = (64 + id % 97).toInt
+  def wavSample(id: Long, i: Int): Int =
+    ((id * 7919 + i.toLong * 104729) % 65536).toInt - 32768
+
+  def wavFor(id: Long): Array[Byte] = {
+    val n = wavSampleCount(id)
+    val dataSize = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(1)                       // mono
+      .putInt(wavSampleRate)
+      .putInt(wavSampleRate * 2)         // byte rate
+      .putShort(2)                       // block align
+      .putShort(16)                      // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < n) {
+      buf.putShort(wavSample(id, i).toShort)
+      i += 1
+    }
+    buf.array()
+  }
 }
 
 private class SyntheticDocsTable(rows: Long, partitions: Int,
@@ -223,7 +256,8 @@ private case class DocsReaderFactory(withText: Boolean, withMedia: Boolean)
         val fields = Seq[Any](docId, UTF8String.fromString(lang), nTokens, checksum) ++
           (if (withText) Seq(UTF8String.fromString(SyntheticDocsSource.textFor(id))) else Nil) ++
           (if (withMedia) Seq(SyntheticDocsSource.pngFor(id),
-            SyntheticDocsSource.framesFor(id)) else Nil)
+            SyntheticDocsSource.framesFor(id),
+            SyntheticDocsSource.wavFor(id)) else Nil)
         InternalRow.fromSeq(fields)
       }
       override def close(): Unit = ()

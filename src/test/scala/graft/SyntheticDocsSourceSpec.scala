@@ -90,4 +90,27 @@ class SyntheticDocsSourceSpec extends SparkTestBase {
       assert(n == frameCount(id))
     }
   }
+
+  test("withMedia wav payloads are genuine RIFF/WAVE decodable by javax.sound") {
+    import graft.sources.SyntheticDocsSource._
+    val df = spark.read.format("graft-docs")
+      .option("rows", 10).option("partitions", 2).option("withMedia", "true").load()
+    df.select("doc_id", "wav").collect().foreach { r =>
+      val id = r.getLong(0)
+      val wav = r.getAs[Array[Byte]]("wav")
+      assert(new String(wav.take(4), "US-ASCII") == "RIFF", s"doc $id: not RIFF")
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(wav))
+      val fmt = ais.getFormat
+      assert(fmt.getSampleRate.toInt == wavSampleRate)
+      assert(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian)
+      val bytes = ais.readAllBytes()
+      assert(bytes.length / 2 == wavSampleCount(id), s"doc $id sample count")
+      // lossless roundtrip: every decoded PCM16 sample equals the generator
+      (0 until wavSampleCount(id)).foreach { i =>
+        val s = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+        assert(s == wavSample(id, i), s"doc $id sample $i")
+      }
+    }
+  }
 }
