@@ -165,12 +165,7 @@ object WarehouseOps {
       |FROM documents
       |WHERE n_chars BETWEEN 200 AND 400
       |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
-    val tmp = Files.createTempDirectory("q109_layout").toString
-    Tables.table(s, dir, "documents")
-      .repartitionByRange(8, col("n_chars"), col("source"))
-      .sortWithinPartitions("n_chars", "source")
-      .write.mode("overwrite").parquet(s"$tmp/clustered")
-    s.read.parquet(s"$tmp/clustered")
+    s.read.parquet(rangeClusteredWrite(s, dir))
       .where(col("n_chars").between(200, 400))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_chars"),
@@ -178,10 +173,11 @@ object WarehouseOps {
       .orderBy("source")
   }
 
-  /** The q109 layout rewrite alone (library API + test hook): returns the
-    * output dir so tests can assert per-file range disjointness. */
+  /** The q109 layout rewrite (library API + test hook): returns the output
+    * dir; q109 reads it back, and the spec asserts per-file range
+    * disjointness on the SAME layout the query uses. */
   def rangeClusteredWrite(s: SparkSession, dir: String): String = {
-    val tmp = Files.createTempDirectory("layout_check").toString
+    val tmp = Files.createTempDirectory("q109_layout").toString
     Tables.table(s, dir, "documents")
       .repartitionByRange(8, col("n_chars"), col("source"))
       .sortWithinPartitions("n_chars", "source")

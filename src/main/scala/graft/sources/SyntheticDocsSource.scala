@@ -227,10 +227,16 @@ private class SyntheticDocsTable(rows: Long, partitions: Int,
     SyntheticDocsSource.schemaFor(withText, withMedia)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
+  // Column pruning matters MORE for a generator than a file source: an
+  // unprojected media column isn't just unread bytes, it's a skipped PNG/WAV
+  // encode per row (q51/q74/q110 each project exactly one payload column).
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema()
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): Scan = this
-      override def readSchema(): StructType = schema()
+      override def readSchema(): StructType = required
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] = {
         val step = math.max(1L, (rows + partitions - 1) / partitions)
@@ -239,12 +245,13 @@ private class SyntheticDocsTable(rows: Long, partitions: Int,
           .toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
-        DocsReaderFactory(withText, withMedia)
+        DocsReaderFactory(required.fieldNames.toSeq)
     }
 }
 
-/** Standalone serializable factory (a lambda would capture the scan). */
-private case class DocsReaderFactory(withText: Boolean, withMedia: Boolean)
+/** Standalone serializable factory (a lambda would capture the scan).
+  * Generates ONLY the projected columns, in projection order. */
+private case class DocsReaderFactory(fields: Seq[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val DocsRange(start, end) = partition
@@ -252,13 +259,18 @@ private case class DocsReaderFactory(withText: Boolean, withMedia: Boolean)
       private var id = start - 1
       override def next(): Boolean = { id += 1; id < end }
       override def get(): InternalRow = {
-        val (docId, lang, nTokens, checksum) = SyntheticDocsSource.rowFor(id)
-        val fields = Seq[Any](docId, UTF8String.fromString(lang), nTokens, checksum) ++
-          (if (withText) Seq(UTF8String.fromString(SyntheticDocsSource.textFor(id))) else Nil) ++
-          (if (withMedia) Seq(SyntheticDocsSource.pngFor(id),
-            SyntheticDocsSource.framesFor(id),
-            SyntheticDocsSource.wavFor(id)) else Nil)
-        InternalRow.fromSeq(fields)
+        lazy val (docId, lang, nTokens, checksum) = SyntheticDocsSource.rowFor(id)
+        InternalRow.fromSeq(fields.map {
+          case "doc_id"   => docId
+          case "lang"     => UTF8String.fromString(lang)
+          case "n_tokens" => nTokens
+          case "checksum" => checksum
+          case "text"     => UTF8String.fromString(SyntheticDocsSource.textFor(id))
+          case "png"      => SyntheticDocsSource.pngFor(id)
+          case "frames"   => SyntheticDocsSource.framesFor(id)
+          case "wav"      => SyntheticDocsSource.wavFor(id)
+          case other => throw new IllegalArgumentException(s"unknown column: $other")
+        })
       }
       override def close(): Unit = ()
     }

@@ -91,6 +91,19 @@ class SyntheticDocsSourceSpec extends SparkTestBase {
     }
   }
 
+  test("scan prunes unprojected columns down to the generator") {
+    // For a generator source pruning skips WORK, not just bytes: projecting
+    // only `wav` must not encode PNGs. Assert the leaf scan's output schema
+    // is exactly the projection.
+    val pruned = spark.read.format("graft-docs")
+      .option("rows", 5).option("partitions", 1).option("withMedia", "true")
+      .load().select("doc_id", "wav")
+    val leaf = pruned.queryExecution.executedPlan.collectLeaves().head
+    assert(leaf.output.map(_.name) == Seq("doc_id", "wav"),
+      leaf.output.mkString(","))
+    assert(pruned.count() == 5)
+  }
+
   test("withMedia wav payloads are genuine RIFF/WAVE decodable by javax.sound") {
     import graft.sources.SyntheticDocsSource._
     val df = spark.read.format("graft-docs")
