@@ -217,16 +217,20 @@ object LlmOps {
   // The production pattern: a persistent ledger of already-ingested content
   // fingerprints; each new batch anti-joins against it and only unseen
   // fingerprints pass (then get appended to the ledger). The ledger here is
-  // simulated as the fingerprints of doc_id < 250; the fingerprint is pure
-  // arithmetic (q46), so the oracle reproduces the whole flow. One shuffle
-  // on the fingerprint; at 100 TB the ledger would be bucketed on it.
+  // simulated as the fingerprints of doc_id < 250. Keyed on the HEAD
+  // fingerprint (first 5 tokens — the lede-dedup key) rather than the
+  // full-text hash DELIBERATELY (r04): heads genuinely collide in this
+  // corpus (10–23 ledger drops per sf, measured), so the anti-join's drop
+  // path is exercised and a broken ledger join cannot silently pass the
+  // oracle. One shuffle on the fingerprint; at 100 TB the ledger would be
+  // bucketed on it.
   private val q70 = QueryDef(
     "q70_dedup_incremental",
     """WITH fp AS (
       |  SELECT doc_id,
       |    list_reduce(
       |      list_prepend(CAST(0 AS BIGINT),
-      |        list_transform(string_split(text, ' '),
+      |        list_transform(string_split(text, ' ')[1:5],
       |                       t -> CAST(ascii(substr(t, 1, 1)) * 31 + length(t) AS BIGINT))),
       |      (acc, v) -> (acc * 131 + v) % 1000000007) AS fingerprint
       |  FROM documents),
@@ -236,7 +240,8 @@ object LlmOps {
       |  AND f.fingerprint NOT IN (SELECT fingerprint FROM ledger)
       |ORDER BY f.doc_id LIMIT 200""".stripMargin) { (s, dir) =>
     val fp = Tables.table(s, dir, "documents")
-      .select(col("doc_id"), graft.functions.GraftFunctions.fingerprint("text").as("fingerprint"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.headFingerprint("text", 5).as("fingerprint"))
     val ledger = fp.where(col("doc_id") < 250)
       .select(col("fingerprint").as("seen")).distinct()
     fp.where(col("doc_id") >= 250)

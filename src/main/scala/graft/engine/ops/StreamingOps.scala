@@ -538,13 +538,19 @@ object StreamingOps {
   // q70's anti-join result grouped per fingerprint — the oracle below.
   // Unbounded streams would add GroupStateTimeout eviction keyed to a
   // retention horizon; the ledger here is meant to persist, so NoTimeout.
+  //
+  // Keyed on the HEAD fingerprint (first 5 tokens, q70's r04 key): heads
+  // collide in this corpus, so BOTH drop paths are genuinely exercised —
+  // ledger hits (initial state) and intra-stream claims (state.update +
+  // min-doc_id survivor, n_claims > 1) — and a broken initial-state wiring
+  // or claim path fails the hash compare instead of passing vacuously.
   private val q104 = QueryDef(
     "q104_stream_incremental_dedup",
     """WITH fp AS (
       |  SELECT doc_id,
       |    list_reduce(
       |      list_prepend(CAST(0 AS BIGINT),
-      |        list_transform(string_split(text, ' '),
+      |        list_transform(string_split(text, ' ')[1:5],
       |                       t -> CAST(ascii(substr(t, 1, 1)) * 31 + length(t) AS BIGINT))),
       |      (acc, v) -> (acc * 131 + v) % 1000000007) AS fingerprint
       |  FROM documents),
@@ -557,7 +563,7 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = s
     import spark.implicits._
-    val fpCol = graft.functions.GraftFunctions.fingerprint("text")
+    val fpCol = graft.functions.GraftFunctions.headFingerprint("text", 5)
     // The persistent ledger: fingerprints ingested by prior runs, loaded
     // once as per-key initial state (true = already claimed).
     val ledger = Tables.table(s, dir, "documents")

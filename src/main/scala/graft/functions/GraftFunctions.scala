@@ -44,6 +44,18 @@ object GraftFunctions {
             |  cast(0 AS BIGINT),
             |  (acc, v) -> (acc * 131 + v) % 1000000007)""".stripMargin)
 
+  /** Head fingerprint: the same rolling fold over only the first `k`
+    * tokens — the lede/boilerplate dedup key (news-wire and scraped-page
+    * pipelines dedup on the document head, where near-copies agree even
+    * when tails diverge). Coarser than [[fingerprint]] BY DESIGN: heads
+    * genuinely collide, which is what the ledger queries dedup on. */
+  def headFingerprint(textCol: String, k: Int): Column =
+    expr(s"""aggregate(
+            |  transform(slice(split($textCol, ' '), 1, $k),
+            |            t -> cast(ascii(substr(t, 1, 1)) * 31 + length(t) AS BIGINT)),
+            |  cast(0 AS BIGINT),
+            |  (acc, v) -> (acc * 131 + v) % 1000000007)""".stripMargin)
+
   /** Engine-portable hashed token-3-gram shingles (array<bigint>):
     * polynomial roll of the fingerprint token code over each 3-token
     * window, distinct'd — reproducible in any engine (used by the
