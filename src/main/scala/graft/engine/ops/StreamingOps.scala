@@ -99,15 +99,23 @@ object StreamingOps {
   // re-materialize the entire history in the driver every batch. On static
   // input the emitted set is exactly q39 restricted to windows the final
   // watermark (max ts - 1 h) finalized — asserted in tests.
+  //
+  // The source is UNIONED WITH ITSELF (r04): event_id is unique in the
+  // table, so on the raw file the dedup would never fire and the
+  // equals-q39 test would hold even with dropDuplicates broken. The union
+  // simulates at-least-once delivery — every event arrives twice, exactly
+  // the failure mode watermark dedup exists for — so equality with q39 now
+  // PROVES the duplicates were dropped (a broken dedup doubles every n).
   private val q42 = QueryDef.noOracle("q42_stream_watermark_dedup") { (s, dir) =>
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
     val schema = s.read.parquet(path).schema
     // File-stream sources need a directory: point at the sf dir and
     // glob-filter to the events file.
-    val stream = s.readStream.schema(schema)
+    def src = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = src.union(src)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
