@@ -28,15 +28,22 @@ object LlmOps {
   // event_id. One shuffle on the dedup key — the 100 TB shape.
   private val q30 = QueryDef(
     "q30_dedup_exact",
-    """SELECT event_id, user_id, event_type, ts FROM (
-      |  SELECT event_id, user_id, event_type, ts,
-      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type, ts ORDER BY event_id) AS rn
+    // Key = (user_id, event_type, hour): raw ts is UNIQUE per (user, type)
+    // in this table, so deduping on it would never drop a row and a broken
+    // row_number filter would pass vacuously — the hour key has 92 real
+    // duplicate groups at sf0.01 (r04, measured), so survivor selection is
+    // genuinely exercised.
+    """SELECT event_id, user_id, event_type, hour FROM (
+      |  SELECT event_id, user_id, event_type, date_trunc('hour', ts) AS hour,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type, date_trunc('hour', ts)
+      |                       ORDER BY event_id) AS rn
       |  FROM events) t
       |WHERE rn = 1 ORDER BY event_id LIMIT 300""".stripMargin) { (s, dir) =>
     graft.operators.Dedup.exact(
       Tables.table(s, dir, "events")
-        .select("event_id", "user_id", "event_type", "ts"),
-      keys = Seq("user_id", "event_type", "ts"), survivorKey = "event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_trunc("hour", col("ts")).as("hour")),
+      keys = Seq("user_id", "event_type", "hour"), survivorKey = "event_id")
       .orderBy("event_id").limit(300)
   }
 

@@ -263,12 +263,21 @@ object Relational {
   // --- q15: left outer join + null-side handling --------------------------
   private val q15 = QueryDef(
     "q15_join_outer",
+    // The right side is restricted to URGENT orders: EVERY customer has
+    // some order in this data, so an unrestricted left join would be
+    // indistinguishable from an inner join and the null-extension path
+    // would never fire — with the restriction, 25 of the first 200
+    // customers have no match (r04, measured) and n_orders=0 rows prove
+    // the outer semantics.
     """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
       |  CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS DOUBLE) AS total_spend
-      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+      |  ON c_custkey = o_custkey
       |GROUP BY c_custkey ORDER BY c_custkey LIMIT 200""".stripMargin) { (s, dir) =>
     Tables.table(s, dir, "customer")
-      .join(Tables.table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .join(Tables.table(s, dir, "orders")
+          .where(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
       .groupBy("c_custkey")
       .agg(count(col("o_orderkey")).as("n_orders"),
         coalesce(sum(dec("o_totalprice")), lit(0)).cast("decimal(38,2)")
@@ -669,7 +678,7 @@ object Relational {
     """WITH changes AS (
       |  SELECT o_custkey AS custkey,
       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS new_bal
-      |  FROM orders WHERE o_custkey % 3 = 0 GROUP BY o_custkey
+      |  FROM orders WHERE o_custkey % 37 = 0 GROUP BY o_custkey
       |  UNION ALL
       |  SELECT 900000 + r_regionkey, CAST(0 AS DECIMAL(18,2)) FROM region)
       |SELECT COALESCE(s.c_custkey, c.custkey) AS c_custkey,
@@ -677,9 +686,10 @@ object Relational {
       |  CASE WHEN s.c_custkey IS NULL THEN 'insert'
       |       WHEN c.custkey IS NULL THEN 'keep' ELSE 'update' END AS op
       |FROM customer s FULL OUTER JOIN changes c ON s.c_custkey = c.custkey
-      |ORDER BY c_custkey LIMIT 300""".stripMargin) { (s, dir) =>
+      |ORDER BY CASE op WHEN 'insert' THEN 0 WHEN 'update' THEN 1 ELSE 2 END,
+      |  c_custkey LIMIT 300""".stripMargin) { (s, dir) =>
     val changes = Tables.table(s, dir, "orders")
-      .where(col("o_custkey") % 3 === 0)
+      .where(col("o_custkey") % 37 === 0)
       .groupBy(col("o_custkey").as("custkey"))
       .agg(sum(dec("o_totalprice")).cast("decimal(18,2)").as("new_bal"))
       .unionByName(Tables.table(s, dir, "region")
@@ -692,7 +702,14 @@ object Relational {
         coalesce(col("new_bal"), dec("c_acctbal")).cast("double").as("acctbal"),
         when(col("c_custkey").isNull, "insert")
           .when(col("custkey").isNull, "keep").otherwise("update").as("op"))
-      .orderBy("c_custkey").limit(300)
+      // order inserts, then updates, then keeps: ascending c_custkey alone
+      // would truncate the 900000+ insert keys out of the LIMIT — the
+      // insert path would run but never be VISIBLE to the oracle compare;
+      // plain op order would truncate the updates instead (r04). This
+      // ordering keeps all three MERGE outcomes inside the compared rows.
+      .orderBy(when(col("op") === "insert", 0)
+        .when(col("op") === "update", 1).otherwise(2), col("c_custkey"))
+      .limit(300)
   }
 
   // --- q65: ranking-function family: ntile / percent_rank / cume_dist ----
