@@ -250,27 +250,41 @@ private class SyntheticDocsTable(rows: Long, partitions: Int,
 }
 
 /** Standalone serializable factory (a lambda would capture the scan).
-  * Generates ONLY the projected columns, in projection order. */
+  * Generates ONLY the projected columns, in projection order; the
+  * name→generator dispatch is resolved ONCE per reader so the per-row
+  * path is a plain array walk with no string matching. */
 private case class DocsReaderFactory(fields: Seq[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val DocsRange(start, end) = partition
     new PartitionReader[InternalRow] {
+      // rowFor is computed at most once per row, shared by the base columns
+      private var cachedId = Long.MinValue
+      private var cached: (Long, String, Int, Long) = _
+      private def base(id: Long): (Long, String, Int, Long) = {
+        if (id != cachedId) { cached = SyntheticDocsSource.rowFor(id); cachedId = id }
+        cached
+      }
+      private val gens: Array[Long => Any] = fields.map[Long => Any] {
+        case "doc_id"   => id => base(id)._1
+        case "lang"     => id => UTF8String.fromString(base(id)._2)
+        case "n_tokens" => id => base(id)._3
+        case "checksum" => id => base(id)._4
+        case "text"     => id => UTF8String.fromString(SyntheticDocsSource.textFor(id))
+        case "png"      => id => SyntheticDocsSource.pngFor(id)
+        case "frames"   => id => SyntheticDocsSource.framesFor(id)
+        case "wav"      => id => SyntheticDocsSource.wavFor(id)
+        case other => throw new IllegalArgumentException(s"unknown column: $other")
+      }.toArray
       private var id = start - 1
       override def next(): Boolean = { id += 1; id < end }
       override def get(): InternalRow = {
-        lazy val (docId, lang, nTokens, checksum) = SyntheticDocsSource.rowFor(id)
-        InternalRow.fromSeq(fields.map {
-          case "doc_id"   => docId
-          case "lang"     => UTF8String.fromString(lang)
-          case "n_tokens" => nTokens
-          case "checksum" => checksum
-          case "text"     => UTF8String.fromString(SyntheticDocsSource.textFor(id))
-          case "png"      => SyntheticDocsSource.pngFor(id)
-          case "frames"   => SyntheticDocsSource.framesFor(id)
-          case "wav"      => SyntheticDocsSource.wavFor(id)
-          case other => throw new IllegalArgumentException(s"unknown column: $other")
-        })
+        // fresh array per row: the returned InternalRow may be buffered
+        // downstream, so the backing storage must not be reused
+        val row = new Array[Any](gens.length)
+        var i = 0
+        while (i < gens.length) { row(i) = gens(i)(id); i += 1 }
+        InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(row))
       }
       override def close(): Unit = ()
     }
