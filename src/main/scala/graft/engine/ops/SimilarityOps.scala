@@ -415,5 +415,105 @@ object SimilarityOps {
       .orderBy("cluster")
   }
 
-  def defs: Seq[QueryDef] = Seq(q47, q48, q49, q50, q63, q66, q75, q88, q97, q102)
+  // --- q111: hard-negative mining (contrastive-training data prep) --------
+  // For each sampled anchor vector, the top-3 most-similar vectors of a
+  // DIFFERENT label — the "hard negatives" contrastive/embedding training
+  // pairs with each anchor. Candidate generation rides the same
+  // engine-portable SRP blocks as q34/q49 (content-derived, block work
+  // constant as the corpus grows); only bucket-colliding cross-label pairs
+  // are scored, never anchors × corpus.
+  private val q111 = {
+    val buckets = (0 until 8).map(t =>
+      s"${graft.operators.Similarity.srpBucketSql("e", t, 6, 64)} AS b$t").mkString(", ")
+    val orCond = (0 until 8).map(t => s"a.b$t = b.b$t").mkString(" OR ")
+    QueryDef(
+      "q111_hard_negatives",
+      s"""WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |nb AS (SELECT vec_id, label, e, nrm, $buckets FROM n),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS anchor, a.label AS anchor_label,
+         |    b.vec_id AS negative, b.label AS negative_label,
+         |    CAST(ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS DECIMAL(7,4)) AS sim
+         |  FROM nb a JOIN nb b
+         |    ON a.vec_id <> b.vec_id AND a.label <> b.label AND ($orCond)
+         |  WHERE a.vec_id % 20 = 0),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor
+         |      ORDER BY sim DESC, negative) AS rn
+         |  FROM pairs WHERE sim >= 0.10)
+         |SELECT anchor, rn, negative, CAST(sim AS DOUBLE) AS sim,
+         |  anchor_label, negative_label
+         |FROM ranked WHERE rn <= 3
+         |ORDER BY anchor, rn LIMIT 300""".stripMargin) { (s, dir) =>
+      val emb = Tables.table(s, dir, "embeddings")
+      val pairs = graft.operators.Similarity
+        .srpBandedPairs(emb, "vec_id", "embedding",
+          threshold = 0.10, dim = 64, tables = 8, bitsPerTable = 6)
+      // symmetrize: srpBandedPairs emits each unordered pair once (a < b)
+      val sym = pairs.select(col("doc_a").as("anchor"), col("doc_b").as("negative"), col("sim"))
+        .unionByName(pairs.select(col("doc_b").as("anchor"), col("doc_a").as("negative"), col("sim")))
+        .where(col("anchor") % 20 === 0)
+      val lab = emb.select(col("vec_id"), col("label"))
+      val w = Window.partitionBy("anchor").orderBy(col("sim").desc, col("negative"))
+      sym
+        .join(broadcast(lab.select(col("vec_id").as("anchor"), col("label").as("anchor_label"))), "anchor")
+        .join(broadcast(lab.select(col("vec_id").as("negative"), col("label").as("negative_label"))), "negative")
+        .where(col("anchor_label") =!= col("negative_label"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("anchor"), col("rn"), col("negative"),
+          col("sim").cast("double").as("sim"),
+          col("anchor_label"), col("negative_label"))
+        .orderBy("anchor", "rn").limit(300)
+    }
+  }
+
+  // --- q112: deterministic negative sampling (uniform negatives) ----------
+  // The complement of q111's hard negatives: k pseudo-uniform negatives per
+  // anchor, reproducible on any engine/partitioning. The candidate pool is
+  // BOUNDED per label (the 8 vectors with smallest portable hash — a top-k
+  // per label, partial-aggregatable at scale), broadcast, and each anchor
+  // ranks the cross-label pool by a portable pair hash. No anchors×corpus
+  // stage exists; everything after the pool build is map-only.
+  private val q112 = QueryDef(
+    "q112_negative_sampling",
+    """WITH pool AS (
+      |  SELECT vec_id, label, ROW_NUMBER() OVER (PARTITION BY label
+      |      ORDER BY (vec_id * 2654435761) % 1000003, vec_id) AS pr
+      |  FROM embeddings),
+      |p AS (SELECT vec_id, label FROM pool WHERE pr <= 8),
+      |anchors AS (SELECT vec_id AS anchor, label AS anchor_label
+      |  FROM embeddings WHERE vec_id % 20 = 0),
+      |scored AS (
+      |  SELECT a.anchor, a.anchor_label, p.vec_id AS negative, p.label AS negative_label,
+      |    (a.anchor * 40503 + p.vec_id * 2654435761) % 1000003 AS h
+      |  FROM anchors a JOIN p ON a.anchor_label <> p.label),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY h, negative) AS rn
+      |  FROM scored)
+      |SELECT anchor, rn, negative, anchor_label, negative_label
+      |FROM ranked WHERE rn <= 5
+      |ORDER BY anchor, rn LIMIT 500""".stripMargin) { (s, dir) =>
+    val emb = Tables.table(s, dir, "embeddings")
+    val poolW = Window.partitionBy("label")
+      .orderBy((col("vec_id") * 2654435761L) % 1000003L, col("vec_id"))
+    val pool = emb.select(col("vec_id"), col("label"))
+      .withColumn("pr", row_number().over(poolW)).where(col("pr") <= 8)
+      .drop("pr")
+    val anchors = emb.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("anchor"), col("label").as("anchor_label"))
+    val w = Window.partitionBy("anchor").orderBy(col("h"), col("negative"))
+    anchors.join(broadcast(pool), col("anchor_label") =!= col("label"))
+      .select(col("anchor"), col("anchor_label"),
+        col("vec_id").as("negative"), col("label").as("negative_label"),
+        ((col("anchor") * 40503L + col("vec_id") * 2654435761L) % 1000003L).as("h"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      .select("anchor", "rn", "negative", "anchor_label", "negative_label")
+      .orderBy("anchor", "rn").limit(500)
+  }
+
+  def defs: Seq[QueryDef] =
+    Seq(q47, q48, q49, q50, q63, q66, q75, q88, q97, q102, q111, q112)
 }
