@@ -150,17 +150,22 @@ class PlanSuite extends SparkTestBase {
     assert(!p.contains("Join"), s"near-dup must not pairwise-join:\n$p")
   }
 
-  test("q106/q107/q108 curation ops keep every join broadcast-side") {
-    // The quota/boundary/total frames are all tiny by construction; none of
-    // these queries may ever plan a shuffle join or a real cartesian — the
-    // only acceptable join shapes are broadcast hash and the 1-row
-    // broadcast nested-loop that a bounded crossJoin plans.
-    Seq("q106_dataset_mix", "q107_curriculum_buckets",
-        "q108_vocab_coverage").foreach { q =>
+  test("q106-q108/q111/q112 curation ops keep every join broadcast-side") {
+    // The quota/boundary/total/pool frames are all tiny or bounded by
+    // construction; none of these queries may ever plan a shuffle join or a
+    // real cartesian — the only acceptable join shapes are broadcast hash
+    // and the bounded-broadcast nested-loop (1-row totals, the ≤64-row
+    // negative pool).
+    Seq("q106_dataset_mix", "q107_curriculum_buckets", "q108_vocab_coverage",
+        "q112_negative_sampling").foreach { q =>
       val p = plan(q)
       assert(!p.contains("SortMergeJoin"), s"$q shuffles a join:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
     }
+    // q111's SRP band join MAY legitimately shuffle at scale (fact-fact on
+    // band keys) — only the cartesian is forbidden
+    val p111 = plan("q111_hard_negatives")
+    assert(!p111.contains("CartesianProduct"), s"q111 planned a cartesian:\n$p111")
   }
 
   test("q108 top-k extraction is TakeOrderedAndProject, not a global sort") {
