@@ -534,11 +534,15 @@ object Relational {
 
   // --- q29: set operations, tagged ----------------------------------------
   // Spark union() is UNION ALL; intersect/except are DISTINCT set semantics —
-  // matching the SQL operators exactly.
+  // matching the SQL operators exactly. The b side is restricted to
+  // nationkey < 20 (r04): both tables cover the SAME 25 keys, so the
+  // unrestricted EXCEPT was always empty — a broken EXCEPT returning
+  // nothing would have passed; restricted, EXCEPT emits 5 rows, INTERSECT
+  // 20, and all three branches are non-trivially distinct.
   private val q29 = QueryDef(
     "q29_set_ops",
     """WITH a AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
-      |     b AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+      |     b AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier WHERE s_nationkey < 20)
       |SELECT 'except' AS tag, nationkey FROM (SELECT nationkey FROM a EXCEPT SELECT nationkey FROM b)
       |UNION ALL
       |SELECT 'intersect' AS tag, nationkey FROM (SELECT nationkey FROM a INTERSECT SELECT nationkey FROM b)
@@ -546,7 +550,8 @@ object Relational {
       |SELECT 'union_all' AS tag, nationkey FROM (SELECT nationkey FROM a UNION ALL SELECT nationkey FROM b)
       |ORDER BY tag, nationkey""".stripMargin) { (s, dir) =>
     val a = Tables.table(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
-    val b = Tables.table(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct()
+    val b = Tables.table(s, dir, "supplier").where(col("s_nationkey") < 20)
+      .select(col("s_nationkey").as("nationkey")).distinct()
     a.except(b).select(lit("except").as("tag"), col("nationkey"))
       .unionByName(a.intersect(b).select(lit("intersect").as("tag"), col("nationkey")))
       .unionByName(a.union(b).select(lit("union_all").as("tag"), col("nationkey")))
