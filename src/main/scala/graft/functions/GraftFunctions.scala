@@ -37,18 +37,25 @@ object GraftFunctions {
   /** Engine-portable rolling-hash fingerprint of a text column (pure
     * arithmetic fold — reproducible across engines and runs). Takes the
     * column NAME (the fold is built as a SQL expression). */
-  /** The shared rolling fold (token code ascii*31+length, acc*131+v mod
-    * 1e9+7) over a token-array SQL expression — the ONE copy of the
-    * load-bearing portable-hash formula both fingerprints build on. */
-  private def rollingFold(tokensSql: String): Column =
+  /** The rolling fold (token code ascii*31+length, acc*131+v mod 1e9+7)
+    * as a higher-order-function SQL expression. Kept as the REFERENCE
+    * formulation the native codegen expression is equality-tested against
+    * (GraftFunctionsSpec); production columns use [[fingerprint]] /
+    * [[headFingerprint]] below, which run the allocation-free
+    * [[graft.engine.expr.RollingFingerprint]] instead of interpreted
+    * lambdas. */
+  private[graft] def fingerprintViaLambdas(textCol: String, k: Int = -1): Column = {
+    val tokensSql =
+      if (k > 0) s"slice(split($textCol, ' '), 1, $k)" else s"split($textCol, ' ')"
     expr(s"""aggregate(
             |  transform($tokensSql,
             |            t -> cast(ascii(substr(t, 1, 1)) * 31 + length(t) AS BIGINT)),
             |  cast(0 AS BIGINT),
             |  (acc, v) -> (acc * 131 + v) % 1000000007)""".stripMargin)
+  }
 
   def fingerprint(textCol: String): Column =
-    rollingFold(s"split($textCol, ' ')")
+    graft.engine.expr.RollingFingerprint.of(col(textCol))
 
   /** Head fingerprint: the same rolling fold over only the first `k`
     * tokens — the lede/boilerplate dedup key (news-wire and scraped-page
@@ -56,7 +63,7 @@ object GraftFunctions {
     * when tails diverge). Coarser than [[fingerprint]] BY DESIGN: heads
     * genuinely collide, which is what the ledger queries dedup on. */
   def headFingerprint(textCol: String, k: Int): Column =
-    rollingFold(s"slice(split($textCol, ' '), 1, $k)")
+    graft.engine.expr.RollingFingerprint.of(col(textCol), k)
 
   /** Engine-portable hashed token-3-gram shingles (array<bigint>):
     * polynomial roll of the fingerprint token code over each 3-token

@@ -66,4 +66,38 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(r.getDouble(0) == 1.0)
     assert(r.getLong(1) == 2L)
   }
+
+  test("native RollingFingerprint equals the lambda formulation everywhere") {
+    import spark.implicits._
+    // Boundary fixtures: empty string, single token, leading/trailing/double
+    // spaces (empty tokens), exactly-k and shorter-than-k heads — each must
+    // reproduce split(text, ' ')'s keep-empties semantics bit-for-bit.
+    val edge = Seq("", "x", "a b c", " lead", "trail ", "a  b", "     ",
+      "one two three four five six seven").toDF("text")
+    val corpus = graft.engine.Tables.table(spark, sfDir, "documents").select("text")
+    Seq(edge, corpus).foreach { df =>
+      Seq(-1, 1, 3, 5, 100).foreach { k =>
+        val native =
+          if (k < 0) GraftFunctions.fingerprint("text")
+          else GraftFunctions.headFingerprint("text", k)
+        val mismatches = df.select(
+            native.as("n"),
+            GraftFunctions.fingerprintViaLambdas("text", k).as("l"))
+          .where(col("n") =!= col("l")).count()
+        assert(mismatches == 0, s"k=$k: $mismatches rows diverge")
+      }
+    }
+  }
+
+  test("RollingFingerprint stays inside whole-stage codegen") {
+    // The point of the native expression: the lambda formulation is
+    // CodegenFallback, this one is not — the projection must carry NO
+    // fallback marker for the fingerprint column.
+    val df = graft.engine.Tables.table(spark, sfDir, "documents")
+      .select(GraftFunctions.fingerprint("text").as("fp"))
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("*(1)"),
+      s"fingerprint projection not in a codegen span:\n$executed")
+  }
 }
