@@ -65,19 +65,57 @@ object LlmOps {
   }
 
   // --- q32: MinHash + LSH near-dup candidate pairs ------------------------
-  // 16-permutation MinHash signature (xxhash64 per seed, min over the token
-  // set), banded 4×4: docs colliding in ANY band become candidates. The
-  // whole pipeline is explode + groupBy-equi-join — at 100 TB only docs
-  // sharing a band bucket are ever paired, never all-pairs. Hash values are
-  // engine-specific → no oracle (cross-checked against q31's clusters in
-  // the test suite).
-  private val q32 = QueryDef.noOracle("q32_dedup_minhash") { (s, dir) =>
-    // Library op: whole-stage-codegen minhash (explode + 16 min(xxhash64)
-    // aggregates in one pass), 4×4 banding, capped buckets, inline pair
-    // generation — one shuffle, no self-join. See graft.operators.Dedup.
+  // 16-permutation MinHash signature (min over the token set), banded 4×4:
+  // docs colliding in ANY band become candidates. The whole pipeline is
+  // explode + groupBy-equi-join — at 100 TB only docs sharing a band
+  // bucket are ever paired, never all-pairs.
+  //
+  // Oracle (r04): the permutations are the portable LCG family over the
+  // engine's shared token code (see Dedup.minhashCandidates `portable`),
+  // so DuckDB re-derives the 16 signature minima, the polynomial band
+  // keys, the 2..64 bucket cap, and the identical candidate set — the
+  // q47/q48 recipe applied to MinHash. est_jaccard = n_eq/16 is dyadic,
+  // so the double compare is exact. The xxhash64 variant stays the
+  // library default (cross-checked against q31 in the test suite).
+  private val q32 = QueryDef(
+    "q32_dedup_minhash",
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    list_transform(list_distinct(string_split(text, ' ')),
+      |      t -> CAST(ascii(substr(t, 1, 1)) * 31 + length(t) AS BIGINT) % 1000003) AS hs
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 16), i ->
+      |      list_min(list_transform(hs, h -> ((2*i+3) * h + 7*i+11) % 1000003))) AS sig
+      |  FROM c),
+      |k AS (
+      |  SELECT doc_id, sig,
+      |    unnest(range(0, 4)) AS band_id,
+      |    unnest(list_transform(range(0, 4), g ->
+      |      ((((((CAST(g AS BIGINT) * 131 + sig[CAST(g*4+1 AS INTEGER)]) % 1000000007) * 131
+      |          + sig[CAST(g*4+2 AS INTEGER)]) % 1000000007) * 131
+      |          + sig[CAST(g*4+3 AS INTEGER)]) % 1000000007 * 131
+      |          + sig[CAST(g*4+4 AS INTEGER)]) % 1000000007)) AS band_key
+      |  FROM m),
+      |g2 AS (SELECT band_id, band_key FROM k GROUP BY 1, 2
+      |       HAVING COUNT(*) BETWEEN 2 AND 64),
+      |e AS (SELECT k.* FROM k JOIN g2 USING (band_id, band_key))
+      |SELECT * FROM (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(list_sum(list_transform(range(1, 17),
+      |      i -> CASE WHEN a.sig[CAST(i AS INTEGER)] = b.sig[CAST(i AS INTEGER)]
+      |           THEN 1 ELSE 0 END)) AS DOUBLE) / 16 AS est_jaccard
+      |  FROM e a JOIN e b ON a.band_id = b.band_id AND a.band_key = b.band_key
+      |                   AND a.doc_id < b.doc_id) t
+      |ORDER BY doc_a, doc_b LIMIT 500""".stripMargin) { (s, dir) =>
+    // Library op: whole-stage-codegen minhash (explode + 16 min aggregates
+    // in one pass), 4×4 banding, capped buckets, inline pair generation —
+    // one shuffle, no self-join. See graft.operators.Dedup.
     graft.operators.Dedup
       .minhashCandidates(Tables.table(s, dir, "documents"), "doc_id", "text",
-        numHashes = 16, bands = 4, bucketCap = 64)
+        numHashes = 16, bands = 4, bucketCap = 64, portable = true)
+      .withColumn("est_jaccard", col("est_jaccard").cast("double"))
       .orderBy("doc_a", "doc_b").limit(500)
   }
 

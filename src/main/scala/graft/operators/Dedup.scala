@@ -37,27 +37,53 @@ object Dedup {
 
   /** MinHash + LSH near-dup candidate pairs.
     *
-    * `numHashes` minhash components (xxhash64 seeds, min over the token
-    * multiset — equal to min over the set) computed as codegen aggregates
-    * after a token explode; `bands` bands of `numHashes/bands` rows each
-    * hash to one long; docs colliding in ANY band bucket (capped at
-    * `bucketCap` — mega-buckets are exact-dup clusters better handled by
+    * `numHashes` minhash components (min over the token multiset — equal
+    * to min over the set) computed as codegen aggregates after a token
+    * explode; `bands` bands of `numHashes/bands` rows each hash to one
+    * long; docs colliding in ANY band bucket (capped at `bucketCap` —
+    * mega-buckets are exact-dup clusters better handled by
     * [[signatureClusters]]) become candidates with an estimated jaccard.
+    *
+    * `portable = true` swaps the per-permutation token hash from seeded
+    * xxhash64 to LCG permutations of the engine's shared token code
+    * (first-char ascii × 31 + length, mod 1000003): permutation i of
+    * token code h is `((2i+3)·h + 7i+11) mod 1000003`, and the band key
+    * is a polynomial fold `acc = (acc·131 + m) mod 1e9+7` seeded with the
+    * band index — plain int64 arithmetic (every intermediate < 2⁶²) any
+    * engine reproduces bit-for-bit, so a DuckDB oracle re-derives the
+    * IDENTICAL signatures, band buckets, and candidate set (the q47/q48
+    * recipe applied to MinHash). The coarse token code collides more than
+    * xxhash64 — identically in both engines. Default stays xxhash64 for
+    * production quality.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 16, bands: Int = 4, bucketCap: Int = 64): DataFrame = {
+      numHashes: Int = 16, bands: Int = 4, bucketCap: Int = 64,
+      portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val sigs = df
+    def minExpr(i: Int): Column =
+      if (portable)
+        min(expr(s"((${2 * i + 3} * h) + ${7 * i + 11}) % 1000003")).as(s"m$i")
+      else min(xxhash64(lit(i), col("t"))).as(s"m$i")
+    def bandKey(g: Int): Column =
+      if (portable)
+        (0 until rows).foldLeft(lit(g.toLong).cast("bigint")) { (acc, j) =>
+          (acc * 131 + col(s"m${rows * g + j}")) % 1000000007L
+        }
+      else xxhash64(
+        lit(g) +: (0 until rows).map(j => col(s"m${rows * g + j}")): _*)
+    val tokens = df
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("t"))
+    val hashed =
+      if (portable) tokens.select(col("doc_id"),
+        expr("cast(ascii(substr(t, 1, 1)) * 31 + length(t) AS BIGINT) % 1000003").as("h"))
+      else tokens
+    val sigs = hashed
       .groupBy("doc_id")
-      .agg(
-        min(xxhash64(lit(0), col("t"))).as("m0"),
-        (1 until numHashes).map(i => min(xxhash64(lit(i), col("t"))).as(s"m$i")): _*)
+      .agg(minExpr(0), (1 until numHashes).map(minExpr): _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"),
-        array((0 until bands).map(g => xxhash64(
-          lit(g) +: (0 until rows).map(j => col(s"m${rows * g + j}")): _*)): _*).as("bands"))
+        array((0 until bands).map(bandKey): _*).as("bands"))
     sigs
       .select(col("doc_id"), col("sig"),
         posexplode(col("bands")).as(Seq("band_id", "band_key")))

@@ -50,13 +50,18 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
-  test("q32 minhash est_jaccard=1 pairs have identical token sets") {
+  test("minhash est_jaccard=1 pairs have identical token sets") {
     import org.apache.spark.sql.functions._
     val sig = graft.engine.Tables.table(spark, sfDir, "documents")
       .select(col("doc_id"),
         array_join(array_sort(array_distinct(split(col("text"), " "))), " ").as("sig"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    val perfect = SparkEntry.queries("q32_dedup_minhash")(spark, sfDir).collect()
+    // The library DEFAULT (xxhash64) variant — q32 itself runs the portable
+    // LCG variant and is gated by its full DuckDB oracle since r04.
+    val perfect = graft.operators.Dedup
+      .minhashCandidates(graft.engine.Tables.table(spark, sfDir, "documents"),
+        "doc_id", "text", numHashes = 16, bands = 4, bucketCap = 64)
+      .collect()
       .filter(_.getDecimal(2).doubleValue() == 1.0)
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(perfect.nonEmpty, "expected at least one est_jaccard=1 candidate pair")
