@@ -608,7 +608,92 @@ object LlmOps {
       .orderBy("rank")
   }
 
+  // --- q113: per-source character budgets (domain caps) -------------------
+  // The domain-cap rule of web-corpus curation: no single source may
+  // contribute more than a budget of character mass; the budget here is the
+  // EQUALIZING one (each source capped at the mean per-source total), so
+  // over-represented sources are truncated and under-represented ones pass
+  // whole — both paths live at every sf (measured 11/9 at sf0.01).
+  // Admission is deterministic: docs enter in portable (fingerprint,
+  // doc_id) order while the running char total stays within budget.
+  // Shape: one shuffle on source for the cumulative window, the budget is
+  // a broadcast 1-row aggregate (never a collect), and the per-source agg
+  // rides the same partitioning. Integer division keeps the budget exact
+  // in both engines (no double rounding at the boundary).
+  private val q113 = QueryDef(
+    "q113_source_budget",
+    """WITH fp AS (
+      |  SELECT doc_id, source, n_chars,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(text, ' '),
+      |                       t -> CAST(ascii(substr(t, 1, 1)) * 31 + length(t) AS BIGINT))),
+      |      (acc, v) -> (acc * 131 + v) % 1000000007) AS fingerprint
+      |  FROM documents),
+      |tot AS (SELECT source, SUM(n_chars) AS tot, COUNT(*) AS n_docs FROM fp GROUP BY 1),
+      |b AS (SELECT SUM(tot) // COUNT(*) AS budget FROM tot),
+      |c AS (SELECT f.*, SUM(n_chars) OVER (PARTITION BY source ORDER BY fingerprint, doc_id
+      |        ROWS UNBOUNDED PRECEDING) AS cum FROM fp f),
+      |kept AS (SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS kept_chars
+      |         FROM c, b WHERE cum <= budget GROUP BY source)
+      |SELECT t.source, t.n_docs, k.n_kept, CAST(k.kept_chars AS BIGINT) AS kept_chars,
+      |  CAST(CASE WHEN k.n_kept < t.n_docs THEN 1 ELSE 0 END AS BIGINT) AS truncated
+      |FROM tot t JOIN kept k USING (source)
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    val fp = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        graft.functions.GraftFunctions.fingerprint("text").as("fingerprint"))
+    val tot = fp.groupBy("source")
+      .agg(sum("n_chars").as("tot"), count(lit(1)).as("n_docs"))
+    val budget = tot.agg(expr("sum(tot) div count(*)").as("budget"))
+    val w = Window.partitionBy("source").orderBy("fingerprint", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = fp.withColumn("cum", sum("n_chars").over(w))
+      .crossJoin(broadcast(budget))
+      .where(col("cum") <= col("budget"))
+      .groupBy(col("source").as("k_source"))
+      .agg(count(lit(1)).as("n_kept"), sum("n_chars").cast("long").as("kept_chars"))
+    tot.join(kept, col("source") === col("k_source"))
+      .select(col("source"), col("n_docs"), col("n_kept"), col("kept_chars"),
+        when(col("n_kept") < col("n_docs"), 1L).otherwise(0L).as("truncated"))
+      .orderBy("source")
+  }
+
+  // --- q115: overlapping token-window chunking -----------------------------
+  // Long-document chunking for fixed-context training: windows of 16
+  // tokens at stride 12 (the overlap preserves cross-boundary context),
+  // one output row per chunk with its token count and portable fingerprint
+  // (the RollingFingerprint native expression over the re-joined slice —
+  // tokens contain no spaces, so join∘slice∘split is exact). Map-only:
+  // chunk generation is a per-row sequence explode, no shuffle anywhere
+  // before the presentation sort — the shape that matters at 100 TB, where
+  // chunking is a pure scan-transform ahead of packing (q99).
+  private val q115 = QueryDef(
+    "q115_chunk_windows",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |ch AS (SELECT doc_id, l, unnest(range(0, (len(l) + 11) // 12)) AS chunk_id FROM t),
+      |sl AS (SELECT doc_id, chunk_id,
+      |         l[CAST(chunk_id*12+1 AS INTEGER):CAST(chunk_id*12+16 AS INTEGER)] AS c
+      |       FROM ch)
+      |SELECT doc_id, chunk_id, len(c) AS n_chunk_tokens,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(c, x -> CAST(ascii(substr(x,1,1))*31 + length(x) AS BIGINT))),
+      |    (acc, v) -> (acc*131 + v) % 1000000007) AS chunk_fp
+      |FROM sl ORDER BY doc_id, chunk_id LIMIT 600""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .select(col("doc_id"), col("l"),
+        explode(expr("sequence(0L, (size(l) + 11) div 12 - 1)")).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("l"), col("chunk_id").cast("int") * 12 + 1, lit(16)).as("c"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("c")).cast("long").as("n_chunk_tokens"),
+        graft.engine.expr.RollingFingerprint.of(array_join(col("c"), " "))
+          .as("chunk_fp"))
+      .orderBy("doc_id", "chunk_id").limit(600)
+  }
+
   def defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q70, q77, q80, q99,
-      q101, q106, q107, q108)
+      q101, q106, q107, q108, q113, q115)
 }

@@ -254,5 +254,40 @@ object TextOps {
       .orderBy("doc_id").limit(250)
   }
 
-  def defs: Seq[QueryDef] = Seq(q43, q44, q45, q46, q78, q79, q100)
+  // --- q114: out-of-vocabulary outlier docs --------------------------------
+  // Tokenizer-vocabulary screening: the working vocabulary is every token
+  // covering ≥10% of documents (df·10 ≥ N); docs carrying any token
+  // OUTSIDE it are vocabulary outliers (in curation terms: candidate
+  // gibberish / contamination / wrong-language slices to route to review).
+  // Shape: one shuffle to aggregate per-token df; the corpus size is a
+  // broadcast 1-row aggregate and the OOV vocabulary is broadcast back
+  // against the exploded tokens (a vocabulary is agg-bounded — always
+  // orders of magnitude smaller than the corpus), so the per-doc count is
+  // the explode's shuffle and nothing else.
+  private val q114 = QueryDef(
+    "q114_oov_docs",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents),
+      |df AS (SELECT t, COUNT(*) AS df FROM tok GROUP BY 1),
+      |oov AS (SELECT t FROM df, (SELECT COUNT(*) AS n FROM documents) c WHERE df * 10 < n),
+      |per AS (SELECT k.doc_id, COUNT(*) AS n_tok, COUNT(o.t) AS n_oov
+      |        FROM tok k LEFT JOIN oov o ON k.t = o.t GROUP BY k.doc_id)
+      |SELECT doc_id, n_tok, n_oov FROM per WHERE n_oov > 0
+      |ORDER BY doc_id LIMIT 300""".stripMargin) { (s, dir) =>
+    val docs = Tables.table(s, dir, "documents")
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("t"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val oov = tok.groupBy("t").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .where(col("df") * 10 < col("n"))
+      .select(col("t").as("o_t"))
+    tok.join(broadcast(oov), col("t") === col("o_t"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), count(col("o_t")).as("n_oov"))
+      .where(col("n_oov") > 0)
+      .orderBy("doc_id").limit(300)
+  }
+
+  def defs: Seq[QueryDef] = Seq(q43, q44, q45, q46, q78, q79, q100, q114)
 }

@@ -172,6 +172,33 @@ class PlanSuite extends SparkTestBase {
     assert(plan("q108_vocab_coverage").contains("TakeOrderedAndProject"))
   }
 
+  test("q113/q114 budget and vocab frames stay broadcast-side") {
+    // The 1-row budget scalar (q113) and the agg-bounded OOV vocabulary
+    // (q114) must never shuffle-join against the corpus; q113's only wide
+    // exchanges are the source window + aggs, q114's the df agg + per-doc
+    // count.
+    Seq("q113_source_budget", "q114_oov_docs").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q shuffles a join:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
+    }
+  }
+
+  test("q115 chunking is map-only ahead of the presentation sort") {
+    // Chunk generation must be explode + slice on the scan with no
+    // wide exchange before the final orderBy/limit — at 100 TB chunking
+    // is a pure scan-transform feeding packing (q99).
+    val p = plan("q115_chunk_windows")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"q115 planned a join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q115 presentation top-k is not TakeOrderedAndProject:\n$p")
+    // exactly zero hash-partitioned exchanges: the only allowed exchange
+    // is the TakeOrdered/limit machinery
+    assert(!p.contains("hashpartitioning"),
+      s"q115 has a hash exchange before the sort:\n$p")
+  }
+
   private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
