@@ -693,7 +693,39 @@ object LlmOps {
       .orderBy("doc_id", "chunk_id").limit(600)
   }
 
+  // --- q116: deterministic global example ids ------------------------------
+  // Training corpora need stable global example ids: reproducible on any
+  // cluster layout AND cheap at 100 TB. ROW_NUMBER over a global ORDER BY
+  // is one partition; monotonically_increasing_id renumbers when the
+  // layout changes. Indexing.globalIndex is the scale-safe middle — the
+  // portable fingerprint is uniform in [0, 1e9+7), so fixed-width range
+  // buckets are monotone in the sort key; bucket counts prefix-sum on a
+  // 32-row frame, and the ordinal is offset + per-bucket row_number. The
+  // oracle IS the naive global ROW_NUMBER — proving the bucketed
+  // construction reproduces it exactly.
+  private val q116 = QueryDef(
+    "q116_global_index",
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(text, ' '),
+      |                       t -> CAST(ascii(substr(t, 1, 1)) * 31 + length(t) AS BIGINT))),
+      |      (acc, v) -> (acc * 131 + v) % 1000000007) AS fingerprint
+      |  FROM documents)
+      |SELECT doc_id, fingerprint,
+      |  ROW_NUMBER() OVER (ORDER BY fingerprint, doc_id) - 1 AS global_idx
+      |FROM fp ORDER BY global_idx LIMIT 500""".stripMargin) { (s, dir) =>
+    val fp = Tables.table(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.fingerprint("text").as("fingerprint"))
+    graft.operators.Indexing
+      .globalIndex(fp, "fingerprint", "doc_id", keySpace = 1000000007L)
+      .select("doc_id", "fingerprint", "global_idx")
+      .orderBy("global_idx").limit(500)
+  }
+
   def defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q70, q77, q80, q99,
-      q101, q106, q107, q108, q113, q115)
+      q101, q106, q107, q108, q113, q115, q116)
 }

@@ -289,5 +289,59 @@ object TextOps {
       .orderBy("doc_id").limit(300)
   }
 
-  def defs: Seq[QueryDef] = Seq(q43, q44, q45, q46, q78, q79, q100, q114)
+  // --- q118: BM25 keyword retrieval ----------------------------------------
+  // Corpus search for curation ("find the docs about X to audit"): BM25
+  // (k1=1.2, b=0.75) over a 3-term query, the query itself data-derived
+  // (the 3 rarest vocabulary terms — deterministic in both engines).
+  // Portability recipe: the idf is the LINEAR ratio (N−df+0.5)/(df+0.5)
+  // (no ln — the q101 trick), every factor is cast to double before an
+  // IDENTICAL expression tree in both engines, and each per-term score is
+  // quantized to integer micros BEFORE the per-doc sum (the q97 trick:
+  // integer partial sums are partition-order-free, so Spark's agg order
+  // can't produce a different double than DuckDB's). Shape: tf/dl/df are
+  // the corpus aggregates; the query table and corpus stats broadcast.
+  private val q118 = QueryDef(
+    "q118_bm25_topk",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY 1),
+      |df AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tok GROUP BY 1),
+      |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+      |qt AS (SELECT t, df FROM df ORDER BY df, t LIMIT 3),
+      |term AS (
+      |  SELECT f.doc_id,
+      |    CAST(ROUND(((st.n - q.df + 0.5) / (q.df + 0.5))
+      |      * ((CAST(f.tf AS DOUBLE) * 2.2)
+      |         / (CAST(f.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (d.dl / st.avgdl))))
+      |      * 1000000.0) AS BIGINT) AS micros
+      |  FROM tf f JOIN qt q ON f.t = q.t JOIN dl d ON f.doc_id = d.doc_id, st)
+      |SELECT doc_id, COUNT(*) AS n_hit_terms, CAST(SUM(micros) AS BIGINT) AS score_micros
+      |FROM term GROUP BY doc_id
+      |ORDER BY score_micros DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+    val tok = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).cast("double").as("dl"))
+    val dfq = tok.groupBy("t")
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val st = dl.agg(count(lit(1)).cast("double").as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qt = dfq.orderBy("df", "t").limit(3)
+      .select(col("t").as("q_t"), col("df"))
+    val idf = (col("n") - col("df") + 0.5) / (col("df") + 0.5)
+    val tfPart = (col("tf").cast("double") * 2.2) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * (col("dl") / col("avgdl"))))
+    tf.join(broadcast(qt), col("t") === col("q_t"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .withColumn("micros", round(idf * tfPart * 1000000.0).cast("bigint"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_terms"),
+        sum(col("micros")).cast("bigint").as("score_micros"))
+      .orderBy(col("score_micros").desc, col("doc_id")).limit(10)
+  }
+
+  def defs: Seq[QueryDef] = Seq(q43, q44, q45, q46, q78, q79, q100, q114, q118)
 }

@@ -185,5 +185,50 @@ object WarehouseOps {
     s"$tmp/clustered"
   }
 
-  def defs: Seq[QueryDef] = Seq(q89, q90, q91, q92, q103, q109)
+  // --- q117: snapshot diff (CDC classification) ----------------------------
+  // The dataset-versioning primitive: given two snapshots of a keyed
+  // table, classify every key as added / deleted / changed / unchanged —
+  // the inverse of q64's MERGE (which APPLIES a change set; this DERIVES
+  // one). Snapshots are carved deterministically from orders (v1 drops
+  // key%7=0, v2 drops key%5=0 and perturbs key%3=0 prices), so all four
+  // classes are non-empty at every sf (1714/2571/3428/6858 at sf0.01).
+  // Shape: ONE full-outer equi join on the key — co-partitioned shuffle
+  // both sides, the exact plan a 100 TB snapshot diff wants (at scale both
+  // snapshots would be bucketed on the key and the shuffle vanishes, the
+  // q52 layout).
+  private val q117 = QueryDef(
+    "q117_snapshot_diff",
+    """WITH v1 AS (SELECT o_orderkey AS k, o_totalprice AS val FROM orders
+      |            WHERE o_orderkey % 7 <> 0),
+      |v2 AS (SELECT o_orderkey AS k,
+      |         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10
+      |              ELSE o_totalprice END AS val
+      |       FROM orders WHERE o_orderkey % 5 <> 0),
+      |d AS (SELECT COALESCE(v1.k, v2.k) AS k,
+      |        CASE WHEN v1.k IS NULL THEN 'added'
+      |             WHEN v2.k IS NULL THEN 'deleted'
+      |             WHEN v1.val <> v2.val THEN 'changed'
+      |             ELSE 'unchanged' END AS change_type
+      |      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+      |SELECT change_type, COUNT(*) AS n, MIN(k) AS min_key, MAX(k) AS max_key
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val o = Tables.table(s, dir, "orders")
+    val v1 = o.where(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("k1"), col("o_totalprice").as("val1"))
+    val v2 = o.where(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey").as("k2"),
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 10)
+          .otherwise(col("o_totalprice")).as("val2"))
+    v1.join(v2, col("k1") === col("k2"), "full_outer")
+      .select(coalesce(col("k1"), col("k2")).as("k"),
+        when(col("k1").isNull, "added")
+          .when(col("k2").isNull, "deleted")
+          .when(col("val1") =!= col("val2"), "changed")
+          .otherwise("unchanged").as("change_type"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n"), min("k").as("min_key"), max("k").as("max_key"))
+      .orderBy("change_type")
+  }
+
+  def defs: Seq[QueryDef] = Seq(q89, q90, q91, q92, q103, q109, q117)
 }

@@ -184,6 +184,22 @@ class PlanSuite extends SparkTestBase {
     }
   }
 
+  test("q116 global index never plans a global-sort window or a shuffle join") {
+    // The whole point of Indexing.globalIndex: the ordinal must come from
+    // range buckets + broadcast offsets, not ROW_NUMBER over one partition
+    // of the corpus or a shuffled join against the offsets frame.
+    val p = plan("q116_global_index")
+    assert(!p.contains("SortMergeJoin"), s"q116 shuffles the offsets join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q116 planned a cartesian:\n$p")
+  }
+
+  test("q118 BM25 broadcasts the query terms and corpus stats") {
+    val p = plan("q118_bm25_topk")
+    assert(!p.contains("CartesianProduct"), s"q118 planned a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"q118 does not broadcast the query frame:\n$p")
+  }
+
   test("q115 chunking is map-only ahead of the presentation sort") {
     // Chunk generation must be explode + slice on the scan with no
     // wide exchange before the final orderBy/limit — at 100 TB chunking
