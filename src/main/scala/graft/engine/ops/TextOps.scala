@@ -1,6 +1,7 @@
 package graft.engine.ops
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.engine.{QueryDef, Tables}
 
@@ -343,5 +344,92 @@ object TextOps {
       .orderBy(col("score_micros").desc, col("doc_id")).limit(10)
   }
 
-  def defs: Seq[QueryDef] = Seq(q43, q44, q45, q46, q78, q79, q100, q114, q118)
+  // --- q119: the curation pipeline (composed keep/drop manifest) -----------
+  // The capstone composition: what a production corpus filter actually
+  // ships — every doc classified by the FIRST failing gate, in pipeline
+  // order: too_short (< 15 tokens) → low_quality (q44's signal,
+  // quality < 1/4 by integer cross-multiplication) → repetitive (q100's
+  // dup-bigram/adjacent-repeat rule) → near_dup (non-survivor of the
+  // 5-token lede-fingerprint group, q70's key — min doc_id survives) →
+  // kept. Every gate is portable arithmetic, so the whole manifest
+  // oracle-checks. All classes non-empty at every sf (kept is the
+  // majority — a filter that rejects most of its corpus is mistuned).
+  // Shape: one shuffle (the survivor window on head_fp); every other
+  // gate is map-only — the 100 TB manifest is a single pass.
+  private val q119 = QueryDef(
+    "q119_curation_pipeline",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS l,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ' ')[1:5],
+      |        x -> CAST(ascii(substr(x,1,1))*31 + length(x) AS BIGINT))),
+      |      (acc, v) -> (acc*131 + v) % 1000000007) AS head_fp
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, head_fp, len(l) AS n,
+      |    len(list_distinct(l)) AS nd,
+      |    len(list_filter(l, x -> list_contains(['the','a','of','and'], x))) AS ns,
+      |    len(l) - 1 AS nb,
+      |    (len(l) - 1) - len(list_distinct(list_transform(range(1, len(l)),
+      |        i -> l[i] || ' ' || l[i+1]))) AS dup_bg,
+      |    len(list_filter(range(1, len(l)), i -> l[i] = l[i+1])) AS rep_adj
+      |  FROM t),
+      |surv AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY head_fp) AS canon FROM f)
+      |SELECT f.doc_id, CAST(f.n AS BIGINT) AS n_tokens,
+      |  CASE WHEN f.n < 15 THEN 'too_short'
+      |       WHEN (f.nd - f.ns) * 4 < f.n THEN 'low_quality'
+      |       WHEN f.dup_bg * 20 > f.nb OR f.rep_adj * 20 >= f.n THEN 'repetitive'
+      |       WHEN s.canon <> f.doc_id THEN 'near_dup'
+      |       ELSE 'kept' END AS verdict
+      |FROM f JOIN surv s ON f.doc_id = s.doc_id
+      |ORDER BY f.doc_id LIMIT 600""".stripMargin) { (s, dir) =>
+    val base = Tables.table(s, dir, "documents")
+      .withColumn("l", toks)
+      .select(col("doc_id"), col("l"),
+        graft.functions.GraftFunctions.headFingerprint("text", 5).as("head_fp"),
+        size(col("l")).as("n"),
+        size(array_distinct(col("l"))).as("nd"),
+        expr("size(filter(l, x -> array_contains(array('the','a','of','and'), x)))").as("ns"),
+        (size(col("l")) - 1).as("nb"),
+        expr("""size(l) - 1 - size(array_distinct(transform(sequence(1, size(l) - 1),
+               |  i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))))""".stripMargin)
+          .as("dup_bg"),
+        expr("size(filter(sequence(1, size(l) - 1), i -> element_at(l, i) = element_at(l, i + 1)))")
+          .as("rep_adj"))
+    val w = Window.partitionBy("head_fp")
+    base.withColumn("canon", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        when(col("n") < 15, "too_short")
+          .when((col("nd") - col("ns")) * 4 < col("n"), "low_quality")
+          .when(col("dup_bg") * 20 > col("nb")
+            || col("rep_adj") * 20 >= col("n"), "repetitive")
+          .when(col("canon") =!= col("doc_id"), "near_dup")
+          .otherwise("kept").as("verdict"))
+      .orderBy("doc_id").limit(600)
+  }
+
+  // --- q120: BPE pair statistics (the first merge iteration) ---------------
+  // Tokenizer design starts with exactly this table: corpus-weighted
+  // counts of adjacent character pairs inside tokens (what byte-pair
+  // encoding merges first). Map-side double explode (tokens, then
+  // in-token positions) collapses into a partial aggregate over the tiny
+  // |alphabet|² pair domain — the shuffle carries pairs, not characters.
+  private val q120 = QueryDef(
+    "q120_bpe_pair_stats",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |pairs AS (SELECT substr(t, CAST(i AS INTEGER), 2) AS pair
+      |          FROM tok, unnest(range(1, length(t))) AS u(i) WHERE length(t) >= 2)
+      |SELECT pair, COUNT(*) AS n FROM pairs GROUP BY 1
+      |ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "documents")
+      .select(explode(toks).as("t"))
+      .where(length(col("t")) >= 2)
+      .select(col("t"), explode(expr("sequence(1, length(t) - 1)")).as("i"))
+      .select(expr("substring(t, i, 2)").as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(20)
+  }
+
+  def defs: Seq[QueryDef] =
+    Seq(q43, q44, q45, q46, q78, q79, q100, q114, q118, q119, q120)
 }
