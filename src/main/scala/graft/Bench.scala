@@ -54,7 +54,11 @@ object Bench {
     // The process still exits 0 — the gate is a flag, not a process failure,
     // so a stalled host window can never destroy the benchmark capture.
     val perQueryBudget = 3.5
-    val softTotal = 75.0
+    // Soft budget scales with the declared surface (0.67 s/query — the
+    // measured clean-mode average is ~0.65): an absolute number meant for
+    // 110 queries would warn on every clean run at 120+ and train readers
+    // to ignore it. The HARD gate stays absolute — it is the contract.
+    val softTotal = math.min(0.67 * SparkEntry.queries.size, 85.0)
     val hardTotal = 90.0
     val overBudget = results.collect {
       case (k, v, true) if v > perQueryBudget => "\"" + k + "\""
