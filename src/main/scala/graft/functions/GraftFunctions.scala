@@ -69,8 +69,16 @@ object GraftFunctions {
     * polynomial roll of the fingerprint token code over each 3-token
     * window, distinct'd — reproducible in any engine (used by the
     * banded-MinHash blocking and its DuckDB oracle). Takes the column
-    * NAME of a tokens array column. */
-  def hashedShingles(tokensCol: String): Column = {
+    * NAME of a tokens array column. Runs the allocation-lean
+    * [[graft.engine.expr.HashedShingles]] native expression; callers must
+    * pre-filter `size >= 3` (which they always did — the lambda
+    * formulation CRASHES below 3 tokens, see the expression Scaladoc). */
+  def hashedShingles(tokensCol: String): Column =
+    graft.engine.expr.HashedShingles.of(col(tokensCol))
+
+  /** The lambda reference formulation the native expression is
+    * equality-tested against (GraftFunctionsSpec). */
+  private[graft] def hashedShinglesViaLambdas(tokensCol: String): Column = {
     def code(t: String) = s"cast(ascii(substr($t, 1, 1)) * 31 + length($t) AS BIGINT)"
     expr(s"""array_distinct(transform(sequence(1, size($tokensCol) - 2),
             |  i -> ((${code(s"element_at($tokensCol, i)")} * 131

@@ -89,6 +89,38 @@ class GraftFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("native HashedShingles equals the lambda formulation everywhere") {
+    import spark.implicits._
+    // Boundary fixtures with >= 3 tokens (the callers' precondition —
+    // below 3 the lambda formulation itself crashes): empty tokens from
+    // double/leading spaces, repeated windows (distinct must collapse,
+    // preserving first-occurrence order), exactly 3 tokens.
+    val edge = Seq("a b c", "a b c d e", "x  y  z", " a b c ",
+      "r r r r r r", "one two three one two three one two three")
+      .toDF("text")
+    val corpus = graft.engine.Tables.table(spark, sfDir, "documents").select("text")
+    Seq(edge, corpus).foreach { df =>
+      val mismatches = df
+        .select(split(col("text"), " ").as("l"))
+        .where(size(col("l")) >= 3)
+        .select(GraftFunctions.hashedShingles("l").as("n"),
+          GraftFunctions.hashedShinglesViaLambdas("l").as("m"))
+        .where(not(col("n") <=> col("m"))).count()
+      assert(mismatches == 0, s"$mismatches rows diverge")
+    }
+  }
+
+  test("HashedShingles stays inside whole-stage codegen") {
+    val df = graft.engine.Tables.table(spark, sfDir, "documents")
+      .select(split(col("text"), " ").as("l"))
+      .where(size(col("l")) >= 3)
+      .select(GraftFunctions.hashedShingles("l").as("sh"))
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("*(1)"),
+      s"shingle projection not in a codegen span:\n$executed")
+  }
+
   test("RollingFingerprint stays inside whole-stage codegen") {
     // The point of the native expression: the lambda formulation is
     // CodegenFallback, this one is not — the projection must carry NO
