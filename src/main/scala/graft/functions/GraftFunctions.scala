@@ -93,6 +93,16 @@ object GraftFunctions {
     * Output: array<bigint> of band keys. */
   def minhashBandKeys(shCol: String): Column = {
     def minPerm(a: Long, c: Long) =
+      graft.engine.expr.LcgMin.of(col(shCol), a, c)
+    array(
+      minPerm(37, 11) * 1000000007L + minPerm(101, 29),
+      minPerm(193, 71) * 1000000007L + minPerm(389, 113))
+  }
+
+  /** The lambda reference formulation of [[minhashBandKeys]] the native
+    * LcgMin path is equality-tested against (GraftFunctionsSpec). */
+  private[graft] def minhashBandKeysViaLambdas(shCol: String): Column = {
+    def minPerm(a: Long, c: Long) =
       expr(s"array_min(transform($shCol, h -> ($a * h + $c) % 1000000007))")
     array(
       minPerm(37, 11) * 1000000007L + minPerm(101, 29),

@@ -110,6 +110,17 @@ class GraftFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("native LcgMin band keys equal the lambda formulation on the corpus") {
+    val mismatches = graft.engine.Tables.table(spark, sfDir, "documents")
+      .select(split(col("text"), " ").as("l"))
+      .where(size(col("l")) >= 3)
+      .select(GraftFunctions.hashedShingles("l").as("sh"))
+      .select(GraftFunctions.minhashBandKeys("sh").as("n"),
+        GraftFunctions.minhashBandKeysViaLambdas("sh").as("m"))
+      .where(not(col("n") <=> col("m"))).count()
+    assert(mismatches == 0, s"$mismatches rows diverge")
+  }
+
   test("HashedShingles stays inside whole-stage codegen") {
     val df = graft.engine.Tables.table(spark, sfDir, "documents")
       .select(split(col("text"), " ").as("l"))
