@@ -204,15 +204,46 @@ object SimilarityOps {
       .orderBy("probe_id", "rn")
   }
 
-  // --- q63: SRP-LSH ANN (no oracle: hash-derived hyperplanes) -------------
+  // --- q63: SRP-LSH ANN (portable integer planes) --------------------------
   // The LSH-bucketed scale path the brief names alongside IVF: probes
-  // search only bucket-colliding vectors, exact-cosine re-rank. Recall vs
-  // q33's brute force asserted in the test suite.
-  private val q63 = QueryDef.noOracle("q63_ann_lsh") { (s, dir) =>
-    val emb = Tables.table(s, dir, "embeddings")
-    graft.operators.Similarity
-      .srpTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 5)
-      .orderBy("probe_id", "rn")
+  // search only bucket-colliding vectors, exact-cosine re-rank.
+  //
+  // Oracle (r04): the hyperplanes are the q34/q49 integer-arithmetic SRP
+  // family (srpBuckets/srpBucketSql), so DuckDB re-derives the 8 table
+  // buckets, the collision candidate set, and the rounded-decimal re-rank
+  // — no-oracle set 7 → 6 (what remains is the theoretically engine-bound
+  // set: HLL/percentile sketches, the two engine samplers, the q42 stream
+  // runtime). The xxhash64-plane srpTopK stays the library default;
+  // exactness vs q33's brute force also asserted in the test suite.
+  private val q63 = {
+    val buckets = (0 until 8).map(t =>
+      s"${graft.operators.Similarity.srpBucketSql("e", t, 6, 64)} AS b$t").mkString(", ")
+    val orCond = (0 until 8).map(t => s"a.b$t = p.b$t").mkString(" OR ")
+    QueryDef(
+      "q63_ann_lsh",
+      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |nb AS (SELECT vec_id, e, nrm, $buckets FROM n),
+         |p AS (SELECT * FROM nb WHERE vec_id < 5),
+         |cand AS (
+         |  SELECT p.vec_id AS probe_id, a.vec_id AS neighbor_id,
+         |    CAST(ROUND(list_dot_product(p.e, a.e) / (p.nrm * a.nrm), 4) AS DECIMAL(7,4)) AS sim
+         |  FROM nb a JOIN p ON a.vec_id <> p.vec_id AND ($orCond)),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM cand)
+         |SELECT probe_id, rn, neighbor_id, CAST(sim AS DOUBLE) AS sim
+         |FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin) { (s, dir) =>
+      val emb = Tables.table(s, dir, "embeddings")
+      graft.operators.Similarity
+        .srpTopKPortable(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 5, tables = 8, bitsPerTable = 6, dim = 64)
+        .withColumn("sim", col("sim").cast("double"))
+        .orderBy("probe_id", "rn")
+    }
   }
 
   // --- q66: edit-distance fuzzy matching, blocked by (brand, type) --------

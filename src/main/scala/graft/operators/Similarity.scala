@@ -104,6 +104,38 @@ object Similarity {
       .select("probe_id", "rn", "neighbor_id", "sim")
   }
 
+  /** Portable-plane variant of [[srpTopK]] (oracle-checkable, r04): table
+    * buckets come from the integer-arithmetic SRP planes ([[srpBuckets]] —
+    * the q34/q49 machinery) instead of xxhash64 planes, candidates from
+    * bucket collisions, exact rounded-decimal cosine re-rank. The xxhash64
+    * variant stays the library default (finer plane dispersion); this one
+    * trades plane quality for engine portability — IDENTICALLY in any
+    * engine, which is what lets q63 carry a full DuckDB oracle. */
+  def srpTopKPortable(vectors: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, tables: Int = 8, bitsPerTable: Int = 6,
+      dim: Int = 0): DataFrame = {
+    val planeDim =
+      if (dim > 0) dim
+      else vectors.select(size(col(vecCol)).as("d")).head().getInt(0)
+    def buckets(df: DataFrame): DataFrame =
+      withNorm(df, idCol, vecCol)
+        .select(col("__id"), col("__e"), col("__nrm"),
+          posexplode(array(srpBuckets(col("__e"), tables, bitsPerTable, planeDim): _*))
+            .as(Seq("table", "bucket")))
+    val corpus = buckets(vectors)
+    val probeB = buckets(probes).select(col("__id").as("__pid"),
+      col("__e").as("__pe"), col("__nrm").as("__pn"), col("table"), col("bucket"))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
+    corpus.join(probeB, Seq("table", "bucket"))
+      .where(col("__id") =!= col("__pid"))
+      .select(col("__pid").as("probe_id"), col("__id").as("neighbor_id"),
+        cosine(col("__pe"), col("__e"), col("__pn"), col("__nrm")).as("sim"))
+      .distinct() // a pair may collide in several tables
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("probe_id", "rn", "neighbor_id", "sim")
+  }
+
   // ---- Engine-portable SRP blocking (oracle-checkable) -------------------
   // Unlike srpTopK's xxhash64 hyperplanes (Spark-internal, rows-only
   // checked), these planes are plain int64 arithmetic any engine reproduces

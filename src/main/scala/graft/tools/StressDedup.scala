@@ -88,12 +88,24 @@ object StressDedup {
         Dedup.substringPairs(df.withColumn("toks", split(col("text"), " ")),
           "doc_id", "toks", k = 8, maxDocFreq = 50).count())
 
+      // q116 shape: bucketed global ordinal (r04) — the claim under test is
+      // that the construction stays linear with FLAT bucket skew (the
+      // fingerprint is uniform, so each of the 32 range buckets carries
+      // ~n/32 rows and the per-bucket window never degenerates).
+      val fp = df.select(col("doc_id"),
+        GraftFunctions.fingerprint("text").as("fingerprint"))
+      val (giN, giT) = timed(
+        graft.operators.Indexing
+          .globalIndex(fp, "fingerprint", "doc_id", keySpace = 1000000007L)
+          .agg(max(col("global_idx"))).collect()(0).getLong(0) + 1)
+
       for ((op, t, n) <- Seq(
           ("q31 signatureClusters", sigT, sigN),
           ("q32 minhashCandidates", mhT, mhN),
           ("q48 banded pairs", prT, prN),
           ("q75 connectedComponents", ccT, ccN),
-          ("q88 substringPairs", ssT, ssN)))
+          ("q88 substringPairs", ssT, ssN),
+          ("q116 globalIndex", giT, giN)))
         println(f"| ${scale}x | $rows | $op | $t%.1f | $n | $blockMax | $blockP99 |")
     }
     spark.stop()
