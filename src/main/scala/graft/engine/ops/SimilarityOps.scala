@@ -164,43 +164,85 @@ object SimilarityOps {
     }
   }
 
-  // --- q50: IVF-style ANN (no oracle: fp centroid averaging is engine-
-  // specific; recall vs q33's brute force is asserted in the test suite) ---
-  // Train: per-label mean vector = the coarse quantizer (posexplode →
-  // avg per dimension → re-assemble). Search: probes scan the 2 nearest
-  // centroids' partitions ONLY — the inverted-file pattern that makes ANN
-  // sublinear at 100 TB (scan nprobe/nlist of the corpus).
-  private val q50 = QueryDef.noOracle("q50_ann_ivf") { (s, dir) =>
+  // --- q50: IVF ANN (seeded Voronoi cells, portable metric) ---------------
+  // The inverted-file pattern that makes ANN sublinear at 100 TB: a coarse
+  // quantizer assigns every vector to its nearest of nlist=10 cells;
+  // probes scan only their nprobe=2 nearest cells, then exact-cosine
+  // re-rank. r04 upgrade: the cells are CONTENT-derived Voronoi cells of
+  // 10 seed centroids under the q102 integer-micros L2 metric (they were
+  // per-LABEL mean cells before — metadata partitioning, the same flaw r02
+  // fixed for q48's blocking; measured cell sizes 39-59 of 500, ~n/nlist).
+  // Everything (assignment, probe cell choice, re-rank) is portable
+  // arithmetic, so the oracle re-derives the identical inverted lists,
+  // probed cells, and top-k — no-oracle set 6 -> 5. Float-TRAINED
+  // centroids remain available via Clustering.kmeans (q102, test-gated);
+  // at 100 TB the quantizer is trained on a sample either way, and the
+  // search-path mechanics graded here are identical.
+  private val q50 = QueryDef(
+    "q50_ann_ivf",
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+      |c AS (SELECT vec_id AS cid, e AS cv FROM v WHERE vec_id < 10),
+      |d AS (SELECT n.vec_id, c.cid,
+      |    CAST(floor((list_dot_product(n.e, n.e) - 2*list_dot_product(n.e, c.cv)
+      |      + list_dot_product(c.cv, c.cv)) * 1000000) AS BIGINT) AS d2m
+      |  FROM n CROSS JOIN c),
+      |a AS (SELECT vec_id AS neighbor_id, cid AS cell FROM (
+      |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2m, cid) AS rn FROM d) t
+      |  WHERE rn = 1),
+      |p AS (SELECT vec_id AS probe_id, e AS pe, nrm AS pn FROM n WHERE vec_id < 5),
+      |pc AS (SELECT probe_id, cell FROM (
+      |    SELECT p.probe_id, c.cid AS cell,
+      |      ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+      |        CAST(floor((list_dot_product(p.pe, p.pe) - 2*list_dot_product(p.pe, c.cv)
+      |          + list_dot_product(c.cv, c.cv)) * 1000000) AS BIGINT), c.cid) AS crn
+      |    FROM p CROSS JOIN c) t WHERE crn <= 2),
+      |s AS (SELECT pc.probe_id, a.neighbor_id,
+      |    CAST(ROUND(list_dot_product(p2.pe, nn.e) / (p2.pn * nn.nrm), 4) AS DECIMAL(7,4)) AS sim
+      |  FROM pc JOIN a ON pc.cell = a.cell
+      |          JOIN p p2 ON pc.probe_id = p2.probe_id
+      |          JOIN n nn ON a.neighbor_id = nn.vec_id
+      |  WHERE a.neighbor_id <> pc.probe_id)
+      |SELECT probe_id, rn, neighbor_id, CAST(sim AS DOUBLE) AS sim FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn FROM s) t
+      |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin) { (s, dir) =>
     graft.engine.expr.DotProduct.register(s)
     val emb = Tables.table(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", expr("sqrt(dot_product(e, e))"))
-    val centroids = emb
-      .select(col("label"), posexplode(col("e")).as(Seq("pos", "x")))
-      .groupBy("label", "pos").agg(avg(col("x")).as("cx"))
-      .groupBy("label")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)").as("ce"))
-      .withColumn("cnrm", expr("sqrt(dot_product(ce, ce))"))
+    val centroids = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("e").as("cv"))
+    // inverted lists: one row per vector, cell = argmin of the q102
+    // integer-micros metric (broadcast centroids, map-side collapse)
+    val cells = graft.operators.Clustering
+      .assign(Tables.table(s, dir, "embeddings"), "vec_id", "embedding", centroids)
+      .select(col("vec_id").as("neighbor_id"), col("cluster").as("cell"))
     val probes = emb.where(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("nrm").as("pn"))
-    // coarse: nearest 2 centroids per probe
-    val wCoarse = Window.partitionBy("probe_id").orderBy(col("csim").desc, col("label"))
+    // coarse: the probe's nprobe=2 nearest cells under the SAME metric
+    val d2 = graft.engine.expr.DotProduct.dot(col("pe"), col("pe")) -
+      lit(2d) * graft.engine.expr.DotProduct.dot(col("pe"), col("cv")) +
+      graft.engine.expr.DotProduct.dot(col("cv"), col("cv"))
+    val wCoarse = Window.partitionBy("probe_id").orderBy(col("d2m"), col("cell"))
     val chosen = probes.crossJoin(broadcast(centroids))
-      .withColumn("csim",
-        expr("dot_product(pe, ce)") / (col("pn") * col("cnrm")))
+      .withColumn("d2m", floor(d2 * lit(1000000d)))
+      .withColumn("cell", col("cid"))
       .withColumn("crn", row_number().over(wCoarse))
       .where(col("crn") <= 2)
-      .select(col("probe_id"), col("pe"), col("pn"), col("label"))
-    // fine: exact cosine within the selected partitions only
+      .select("probe_id", "pe", "pn", "cell")
+    // fine: exact rounded-decimal cosine inside the probed cells only
     val wFine = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
-    chosen.join(emb.withColumnRenamed("vec_id", "neighbor_id"), Seq("label"))
+    chosen.join(cells, "cell")
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("e"), col("nrm")), "neighbor_id")
       .where(col("neighbor_id") =!= col("probe_id"))
       .withColumn("sim",
         round(expr("dot_product(pe, e)") / (col("pn") * col("nrm")), 4)
           .cast("decimal(7,4)"))
       .withColumn("rn", row_number().over(wFine))
       .where(col("rn") <= 5)
-      .select(col("probe_id"), col("rn"), col("neighbor_id"), col("sim"))
+      .select(col("probe_id"), col("rn"), col("neighbor_id"),
+        col("sim").cast("double").as("sim"))
       .orderBy("probe_id", "rn")
   }
 
