@@ -90,15 +90,13 @@ object StreamingOps {
       .orderBy("user_id", "session_start").limit(500)
   }
 
-  // --- q42: TRUE Structured Streaming run (no oracle: runtime semantics) --
+  // --- q42: TRUE Structured Streaming run (watermark dedup) ---------------
   // File source over the events parquet → watermark → dedup-within-watermark
   // → tumbling-window agg → APPEND-mode foreachBatch parquet sink, drained
   // with Trigger.AvailableNow. Append + watermark is the 100 TB-correct
   // shape: each window is emitted exactly once when the watermark passes it
   // and its state is dropped — a memory sink (or complete mode) would
-  // re-materialize the entire history in the driver every batch. On static
-  // input the emitted set is exactly q39 restricted to windows the final
-  // watermark (max ts - 1 h) finalized — asserted in tests.
+  // re-materialize the entire history in the driver every batch.
   //
   // The source is UNIONED WITH ITSELF (r04): event_id is unique in the
   // table, so on the raw file the dedup would never fire and the
@@ -106,7 +104,22 @@ object StreamingOps {
   // simulates at-least-once delivery — every event arrives twice, exactly
   // the failure mode watermark dedup exists for — so equality with q39 now
   // PROVES the duplicates were dropped (a broken dedup doubles every n).
-  private val q42 = QueryDef.noOracle("q42_stream_watermark_dedup") { (s, dir) =>
+  //
+  // Oracle (r04-end): on static AvailableNow input the emitted set is
+  // DETERMINISTIC — exactly the tumbling windows the final watermark
+  // (max ts − 1 h) finalized, with duplicate-free counts. That is the
+  // q105/q85 finalized-windows recipe, so the last stream-runtime query
+  // joins the oracle-carrying set; a broken dedup (doubled counts), a
+  // broken watermark (extra/missing windows), or a leaked non-finalized
+  // window all fail the hash.
+  private val q42 = QueryDef(
+    "q42_stream_watermark_dedup",
+    """WITH mx AS (SELECT MAX(ts) AS mt FROM events),
+      |w AS (SELECT date_trunc('hour', ts) AS wstart, event_type, COUNT(*) AS n
+      |      FROM events GROUP BY 1, 2)
+      |SELECT wstart, event_type, n FROM w, mx
+      |WHERE wstart + INTERVAL 1 HOUR <= mt - INTERVAL 1 HOUR
+      |ORDER BY wstart, event_type""".stripMargin) { (s, dir) =>
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
     val schema = s.read.parquet(path).schema
