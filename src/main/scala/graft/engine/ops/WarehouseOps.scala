@@ -230,5 +230,105 @@ object WarehouseOps {
       .orderBy("change_type")
   }
 
-  def defs: Seq[QueryDef] = Seq(q89, q90, q91, q92, q103, q109, q117)
+  // --- q121: incremental aggregate maintenance (materialized-view refresh) -
+  // The warehouse refresh primitive q117's diff feeds: an aggregate table
+  // maintained INCREMENTALLY — combine(stored_agg, agg(delta)) — instead
+  // of recomputed from history. COUNT and SUM are partial-aggregatable
+  // (decimal sums ⇒ order-free), so the combine is a union + re-agg whose
+  // input is |groups| + |delta|, NOT |history|: at 100 TB the refresh
+  // cost is the delta batch. The stored aggregate is genuinely
+  // materialized to parquet and read back (the plan aggregates ONLY the
+  // delta); the ORACLE is the full recompute over all of orders — passing
+  // means incremental == from-scratch, the defining invariant of view
+  // maintenance.
+  private val q121 = QueryDef(
+    "q121_incremental_agg",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val orders = Tables.table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    def aggOf(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("total"))
+    // history (9/10 of keys) aggregated ONCE and materialized; the round's
+    // refresh only touches the delta batch (keys ≡ 7 mod 10)
+    val stored = Files.createTempDirectory("q121_matview").toString
+    aggOf(orders.where(col("o_orderkey") % 10 =!= 7)).write.mode("overwrite").parquet(stored)
+    val delta = orders.where(col("o_orderkey") % 10 === 7)
+    s.read.parquet(stored)
+      .unionByName(aggOf(delta))
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(sum(col("n")).as("n"),
+        sum(col("total")).cast("decimal(18,2)").cast("double").as("total"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  // --- q122: Z-order (space-filling curve) clustered layout ----------------
+  // q109 range-clusters on ONE sort key; real multi-dimension scan skipping
+  // (the Delta/Iceberg OPTIMIZE ZORDER pattern) interleaves the bits of
+  // several keys so a file's z-value range bounds a BOX in every dimension
+  // at once. The z-value is a 30-bit interleave of (l_partkey, l_suppkey)
+  // built as a static 30-term sum of disjoint single-bit shifts — pure
+  // integer arithmetic, codegen-friendly, identical in any engine (the
+  // oracle recomputes it bit-for-bit). The layout write is
+  // repartitionByRange + sortWithinPartitions on the z-value (map-only +
+  // one range shuffle at any scale); the query reads the written layout
+  // back through a z-range predicate — the scan-skipping access path —
+  // and SinkRoundtripSpec asserts the per-file z-ranges are disjoint on
+  // the same layout.
+  private def zorderSql(a: String, b: String, bits: Int, forSpark: Boolean): String = {
+    val terms = (0 until bits).flatMap { i =>
+      if (forSpark) Seq(
+        s"shiftleft(shiftright($a, $i) & 1, ${2 * i})",
+        s"shiftleft(shiftright($b, $i) & 1, ${2 * i + 1})")
+      else Seq(
+        s"((($a >> $i) & 1) << ${2 * i})",
+        s"((($b >> $i) & 1) << ${2 * i + 1})")
+    }
+    terms.mkString("(", " + ", ")") // disjoint bits: + ≡ bitwise OR
+  }
+
+  /** The q122 layout rewrite (library API + test hook): z-order lineitem
+    * by (l_partkey, l_suppkey) and return the output dir. */
+  def zorderWrite(s: SparkSession, dir: String): String = {
+    val tmp = Files.createTempDirectory("q122_zorder").toString
+    Tables.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"),
+        expr(zorderSql("l_partkey", "l_suppkey", 15, forSpark = true)).as("zval"))
+      .repartitionByRange(8, col("zval"))
+      .sortWithinPartitions("zval")
+      .write.mode("overwrite").parquet(tmp)
+    tmp
+  }
+
+  private val q122 = QueryDef(
+    "q122_zorder_layout",
+    s"""WITH z AS (SELECT l_partkey, l_suppkey, l_quantity,
+       |    ${zorderSql("l_partkey", "l_suppkey", 15, forSpark = false)} AS zval
+       |  FROM lineitem),
+       |b AS (SELECT MIN(zval) AS lo, MIN(zval) + (MAX(zval) - MIN(zval)) // 8 AS hi FROM z)
+       |SELECT COUNT(*) AS n_rows,
+       |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+       |  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp,
+       |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+       |FROM z, b WHERE zval BETWEEN lo AND hi""".stripMargin) { (s, dir) =>
+    // the probed z-range is data-derived (the first octant of the z
+    // domain) so the scan-skipping path is non-empty at every sf; the
+    // 1-row bounds frame broadcasts, never collects
+    val laid = s.read.parquet(zorderWrite(s, dir))
+    val bounds = laid.agg(min(col("zval")).as("lo"),
+      (min(col("zval")) + expr("(max(zval) - min(zval)) div 8")).as("hi"))
+    laid.crossJoin(broadcast(bounds))
+      .where(col("zval").between(col("lo"), col("hi")))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+        min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .cast("double").as("sum_qty"))
+  }
+
+  def defs: Seq[QueryDef] = Seq(q89, q90, q91, q92, q103, q109, q117, q121, q122)
 }

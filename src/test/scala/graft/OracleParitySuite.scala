@@ -26,7 +26,13 @@ class OracleParitySuite extends SparkTestBase {
     case d: BigDecimal => canon(d.bigDecimal)
     case t: java.sql.Timestamp => t.toInstant.toString
     case d: java.sql.Date => d.toString
-    case f: Float => f.toDouble.toString
+    // Uniform double rendering: Java's Double.toString switches to
+    // scientific notation at 1e7 while DuckDB's JDBC may surface the same
+    // DOUBLE as a BigDecimal ("21406214.43") — normalize both through
+    // plain decimal form so equal values compare equal. (The driver's
+    // python comparator is type-based and has no such gap.)
+    case d: Double => canon(java.math.BigDecimal.valueOf(d))
+    case f: Float => canon(java.math.BigDecimal.valueOf(f.toDouble))
     case a: java.sql.Array =>
       a.getArray.asInstanceOf[Array[AnyRef]].map(canon).mkString("[", ",", "]")
     case s: scala.collection.Seq[_] => s.map(canon).mkString("[", ",", "]")

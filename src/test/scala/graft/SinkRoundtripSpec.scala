@@ -80,4 +80,40 @@ class SinkRoundtripSpec extends SparkTestBase {
       case _ =>
     }
   }
+
+  test("q122 z-order layout writes files with disjoint z-value ranges") {
+    // The multi-dimension scan-skipping claim: files are range-partitioned
+    // on the interleaved z-value, so each file's z-range is disjoint — and
+    // because the z-value interleaves (l_partkey, l_suppkey) bits, a
+    // bounded z-range bounds a box in BOTH dimensions at once (the
+    // standard Z-order argument), unlike q109's single-key clustering.
+    import org.apache.spark.sql.functions._
+    val out = graft.engine.ops.WarehouseOps.zorderWrite(spark, sfDir)
+    val files = Option(new java.io.File(out).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length > 1, s"expected multiple z-order files in $out")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("zval")).cast("long"), max(col("zval")).cast("long"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, prevMax), (curMin, _)) =>
+        assert(curMin >= prevMax,
+          s"z-order file ranges interleave: ${ranges.mkString(", ")}")
+      case _ =>
+    }
+    // and the box property pays off: the probed first-octant z-range
+    // touches a strictly narrower part-key span than the full table
+    val laid = spark.read.parquet(out)
+    val full = laid.agg(max(col("l_partkey")) - min(col("l_partkey"))).collect()(0).getLong(0)
+    val bounds = laid.agg(min(col("zval")).as("lo"),
+      (min(col("zval")) + expr("(max(zval) - min(zval)) div 8")).as("hi"))
+    val octant = laid.crossJoin(broadcast(bounds))
+      .where(col("zval").between(col("lo"), col("hi")))
+      .agg(max(col("l_partkey")) - min(col("l_partkey"))).collect()(0).getLong(0)
+    assert(octant < full,
+      s"z-range probe did not narrow the part-key span ($octant vs $full)")
+  }
 }
