@@ -79,15 +79,19 @@ object RollingFingerprint {
     org.apache.spark.sql.GraftShims.column(
       RollingFingerprint(org.apache.spark.sql.GraftShims.expression(c), limit))
 
+  /** The ONE arity-dispatching builder for `rolling_fingerprint(text[,
+    * limit])` — shared by [[register]] and `GraftExtensions`'s
+    * injectFunction so the two registration paths cannot diverge. */
+  def builder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(e) => RollingFingerprint(e, -1)
+    case Seq(e, lim) => RollingFingerprint(e,
+      lim.eval().asInstanceOf[Number].intValue())
+    case _ => throw new IllegalArgumentException(
+      "rolling_fingerprint(text[, limit])")
+  }
+
   /** Register `rolling_fingerprint(text[, limit])` for SQL/expr use. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_fingerprint",
-      exprs => exprs match {
-        case Seq(e) => RollingFingerprint(e, -1)
-        case Seq(e, lim) => RollingFingerprint(e,
-          lim.eval().asInstanceOf[Number].intValue())
-        case _ => throw new IllegalArgumentException(
-          "rolling_fingerprint(text[, limit])")
-      }, "built-in")
+      "rolling_fingerprint", builder, "built-in")
 }

@@ -391,11 +391,17 @@ object TextOps {
         size(array_distinct(col("l"))).as("nd"),
         expr("size(filter(l, x -> array_contains(array('the','a','of','and'), x)))").as("ns"),
         (size(col("l")) - 1).as("nb"),
-        expr("""size(l) - 1 - size(array_distinct(transform(sequence(1, size(l) - 1),
-               |  i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))))""".stripMargin)
-          .as("dup_bg"),
-        expr("size(filter(sequence(1, size(l) - 1), i -> element_at(l, i) = element_at(l, i + 1)))")
-          .as("rep_adj"))
+        // sequence(1, 0) turns DESCENDING on single-token docs and
+        // element_at(l, 0) then throws — guard with the same size>=2 rule
+        // DuckDB's empty range(1, 1) applies implicitly (both gates are 0
+        // for a 1-token doc either way)
+        when(size(col("l")) >= 2,
+          expr("""size(l) - 1 - size(array_distinct(transform(sequence(1, size(l) - 1),
+                 |  i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))))""".stripMargin))
+          .otherwise(0).as("dup_bg"),
+        when(size(col("l")) >= 2,
+          expr("size(filter(sequence(1, size(l) - 1), i -> element_at(l, i) = element_at(l, i + 1)))"))
+          .otherwise(0).as("rep_adj"))
     val w = Window.partitionBy("head_fp")
     base.withColumn("canon", min(col("doc_id")).over(w))
       .select(col("doc_id"), col("n").cast("long").as("n_tokens"),

@@ -244,7 +244,7 @@ object WarehouseOps {
   private val q121 = QueryDef(
     "q121_incremental_agg",
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-      |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
     val orders = Tables.table(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
@@ -269,15 +269,19 @@ object WarehouseOps {
   // q109 range-clusters on ONE sort key; real multi-dimension scan skipping
   // (the Delta/Iceberg OPTIMIZE ZORDER pattern) interleaves the bits of
   // several keys so a file's z-value range bounds a BOX in every dimension
-  // at once. The z-value is a 30-bit interleave of (l_partkey, l_suppkey)
-  // built as a static 30-term sum of disjoint single-bit shifts — pure
+  // at once. The z-value is a 40-bit interleave of (l_partkey, l_suppkey)
+  // built as a static 40-term sum of disjoint single-bit shifts — pure
   // integer arithmetic, codegen-friendly, identical in any engine (the
   // oracle recomputes it bit-for-bit). The layout write is
   // repartitionByRange + sortWithinPartitions on the z-value (map-only +
   // one range shuffle at any scale); the query reads the written layout
   // back through a z-range predicate — the scan-skipping access path —
   // and SinkRoundtripSpec asserts the per-file z-ranges are disjoint on
-  // the same layout.
+  // the same layout. `bits` must cover the key domain — 20 bits/key holds
+  // l_partkey to sf≈5 (TPC-H partkey = 200k·SF); beyond that the high
+  // bits truncate IDENTICALLY in both engines (oracle parity holds) but
+  // the per-file box property degrades, so a production rewrite sizes
+  // `bits` to ceil(log2(max key)) — it is the explicit knob here.
   private def zorderSql(a: String, b: String, bits: Int, forSpark: Boolean): String = {
     val terms = (0 until bits).flatMap { i =>
       if (forSpark) Seq(
@@ -297,7 +301,7 @@ object WarehouseOps {
     Tables.table(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), col("l_quantity"),
-        expr(zorderSql("l_partkey", "l_suppkey", 15, forSpark = true)).as("zval"))
+        expr(zorderSql("l_partkey", "l_suppkey", 20, forSpark = true)).as("zval"))
       .repartitionByRange(8, col("zval"))
       .sortWithinPartitions("zval")
       .write.mode("overwrite").parquet(tmp)
@@ -307,7 +311,7 @@ object WarehouseOps {
   private val q122 = QueryDef(
     "q122_zorder_layout",
     s"""WITH z AS (SELECT l_partkey, l_suppkey, l_quantity,
-       |    ${zorderSql("l_partkey", "l_suppkey", 15, forSpark = false)} AS zval
+       |    ${zorderSql("l_partkey", "l_suppkey", 20, forSpark = false)} AS zval
        |  FROM lineitem),
        |b AS (SELECT MIN(zval) AS lo, MIN(zval) + (MAX(zval) - MIN(zval)) // 8 AS hi FROM z)
        |SELECT COUNT(*) AS n_rows,

@@ -116,12 +116,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_fingerprint"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         "graft.engine.expr.RollingFingerprint", "rolling_fingerprint"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => exprs match {
-        case Seq(t) => graft.engine.expr.RollingFingerprint(t, -1)
-        case Seq(t, k) => graft.engine.expr.RollingFingerprint(t,
-          k.eval().asInstanceOf[Number].intValue())
-        case _ => throw new IllegalArgumentException(
-          "rolling_fingerprint(text[, limit])")
-      }))
+      graft.engine.expr.RollingFingerprint.builder _))
   }
 }

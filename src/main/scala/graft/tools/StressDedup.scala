@@ -99,14 +99,20 @@ object StressDedup {
           .globalIndex(fp, "fingerprint", "doc_id", keySpace = 1000000007L)
           .agg(max(col("global_idx"))).collect()(0).getLong(0) + 1)
 
-      for ((op, t, n) <- Seq(
-          ("q31 signatureClusters", sigT, sigN),
-          ("q32 minhashCandidates", mhT, mhN),
-          ("q48 banded pairs", prT, prN),
-          ("q75 connectedComponents", ccT, ccN),
-          ("q88 substringPairs", ssT, ssN),
-          ("q116 globalIndex", giT, giN)))
-        println(f"| ${scale}x | $rows | $op | $t%.1f | $n | $blockMax | $blockP99 |")
+      // block stats apply to the banded-MinHash family only; rows for ops
+      // without a blocking stage print "—" so the table can't imply the
+      // band numbers describe them
+      for ((op, t, n, blocked) <- Seq(
+          ("q31 signatureClusters", sigT, sigN, true),
+          ("q32 minhashCandidates", mhT, mhN, true),
+          ("q48 banded pairs", prT, prN, true),
+          ("q75 connectedComponents", ccT, ccN, true),
+          ("q88 substringPairs", ssT, ssN, true),
+          ("q116 globalIndex", giT, giN, false))) {
+        val (bm, bp) = if (blocked) (blockMax.toString, blockP99.toString)
+                       else ("—", "—")
+        println(f"| ${scale}x | $rows | $op | $t%.1f | $n | $bm | $bp |")
+      }
     }
     spark.stop()
   }

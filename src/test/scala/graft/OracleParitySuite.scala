@@ -31,8 +31,10 @@ class OracleParitySuite extends SparkTestBase {
     // DOUBLE as a BigDecimal ("21406214.43") — normalize both through
     // plain decimal form so equal values compare equal. (The driver's
     // python comparator is type-based and has no such gap.)
-    case d: Double => canon(java.math.BigDecimal.valueOf(d))
-    case f: Float => canon(java.math.BigDecimal.valueOf(f.toDouble))
+    case d: Double =>
+      if (d.isNaN || d.isInfinite) d.toString
+      else canon(java.math.BigDecimal.valueOf(d))
+    case f: Float => canon(f.toDouble)
     case a: java.sql.Array =>
       a.getArray.asInstanceOf[Array[AnyRef]].map(canon).mkString("[", ",", "]")
     case s: scala.collection.Seq[_] => s.map(canon).mkString("[", ",", "]")
