@@ -200,6 +200,18 @@ class PlanSuite extends SparkTestBase {
       s"q118 does not broadcast the query frame:\n$p")
   }
 
+  test("q119 curation manifest pays exactly one wide exchange") {
+    // The pipeline claim: every gate is map-only except the near-dup
+    // survivor window on head_fp — so the plan carries exactly ONE
+    // hash-partitioned exchange (the window's) before the presentation
+    // top-k, and no joins at all (the window replaces a survivor join).
+    val p = plan("q119_curation_pipeline")
+    assert(!p.contains("Join"), s"q119 planned a join:\n$p")
+    val exchanges = "hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"q119 expected exactly 1 hash exchange, found $exchanges:\n$p")
+  }
+
   test("q115 chunking is map-only ahead of the presentation sort") {
     // Chunk generation must be explode + slice on the scan with no
     // wide exchange before the final orderBy/limit — at 100 TB chunking
