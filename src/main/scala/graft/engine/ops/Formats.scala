@@ -365,5 +365,40 @@ object Formats {
     permissiveSummary(parsed)
   }
 
-  def defs: Seq[QueryDef] = Seq(q02, q03, q52, q62, q72, q76, q86, q87)
+  // --- q123: parquet schema-evolution read (mergeSchema) -------------------
+  // The lake-level twin of q72's Avro reader-schema evolution: a table
+  // whose later batches grew a column. Batch v1 (even keys) has
+  // (key, price); batch v2 (odd keys) adds o_orderpriority. A
+  // mergeSchema=true read unifies the footers — v1 rows surface the new
+  // column as NULL — and the aggregation groups over the evolved column.
+  // At 100 TB mergeSchema is a FOOTER-merge (per-file metadata, no data
+  // rewrite); production tables pin the merged schema in a catalog so the
+  // read-time merge is paid once, which is what the oracle models by
+  // recomputing the same NULL-extension rule from the source table.
+  private val q123 = QueryDef(
+    "q123_schema_merge",
+    """SELECT COALESCE(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END,
+      |                '(pre-evolution)') AS priority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val orders = Tables.table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val tmp = java.nio.file.Files.createTempDirectory("q123_evolved").toString
+    orders.where(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "price")
+      .write.mode("overwrite").parquet(s"$tmp/batch=1")
+    orders.where(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "price", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/batch=2")
+    s.read.option("mergeSchema", "true").parquet(tmp)
+      .groupBy(coalesce(col("o_orderpriority"), lit("(pre-evolution)"))
+        .as("priority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("total"))
+      .orderBy("priority")
+  }
+
+  def defs: Seq[QueryDef] = Seq(q02, q03, q52, q62, q72, q76, q86, q87, q123)
 }
