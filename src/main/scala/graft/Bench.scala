@@ -80,15 +80,23 @@ object Bench {
     // times AFTER the suite so the JSON itself records which mode this run
     // landed in — the reader can see inflation without a re-run.
     // -1 on any canary failure: the JSON line must survive a broken env
-    val canary = try {
+    def canaryOf(q: String): Double = try {
       (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        SparkEntry.queries("q28_topk_global")(spark, sfDir).count()
+        SparkEntry.queries(q)(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }.sorted.apply(1)
     } catch { case _: Throwable => -1.0 }
+    val canary = canaryOf("q28_topk_global")
+    // Second, shuffle-weight canary (r04-end): the trivial canary reads
+    // ~0.2 s in BOTH the clean mode and the milder degraded mode (only
+    // gross stalls move it), but a real shuffle workload discriminates —
+    // q11 medians ~0.9 s clean and 1.2–2 s+ in the degraded windows where
+    // totals inflate 1.2–2.4×. Untimed (post-suite), so it costs nothing
+    // against the gate.
+    val canaryShuffle = canaryOf("q11_join_shuffle")
     val exceeded = total > hardTotal
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"over_budget":$overBudget,"soft_budget_sec":$softTotal,"budget_exceeded":$exceeded,"canary_sec":$canary,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"over_budget":$overBudget,"soft_budget_sec":$softTotal,"budget_exceeded":$exceeded,"canary_sec":$canary,"canary_shuffle_sec":$canaryShuffle,"sf":"$sfDir"}""")
     if (exceeded)
       System.err.println(f"BENCH BUDGET FAILURE: total $total%.1f s exceeds the $hardTotal%.0f s gate (canary $canary%.2f s)")
     else if (total > softTotal)
