@@ -110,7 +110,7 @@ object StressDedup {
           ("q88 substringPairs", ssT, ssN, true),
           ("q116 globalIndex", giT, giN, false))) {
         val (bm, bp) = if (blocked) (blockMax.toString, blockP99.toString)
-                       else ("—", "—")
+                       else ("-", "-")
         println(f"| ${scale}x | $rows | $op | $t%.1f | $n | $bm | $bp |")
       }
     }
