@@ -253,7 +253,12 @@ object Dedup {
     * exact candidate set. A production variant wanting fewer false merges
     * swaps in xxhash64 per token (then forfeits the cross-engine oracle,
     * like q32). */
-  def windowHashes(tokensCol: String, k: Int): Column = {
+  def windowHashes(tokensCol: String, k: Int): Column =
+    graft.engine.expr.WindowHashes.of(col(tokensCol), k)
+
+  /** The lambda reference formulation of [[windowHashes]] the native
+    * expression is equality-tested against (GraftFunctionsSpec). */
+  private[graft] def windowHashesViaLambdas(tokensCol: String, k: Int): Column = {
     require(k >= 2, "window size must be at least 2 tokens")
     def code(t: String) = s"cast(ascii(substr($t, 1, 1)) * 31 + length($t) AS BIGINT)"
     def fold(j: Int): String =

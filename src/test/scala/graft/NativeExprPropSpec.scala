@@ -66,6 +66,19 @@ class NativeExprPropSpec extends SparkTestBase {
     assert(mismatches == 0, s"$mismatches randomized rows diverge")
   }
 
+  test("WindowHashes == lambda fold on randomized messy token arrays") {
+    import spark.implicits._
+    Seq(2, 5, 8).foreach { k =>
+      val mismatches = samples(300).toDF("text")
+        .select(split(col("text"), " ").as("l"))
+        .where(size(col("l")) >= k) // the callers' contract
+        .select(graft.operators.Dedup.windowHashes("l", k).as("n"),
+          graft.operators.Dedup.windowHashesViaLambdas("l", k).as("m"))
+        .where(not(col("n") <=> col("m"))).count()
+      assert(mismatches == 0, s"k=$k: $mismatches randomized rows diverge")
+    }
+  }
+
   test("globalIndex == naive global ROW_NUMBER, including duplicate keys") {
     import spark.implicits._
     // duplicate-heavy keys exercise the tiebreak and the bucket boundary:
