@@ -315,6 +315,39 @@ object Dedup {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = (1L << width) - 1
+    packedSimhash(df, idCol, textCol, portable)
+      .select(col("doc_id"), col("sh"),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), g -> shiftright(sh, g * $width) & $mask)"))
+          .as(Seq("band_id", "band_key")))
+      .groupBy("band_id", "band_key")
+      .agg(expr("sort_array(collect_list(struct(doc_id, sh)))").as("xs"))
+      .where(size(col("xs")).between(2, bucketCap))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(xs) - 1),
+          |  i -> transform(slice(xs, i + 1, size(xs) - i),
+          |       y -> named_struct('doc_a', xs[i - 1].doc_id, 'doc_b', y.doc_id,
+          |                         'matching_bits', 64 - bit_count(xs[i - 1].sh ^ y.sh)))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.matching_bits"))
+      .distinct()
+  }
+
+  /** Packed 64-bit SimHash per row: (doc_id, sh) via the native one-pass
+    * map-side [[graft.engine.expr.SimHashPack]] — no explode, no shuffle,
+    * no 64-column aggregate state; the signature step is map-only like
+    * every other fingerprint in the family. */
+  def packedSimhash(df: DataFrame, idCol: String, textCol: String,
+      portable: Boolean): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      graft.engine.expr.SimHashPack.of(split(col(textCol), " "), portable).as("sh"))
+
+  /** The explode + 64-conditional-sum aggregate reference formulation the
+    * native expression is equality-tested against (SimilaritySpec).
+    * Divergence BY DESIGN: this drops rows whose token array is empty
+    * (explode emits no row), the native path keeps them — unreachable on
+    * split() output, which is never an empty array. */
+  private[graft] def packedSimhashViaAgg(df: DataFrame, idCol: String,
+      textCol: String, portable: Boolean): DataFrame = {
     val tokenHash =
       if (portable)
         s"transform(array_distinct(split($textCol, ' ')), t -> cast(ascii(substr(t, 1, 1)) * 31 + length(t) AS BIGINT) % 1000003)"
@@ -333,19 +366,5 @@ object Dedup {
       .map(b => (col(s"b$b") >= 0).cast("long") * lit(1L << b))
       .reduce(_ + _)
     bitSums.select(col("doc_id"), simhash.as("sh"))
-      .select(col("doc_id"), col("sh"),
-        posexplode(expr(
-          s"transform(sequence(0, ${bands - 1}), g -> shiftright(sh, g * $width) & $mask)"))
-          .as(Seq("band_id", "band_key")))
-      .groupBy("band_id", "band_key")
-      .agg(expr("sort_array(collect_list(struct(doc_id, sh)))").as("xs"))
-      .where(size(col("xs")).between(2, bucketCap))
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(xs) - 1),
-          |  i -> transform(slice(xs, i + 1, size(xs) - i),
-          |       y -> named_struct('doc_a', xs[i - 1].doc_id, 'doc_b', y.doc_id,
-          |                         'matching_bits', 64 - bit_count(xs[i - 1].sh ^ y.sh)))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), col("p.matching_bits"))
-      .distinct()
   }
 }

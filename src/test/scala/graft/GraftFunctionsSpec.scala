@@ -132,6 +132,40 @@ class GraftFunctionsSpec extends SparkTestBase {
       s"shingle projection not in a codegen span:\n$executed")
   }
 
+  test("native SimHashPack equals the aggregate formulation (both bit sources)") {
+    import spark.implicits._
+    // Edge fixtures: repeated tokens (the internal dedup must vote once),
+    // single token, empty-string tokens from double spaces; plus the
+    // corpus. The agg reference drops empty token ARRAYS (explode), but
+    // split() never yields one, so the join below is total.
+    val edge = Seq("a", "a a a", "x  y  z", " a b ", "one two one two")
+      .toDF("text")
+    val corpus = graft.engine.Tables.table(spark, sfDir, "documents")
+      .select("text")
+    for (df0 <- Seq(edge, corpus); portable <- Seq(true, false)) {
+      val df = df0.withColumn("doc_id", monotonically_increasing_id())
+      val native = graft.operators.Dedup
+        .packedSimhash(df, "doc_id", "text", portable)
+      val agg = graft.operators.Dedup
+        .packedSimhashViaAgg(df, "doc_id", "text", portable)
+        .withColumnRenamed("sh", "sh_agg")
+      val joined = native.join(agg, "doc_id")
+      assert(joined.count() == df.count(), "agg reference lost rows")
+      val mismatches = joined.where(col("sh") =!= col("sh_agg")).count()
+      assert(mismatches == 0, s"portable=$portable: $mismatches rows diverge")
+    }
+  }
+
+  test("SimHashPack stays inside whole-stage codegen") {
+    val df = graft.engine.Tables.table(spark, sfDir, "documents")
+      .select(graft.engine.expr.SimHashPack
+        .of(split(col("text"), " "), portable = true).as("sh"))
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("*(1)"),
+      s"simhash projection not in a codegen span:\n$executed")
+  }
+
   test("RollingFingerprint stays inside whole-stage codegen") {
     // The point of the native expression: the lambda formulation is
     // CodegenFallback, this one is not — the projection must carry NO
