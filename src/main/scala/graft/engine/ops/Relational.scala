@@ -668,12 +668,24 @@ object Relational {
       .orderBy("user_id")
   }
 
-  // --- q60: seeded sampling (no oracle: sampler is engine-specific) -------
-  // Deterministic for a fixed (seed, partitioning) within Spark; the driver
-  // records a rows-only check. At scale, sample() pushes into the scan.
-  private val q60 = QueryDef.noOracle("q60_sample") { (s, dir) =>
+  // --- q60: consistent (hash-based) 10% sample ----------------------------
+  // Reproducible sampling by KEY (operators/Sampling): admission is a pure
+  // function of (l_orderkey, l_linenumber, l_partkey), so the sample is
+  // identical across runs, engines, and cluster layouts, thresholds nest
+  // (5% ⊂ 10%), and the filter is map-only — pushed to the scan like any
+  // predicate. The portable arithmetic means the oracle verifies the EXACT
+  // sampled set (r04: replaces the engine-RNG `sample(seed)`, whose output
+  // is partitioning-dependent and was oracle-free by necessity; the
+  // built-in stays available for key-independent statistical sampling).
+  private val q60 = QueryDef(
+    "q60_sample",
+    """SELECT l_returnflag, COUNT(*) AS n_sampled FROM lineitem
+      |WHERE ((((l_orderkey * 131 + l_linenumber) % 1000000007) * 131 + l_partkey) % 1000000007)
+      |      % 1000003 * 2654435761 % 1000003 % 100 < 10
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     Tables.table(s, dir, "lineitem")
-      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .where(graft.operators.Sampling.admitted(10,
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey")))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy("l_returnflag")
@@ -783,14 +795,25 @@ object Relational {
         sum(size(filter(col("l"), x => length(x) >= 6))).as("n_long_tokens"))
   }
 
-  // --- q71: stratified sampling (per-stratum fractions, seeded) -----------
-  // sampleBy keeps ~fraction of each stratum — the balanced-subset builder
-  // for training-data curation. Sampler is engine-specific → rows-only.
-  private val q71 = QueryDef.noOracle("q71_stratified_sample") { (s, dir) =>
+  // --- q71: consistent stratified sample (per-stratum percentages) --------
+  // The balanced-subset builder for training-data curation, on the same
+  // consistent-by-key admission as q60 (operators/Sampling): each lang
+  // keeps its own percentage of docs, chosen by the portable doc_id hash —
+  // reproducible, auditable (the oracle verifies the exact per-stratum
+  // sets), and map-only. r04: replaces `stat.sampleBy(seed)` (engine RNG,
+  // oracle-free by necessity); the built-in remains for key-independent
+  // statistical sampling.
+  private val q71 = QueryDef(
+    "q71_stratified_sample",
+    """SELECT lang, COUNT(*) AS n_sampled FROM documents
+      |WHERE doc_id % 1000003 * 2654435761 % 1000003 % 100 <
+      |  CASE lang WHEN 'de' THEN 50 WHEN 'en' THEN 30 WHEN 'es' THEN 20
+      |            WHEN 'fr' THEN 10 WHEN 'zh' THEN 5 ELSE 0 END
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
     Tables.table(s, dir, "documents")
-      .stat.sampleBy("lang",
-        Map("de" -> 0.5, "en" -> 0.3, "es" -> 0.2, "fr" -> 0.1, "zh" -> 0.05),
-        seed = 42L)
+      .where(graft.operators.Sampling.stratifiedAdmitted(col("lang"),
+        Map("de" -> 50, "en" -> 30, "es" -> 20, "fr" -> 10, "zh" -> 5),
+        col("doc_id")))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy("lang")

@@ -170,6 +170,38 @@ class OperatorsSpec extends SparkTestBase {
     assert(out == out2)
   }
 
+  test("Sampling: thresholds nest, admission is partitioning-invariant, rate ~pct") {
+    import graft.operators.Sampling
+    val li = graft.engine.Tables.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+    def keys = Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val total = li.count()
+    // subset-consistency: the 5% sample is CONTAINED in the 10% sample
+    // (the property engine-RNG samplers lack — a curation pipeline can
+    // grow its sample without invalidating what it already admitted)
+    val n5 = li.where(Sampling.admitted(5, keys: _*)).count()
+    val n10 = li.where(Sampling.admitted(10, keys: _*)).count()
+    val n5notIn10 = li.where(Sampling.admitted(5, keys: _*)
+      && !Sampling.admitted(10, keys: _*)).count()
+    assert(n5notIn10 == 0, "5% sample must be a subset of the 10% sample")
+    assert(n5 < n10 && n10 < total)
+    assert(li.where(Sampling.admitted(100, keys: _*)).count() == total)
+    assert(li.where(Sampling.admitted(0, keys: _*)).count() == 0)
+    // partitioning-invariance: admission is a pure function of the key
+    val repart = li.repartition(7).where(Sampling.admitted(10, keys: _*))
+    assert(repart.count() == n10)
+    assert(repart.exceptAll(li.where(Sampling.admitted(10, keys: _*))).count() == 0)
+    // admission rate lands near the target (loose 3-sigma-ish bound)
+    assert(math.abs(n10.toDouble / total - 0.10) < 0.02,
+      s"10% sample admitted $n10 of $total")
+    // stratified: strata absent from the map are dropped entirely
+    val docs = graft.engine.Tables.table(spark, sfDir, "documents")
+    val strat = docs.where(Sampling.stratifiedAdmitted(col("lang"),
+      Map("en" -> 100, "de" -> 0), col("doc_id")))
+    val langs = strat.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs == Set("en"), s"expected only en, got $langs")
+  }
+
   test("BloomFilter: no false negatives; FP rate bounded; prefilter superset of exact") {
     import spark.implicits._
     import graft.operators.BloomFilter
