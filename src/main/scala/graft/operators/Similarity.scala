@@ -173,15 +173,42 @@ object Similarity {
 
   /** Pairs sharing ≥1 SRP table bucket whose rounded cosine meets
     * `threshold` — the content-derived replacement for metadata blocking:
-    * candidate generation touches only bucket-colliding pairs (one shuffle
-    * on (table, bucket)), never a metadata block that grows with the
-    * corpus. The two self-join branches stay SYMMETRIC (ids + vectors
-    * only): attach metadata by joining back on doc_a/doc_b afterwards —
-    * measured, carrying extra columns through one branch desymmetrizes the
-    * plans and roughly doubles the pipeline cost.
-    * Output: (doc_a, doc_b, sim). */
+    * candidate generation touches only bucket-colliding pairs, never a
+    * metadata block that grows with the corpus.
+    *
+    * Shape (r04): ONE shuffle groups each (table, bucket)'s members into a
+    * single array row, then the native [[graft.engine.expr.BucketPairDots]]
+    * generator emits every member pair as a NARROW (ids, dot, norms) row —
+    * vectors never leave the operator. The self-join formulation this
+    * replaces materialized every candidate pair carrying both dim-sized
+    * arrays through the join (~0.5 KB × millions of pairs — the dominant
+    * cost of the whole query family). Rounding/threshold/dedup run as
+    * ordinary columns AFTER the generator, so the arithmetic is the same
+    * codegen path as before, bit-identical to the DuckDB oracles; a pair's
+    * sim is identical in every table it collides in, so filter/dedup
+    * commute. Output: (doc_a, doc_b, sim). */
   def srpBandedPairs(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int, tables: Int = 8,
+      bitsPerTable: Int = 6): DataFrame = {
+    val n = withNorm(vectors, idCol, vecCol)
+    val nb = n.select(col("__id"), col("__e"), col("__nrm"),
+      posexplode(array(srpBuckets(col("__e"), tables, bitsPerTable, dim): _*))
+        .as(Seq("__t", "__bkt")))
+    nb.groupBy("__t", "__bkt")
+      .agg(collect_list(struct(col("__id"), col("__e"), col("__nrm"))).as("xs"))
+      .select(graft.engine.expr.BucketPairDots.of(col("xs"))
+        .as(Seq("doc_a", "doc_b", "__dot", "__na", "__nb")))
+      .withColumn("sim",
+        round(col("__dot") / (col("__na") * col("__nb")), 4).cast("decimal(7,4)"))
+      .where(col("sim") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("sim"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** The self-join reference formulation of [[srpBandedPairs]] the native
+    * generator path is equality-tested against (SimilaritySpec). */
+  private[graft] def srpBandedPairsViaJoin(vectors: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, dim: Int, tables: Int = 8,
       bitsPerTable: Int = 6): DataFrame = {
     val n = withNorm(vectors, idCol, vecCol)
     val nb = n.select(col("__id"), col("__e"), col("__nrm"),
@@ -191,12 +218,6 @@ object Similarity {
       col("__e").as("__ea"), col("__nrm").as("__na"))
     val b = nb.select(col("__t").as("__tb"), col("__bkt").as("__bktb"),
       col("__id").as("doc_b"), col("__e").as("__eb"), col("__nrm").as("__nb"))
-    // Order matters for shuffle volume: compute the (cheap, codegen) cosine
-    // per collision, THRESHOLD, and drop the vectors BEFORE deduplicating
-    // pairs that collided in several tables — the dedup then shuffles a few
-    // narrow (id, id, sim) rows instead of millions of rows still carrying
-    // two dim-sized arrays. A pair's sim is identical in every table it
-    // collides in, so filter/dedup commute.
     a.join(b, col("__t") === col("__tb") && col("__bkt") === col("__bktb")
         && col("doc_a") < col("doc_b"))
       .withColumn("sim", cosine(col("__ea"), col("__eb"), col("__na"), col("__nb")))
