@@ -3,20 +3,54 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.expr.{BigramGenerator, DotProduct}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+import graft.engine.expr.{BigramGenerator, BucketPairDots, DotProduct,
+  HashedShingles, LcgMin, RollingFingerprint, SimHashPack, WindowHashes}
 
 /**
  * Column-level function facade (library API): the engine's reusable scalar
  * / generator functions in one place. `registerAll` makes the SQL names
- * (`dot_product`, `bigrams`) available in a session; the Column APIs work
- * without registration.
+ * (`dot_product`, `bigrams`, `rolling_fingerprint`, `hashed_shingles`,
+ * `lcg_min`, `window_hashes`, `simhash_pack`, `bucket_pair_dots`)
+ * available in a session; the Column APIs work without registration.
  */
 object GraftFunctions {
+
+  private def litLong(e: Expression, what: String): Long = e.eval() match {
+    case n: Number => n.longValue()
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
 
   /** Register every graft SQL function on the session. */
   def registerAll(spark: SparkSession): Unit = {
     DotProduct.register(spark)
     BigramGenerator.register(spark)
+    RollingFingerprint.register(spark)
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("hashed_shingles",
+      { case Seq(e) => HashedShingles(e)
+        case _ => throw new IllegalArgumentException("hashed_shingles(tokens)") },
+      "built-in")
+    reg.createOrReplaceTempFunction("lcg_min",
+      { case Seq(e, a, c) => LcgMin(e, litLong(a, "a"), litLong(c, "c"))
+        case _ => throw new IllegalArgumentException("lcg_min(hashes, a, c)") },
+      "built-in")
+    reg.createOrReplaceTempFunction("window_hashes",
+      { case Seq(e, k) => WindowHashes(e, litLong(k, "k").toInt)
+        case _ => throw new IllegalArgumentException("window_hashes(tokens, k)") },
+      "built-in")
+    reg.createOrReplaceTempFunction("simhash_pack",
+      { case Seq(e) => SimHashPack(e, portable = false)
+        case Seq(e, p) => SimHashPack(e, p.eval() == true)
+        case _ => throw new IllegalArgumentException("simhash_pack(tokens[, portable])") },
+      "built-in")
+    reg.createOrReplaceTempFunction("bucket_pair_dots",
+      { case Seq(e) => BucketPairDots(e)
+        case _ => throw new IllegalArgumentException(
+          "bucket_pair_dots(array<struct<id, e, nrm>>)") },
+      "built-in")
   }
 
   /** Native codegen dot product of two array<double> columns. */

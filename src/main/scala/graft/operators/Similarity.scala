@@ -227,18 +227,21 @@ object Similarity {
   }
 
   /** Pairs within a block whose rounded cosine meets `threshold` —
-    * quadratic only inside each block (LSH/label blocking pattern).
+    * quadratic only inside each block (LSH/label blocking pattern). Same
+    * grouped-generator shape as [[srpBandedPairs]]: the block shuffles
+    * once as one array row, pairs exist only as narrow generator output.
     * Output: (block, doc_a, doc_b, sim). */
   def blockedPairs(vectors: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {
     val n = withNorm(vectors, idCol, vecCol, Seq(blockCol))
-    val a = n.select(col(blockCol).as("__block"), col("__id").as("doc_a"),
-      col("__e").as("__ea"), col("__nrm").as("__na"))
-    val b = n.select(col(blockCol).as("__block_b"), col("__id").as("doc_b"),
-      col("__e").as("__eb"), col("__nrm").as("__nb"))
-    a.join(b, col("__block") === col("__block_b") && col("doc_a") < col("doc_b"))
-      .withColumn("sim", cosine(col("__ea"), col("__eb"), col("__na"), col("__nb")))
+    n.groupBy(col(blockCol))
+      .agg(collect_list(struct(col("__id"), col("__e"), col("__nrm"))).as("xs"))
+      .select(col(blockCol),
+        graft.engine.expr.BucketPairDots.of(col("xs"))
+          .as(Seq("doc_a", "doc_b", "__dot", "__na", "__nb")))
+      .withColumn("sim",
+        round(col("__dot") / (col("__na") * col("__nb")), 4).cast("decimal(7,4)"))
       .where(col("sim") >= threshold)
-      .select(col("__block").as(blockCol), col("doc_a"), col("doc_b"), col("sim"))
+      .select(col(blockCol), col("doc_a"), col("doc_b"), col("sim"))
   }
 }

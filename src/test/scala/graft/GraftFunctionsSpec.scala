@@ -65,6 +65,31 @@ class GraftFunctionsSpec extends SparkTestBase {
       .collect().head
     assert(r.getDouble(0) == 1.0)
     assert(r.getLong(1) == 2L)
+    // the full native family answers from SQL, consistent with Column APIs
+    val fam = spark.sql(
+      """SELECT rolling_fingerprint(t) AS fp, rolling_fingerprint(t, 2) AS hfp,
+        |  hashed_shingles(split(t, ' ')) AS sh,
+        |  lcg_min(hashed_shingles(split(t, ' ')), 37, 11) AS lm,
+        |  window_hashes(split(t, ' '), 2) AS wh,
+        |  simhash_pack(split(t, ' ')) AS sx,
+        |  simhash_pack(split(t, ' '), true) AS sp
+        |FROM gf_t""".stripMargin).collect().head
+    val colSide = Seq(("a b c", Array(1.0, 0.0))).toDF("t", "v").select(
+      GraftFunctions.fingerprint("t").as("fp"),
+      GraftFunctions.headFingerprint("t", 2).as("hfp"),
+      graft.engine.expr.SimHashPack.of(split(col("t"), " "), portable = true).as("sp"))
+      .collect().head
+    assert(fam.getLong(0) == colSide.getLong(0) && fam.getLong(1) == colSide.getLong(1))
+    assert(fam.getSeq[Long](2).nonEmpty && fam.getSeq[Long](4).size == 2)
+    assert(fam.getLong(6) == colSide.getLong(2))
+    // generator: pairs of a 3-member bucket
+    val np = spark.sql(
+      """SELECT bucket_pair_dots(array(
+        |  named_struct('id', 1L, 'e', array(1.0d, 0.0d), 'nrm', 1.0d),
+        |  named_struct('id', 2L, 'e', array(0.0d, 1.0d), 'nrm', 1.0d),
+        |  named_struct('id', 3L, 'e', array(1.0d, 1.0d), 'nrm', 1.4142d)))""".stripMargin)
+      .collect()
+    assert(np.length == 3, s"expected 3 pairs, got ${np.length}")
   }
 
   test("native RollingFingerprint equals the lambda formulation everywhere") {
