@@ -115,6 +115,79 @@ class StreamingSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  // The q104 ingest shape across a RESTART: the fingerprint-claim state
+  // must come back from the checkpoint, so duplicates arriving in the
+  // second run are dropped by state claimed in the FIRST run — the
+  // exactly-once property a production ledger stream actually relies on
+  // (a lost state store would re-admit them silently).
+  private def runDedupOnce(src: String, checkpoint: String, sink: String): Unit = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val schema = spark.read.parquet(src).schema
+    val deduped = spark.readStream.schema(schema).parquet(src)
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (fp: Long, rows: Iterator[(Long, Long)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            var minId = Long.MaxValue
+            rows.foreach { case (id, _) => if (id < minId) minId = id }
+            state.update(true)
+            Iterator((minId, fp))
+          }
+      }
+    val q = deduped.toDF("doc_id", "fingerprint")
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) batch.write.mode("append").parquet(s"$sink/out")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def restartFixtureCheck(tag: String): Unit = {
+    import spark.implicits._
+    val root = Files.createTempDirectory(s"restart_$tag").toString
+    val src = s"$root/src"; val cp = s"$root/cp"; val sink = s"$root/sink"
+    // run 1: fingerprints 1..3
+    Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "fingerprint")
+      .coalesce(1).write.mode("append").parquet(src)
+    runDedupOnce(src, cp, sink)
+    // run 2 (same checkpoint): 2 and 3 are duplicates of RUN-1 claims and
+    // must be dropped by the restored state; 4 and 5 are new
+    Seq((11L, 2L), (12L, 3L), (13L, 4L), (14L, 5L)).toDF("doc_id", "fingerprint")
+      .coalesce(1).write.mode("append").parquet(src)
+    runDedupOnce(src, cp, sink)
+    val got = spark.read.parquet(s"$sink/out")
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 13L, 5L -> 14L),
+      s"restart must resume the claim state exactly-once, got $got")
+  }
+
+  test("q104-shape dedup state survives a checkpoint restart (exactly-once)") {
+    restartFixtureCheck("hdfs")
+  }
+
+  test("the same restart contract holds on the RocksDB state store") {
+    // The 100 TB state path: RocksDBStateStoreProvider keeps state off-heap
+    // and spills to local disk, so per-key state is bounded by disk, not
+    // executor heap. Same pipeline, same restart, same exactly-once answer.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try restartFixtureCheck("rocksdb")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("watermark drops late events in append mode") {
     // Spark's late-event filter in batch N uses the watermark that was
     // current DURING batch N-1 (eviction uses the newer one) — verified
