@@ -79,6 +79,55 @@ class NativeExprPropSpec extends SparkTestBase {
     }
   }
 
+  test("SimHashPack == aggregate formulation on randomized messy text (both bit sources)") {
+    import spark.implicits._
+    // non-empty texts only: the agg reference loses rows whose token array
+    // explodes to nothing, which split() never produces — but the random
+    // generator CAN produce the all-empty-token text, equivalent; keep the
+    // join total by filtering to texts whose split is non-empty (always).
+    val df = samples(300).toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    Seq(true, false).foreach { portable =>
+      val native = graft.operators.Dedup
+        .packedSimhash(df, "doc_id", "text", portable)
+      val agg = graft.operators.Dedup
+        .packedSimhashViaAgg(df, "doc_id", "text", portable)
+        .withColumnRenamed("sh", "sh_agg")
+      val joined = native.join(agg, "doc_id")
+      assert(joined.count() == df.count(), "agg reference lost rows")
+      val mismatches = joined.where(col("sh") =!= col("sh_agg")).count()
+      assert(mismatches == 0, s"portable=$portable: $mismatches randomized rows diverge")
+    }
+  }
+
+  test("BucketPairDots == per-pair DotProduct on randomized buckets") {
+    import spark.implicits._
+    // buckets of random size 0..12 with 4-dim vectors; the generator must
+    // emit exactly the n*(n-1)/2 pairs with the same left-to-right dots
+    val vecGen = Gen.listOfN(4, Gen.choose(-1000, 1000).map(_ / 250.0))
+    val rows = (0 until 60).flatMap { b =>
+      Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, vecGen))
+        .apply(Gen.Parameters.default, Seed(b.toLong)).toSeq
+        .flatMap(vs => vs.zipWithIndex.map { case (v, i) =>
+          (b.toLong, b * 100L + i, v.toArray) })
+    }
+    val df = rows.toDF("bucket", "id", "e")
+      .withColumn("e", col("e").cast("array<double>"))
+      .withColumn("nrm", sqrt(graft.engine.expr.DotProduct.dot(col("e"), col("e"))))
+    val gen = df.groupBy("bucket")
+      .agg(collect_list(struct(col("id"), col("e"), col("nrm"))).as("xs"))
+      .select(graft.engine.expr.BucketPairDots.of(col("xs"))
+        .as(Seq("doc_a", "doc_b", "dot", "na", "nb")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val v2 = df.select(col("bucket").as("b2"), col("id").as("id2"), col("e").as("e2"))
+    val ref = df.join(v2, col("bucket") === col("b2") && col("id") < col("id2"))
+      .select(col("id"), col("id2"),
+        graft.engine.expr.DotProduct.dot(col("e"), col("e2")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gen.nonEmpty && gen == ref,
+      s"pair dots diverge: onlyGen=${(gen -- ref).take(3)} onlyRef=${(ref -- gen).take(3)}")
+  }
+
   test("globalIndex == naive global ROW_NUMBER, including duplicate keys") {
     import spark.implicits._
     // duplicate-heavy keys exercise the tiebreak and the bucket boundary:
