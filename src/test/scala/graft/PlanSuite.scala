@@ -105,6 +105,18 @@ class PlanSuite extends SparkTestBase {
     }
   }
 
+  test("q34/q111 SRP pairwise runs the grouped generator, not a vector self-join") {
+    // The r04-end shape: pairs come from the BucketPairDots Generate over
+    // the ONE grouped bucket row — if a self-join on (table, bucket)
+    // reappears, every candidate pair carries both dim-sized vectors
+    // through the shuffle again (the cost this shape removed).
+    Seq("q34_sim_threshold_count", "q111_hard_negatives").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("bucketpairdots") || p.contains("BucketPairDots"),
+        s"$q lost the grouped pair generator:\n$p")
+    }
+  }
+
   test("q72 avro container scan reads only the projected columns") {
     // q72's final select drops nothing at sf-level, so check pruning on a
     // narrower projection through the same source
