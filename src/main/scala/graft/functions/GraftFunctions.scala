@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import graft.engine.expr.{BigramGenerator, BucketPairDots, DotProduct,
-  HashedShingles, LcgMin, RollingFingerprint, SimHashPack, WindowHashes}
+import graft.engine.expr.{ArrayEqCount, ArrayPairs, BigramGenerator,
+  BucketPairDots, DotProduct, HashedShingles, LcgMin, RollingFingerprint,
+  SimHashPack, WindowHashes}
 
 /**
  * Column-level function facade (library API): the engine's reusable scalar
@@ -50,6 +51,15 @@ object GraftFunctions {
       { case Seq(e) => BucketPairDots(e)
         case _ => throw new IllegalArgumentException(
           "bucket_pair_dots(array<struct<id, e, nrm>>)") },
+      "built-in")
+    reg.createOrReplaceTempFunction("array_pairs",
+      { case Seq(e) => ArrayPairs(e)
+        case _ => throw new IllegalArgumentException("array_pairs(array<T>)") },
+      "built-in")
+    reg.createOrReplaceTempFunction("array_eq_count",
+      { case Seq(a, b) => ArrayEqCount(a, b)
+        case _ => throw new IllegalArgumentException(
+          "array_eq_count(array<bigint>, array<bigint>)") },
       "built-in")
   }
 

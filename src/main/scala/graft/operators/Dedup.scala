@@ -90,13 +90,12 @@ object Dedup {
       .groupBy("band_id", "band_key")
       .agg(expr("sort_array(collect_list(struct(doc_id, sig)))").as("xs"))
       .where(size(col("xs")).between(2, bucketCap))
-      .select(explode(expr(
-        s"""flatten(transform(sequence(1, size(xs) - 1),
-           |  i -> transform(slice(xs, i + 1, size(xs) - i),
-           |       y -> named_struct('doc_a', xs[i - 1].doc_id, 'doc_b', y.doc_id,
-           |                         'n_eq', aggregate(zip_with(xs[i - 1].sig, y.sig,
-           |                                   (x, v) -> IF(x = v, 1, 0)), 0, (acc, x) -> acc + x)))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), col("p.n_eq"))
+      // native bucket-pair generation (r04-end): ArrayPairs iterates the
+      // sorted bucket, ArrayEqCount counts signature agreement in codegen
+      // — replaces the interpreted flatten/transform/zip_with lambda chain
+      .select(graft.engine.expr.ArrayPairs.of(col("xs")).as(Seq("a", "b")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        graft.engine.expr.ArrayEqCount.of(col("a.sig"), col("b.sig")).as("n_eq"))
       .distinct()
       .select(col("doc_a"), col("doc_b"),
         (col("n_eq").cast("decimal(9,4)") / numHashes)
@@ -288,11 +287,8 @@ object Dedup {
     wh.groupBy("__wh")
       .agg(expr("sort_array(collect_list(__doc))").as("xs"))
       .where(size(col("xs")).between(2, maxDocFreq))
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(xs) - 1),
-          |  i -> transform(slice(xs, i + 1, size(xs) - i),
-          |       y -> named_struct('doc_a', xs[i - 1], 'doc_b', y))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+      // native pair generation over the sorted posting list (r04-end)
+      .select(graft.engine.expr.ArrayPairs.of(col("xs")).as(Seq("doc_a", "doc_b")))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
   }
 
@@ -323,12 +319,10 @@ object Dedup {
       .groupBy("band_id", "band_key")
       .agg(expr("sort_array(collect_list(struct(doc_id, sh)))").as("xs"))
       .where(size(col("xs")).between(2, bucketCap))
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(xs) - 1),
-          |  i -> transform(slice(xs, i + 1, size(xs) - i),
-          |       y -> named_struct('doc_a', xs[i - 1].doc_id, 'doc_b', y.doc_id,
-          |                         'matching_bits', 64 - bit_count(xs[i - 1].sh ^ y.sh)))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), col("p.matching_bits"))
+      // native pair generation; hamming agreement via builtin xor/bit_count
+      .select(graft.engine.expr.ArrayPairs.of(col("xs")).as(Seq("a", "b")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("64 - bit_count(a.sh ^ b.sh)").as("matching_bits"))
       .distinct()
   }
 

@@ -128,6 +128,45 @@ class NativeExprPropSpec extends SparkTestBase {
       s"pair dots diverge: onlyGen=${(gen -- ref).take(3)} onlyRef=${(ref -- gen).take(3)}")
   }
 
+  test("ArrayPairs == nested-loop pairs; ArrayEqCount == zip_with on random arrays") {
+    import spark.implicits._
+    val arrGen = Gen.choose(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 20L)))
+    val rows = (0 until 200).flatMap(i =>
+      arrGen.apply(Gen.Parameters.default, Seed(i.toLong)).map(l => (i.toLong, l)))
+    val df = rows.toDF("row_id", "xs")
+    // pairs: native generator vs the lambda chain it replaced, per row
+    val gen = df.select(col("row_id"),
+        graft.engine.expr.ArrayPairs.of(col("xs")).as(Seq("a", "b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    rows.foreach { case (id, l) =>
+      val expected = for (i <- l.indices; j <- i + 1 until l.size) yield (l(i), l(j))
+      assert(gen.getOrElse(id, Seq.empty) == expected,
+        s"row $id: pairs diverge from the nested-loop reference")
+    }
+    // eq count: native vs the interpreted zip_with fold, on equal-length pairs
+    val pairs = rows.sliding(2, 2).collect {
+      case Seq((_, a), (_, b)) if a.size == b.size && a.nonEmpty => (a, b)
+    }.toSeq
+    val pdf = pairs.toDF("a", "b")
+    val mismatches = pdf.select(
+        graft.engine.expr.ArrayEqCount.of(col("a"), col("b")).as("n"),
+        expr("aggregate(zip_with(a, b, (x, v) -> IF(x = v, 1, 0)), 0, (acc, x) -> acc + x)").as("m"))
+      .where(not(col("n") <=> col("m"))).count()
+    assert(mismatches == 0, s"$mismatches randomized rows diverge")
+    // strictness: mismatched lengths raise, not truncate
+    val err = intercept[Exception] {
+      Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+        .select(graft.engine.expr.ArrayEqCount.of(col("a"), col("b"))).collect()
+    }
+    assert(exceptionChainHas(err, "length mismatch"), s"wrong error: $err")
+  }
+
+  private def exceptionChainHas(t: Throwable, msg: String): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+      .exists(e => Option(e.getMessage).exists(_.contains(msg)))
+
   test("globalIndex == naive global ROW_NUMBER, including duplicate keys") {
     import spark.implicits._
     // duplicate-heavy keys exercise the tiebreak and the bucket boundary:
