@@ -13,8 +13,9 @@ import graft.engine.expr.{ArrayEqCount, ArrayPairs, BigramGenerator,
  * Column-level function facade (library API): the engine's reusable scalar
  * / generator functions in one place. `registerAll` makes the SQL names
  * (`dot_product`, `bigrams`, `rolling_fingerprint`, `hashed_shingles`,
- * `lcg_min`, `window_hashes`, `simhash_pack`, `bucket_pair_dots`)
- * available in a session; the Column APIs work without registration.
+ * `lcg_min`, `window_hashes`, `simhash_pack`, `bucket_pair_dots`,
+ * `array_pairs`, `array_eq_count`) available in a session; the Column
+ * APIs work without registration.
  */
 object GraftFunctions {
 

@@ -90,6 +90,14 @@ class GraftFunctionsSpec extends SparkTestBase {
         |  named_struct('id', 3L, 'e', array(1.0d, 1.0d), 'nrm', 1.4142d)))""".stripMargin)
       .collect()
     assert(np.length == 3, s"expected 3 pairs, got ${np.length}")
+    val ap = spark.sql(
+      "SELECT array_pairs(array(5L, 7L, 9L))").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ap.toSeq == Seq((5L, 7L), (5L, 9L), (7L, 9L)))
+    val eq = spark.sql(
+      "SELECT array_eq_count(array(1L, 2L, 3L), array(1L, 9L, 3L))")
+      .collect().head.getInt(0)
+    assert(eq == 2)
   }
 
   test("native RollingFingerprint equals the lambda formulation everywhere") {
