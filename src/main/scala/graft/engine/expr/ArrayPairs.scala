@@ -32,9 +32,15 @@ case class ArrayPairs(child: Expression)
   private def elemType: DataType =
     child.dataType.asInstanceOf[ArrayType].elementType
 
+  // nullability follows the input's containsNull: the library call sites
+  // (collect_list output) are never-null, but the SQL-registered function
+  // can legitimately receive arrays with null elements
+  private def elemNullable: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
   override def elementSchema: StructType = StructType(Seq(
-    StructField("a", elemType, nullable = false),
-    StructField("b", elemType, nullable = false)))
+    StructField("a", elemType, nullable = elemNullable),
+    StructField("b", elemType, nullable = elemNullable)))
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case _: ArrayType => TypeCheckResult.TypeCheckSuccess

@@ -33,7 +33,13 @@ object Sampling {
   /** The portable admission hash in [0, 100): a polynomial fold of the key
     * columns (each cast to int64) followed by an LCG scramble. The scramble
     * decorrelates the percentile from key structure (sequential ids step
-    * the raw polynomial by a constant, which would stripe raw residues). */
+    * the raw polynomial by a constant, which would stripe raw residues).
+    *
+    * Keys must be INTEGRAL columns: a non-numeric key casts to NULL, the
+    * hash propagates it, and the admission predicate silently drops the
+    * row. For text keys, fingerprint first —
+    * `admitted(pct, GraftFunctions.fingerprint("text"))` — which is the
+    * same portable arithmetic and keeps the oracle property. */
   def admissionPct(keys: Seq[Column]): Column = {
     require(keys.nonEmpty, "consistent sampling needs at least one key column")
     val folded = keys.map(_.cast("long"))
