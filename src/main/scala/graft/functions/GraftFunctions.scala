@@ -25,43 +25,51 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  /** The ONE name → builder registry for the whole SQL surface, shared by
+    * [[registerAll]] (runtime, pre-built sessions) and `GraftExtensions`'s
+    * injectFunction (`spark.sql.extensions`, session build time) so the
+    * two registration paths cannot diverge — the same rule
+    * `RollingFingerprint.builder` established for its one function,
+    * generalized. */
+  private[graft] val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "dot_product" -> {
+      case Seq(a, b) => DotProduct(a, b)
+      case _ => throw new IllegalArgumentException("dot_product(a, b)") },
+    "bigrams" -> {
+      case Seq(e) => BigramGenerator(e)
+      case _ => throw new IllegalArgumentException("bigrams(tokens)") },
+    "rolling_fingerprint" -> (RollingFingerprint.builder _),
+    "hashed_shingles" -> {
+      case Seq(e) => HashedShingles(e)
+      case _ => throw new IllegalArgumentException("hashed_shingles(tokens)") },
+    "lcg_min" -> {
+      case Seq(e, a, c) => LcgMin(e, litLong(a, "a"), litLong(c, "c"))
+      case _ => throw new IllegalArgumentException("lcg_min(hashes, a, c)") },
+    "window_hashes" -> {
+      case Seq(e, k) => WindowHashes(e, litLong(k, "k").toInt)
+      case _ => throw new IllegalArgumentException("window_hashes(tokens, k)") },
+    "simhash_pack" -> {
+      case Seq(e) => SimHashPack(e, portable = false)
+      case Seq(e, p) => SimHashPack(e, p.eval() == true)
+      case _ => throw new IllegalArgumentException("simhash_pack(tokens[, portable])") },
+    "bucket_pair_dots" -> {
+      case Seq(e) => BucketPairDots(e)
+      case _ => throw new IllegalArgumentException(
+        "bucket_pair_dots(array<struct<id, e, nrm>>)") },
+    "array_pairs" -> {
+      case Seq(e) => ArrayPairs(e)
+      case _ => throw new IllegalArgumentException("array_pairs(array<T>)") },
+    "array_eq_count" -> {
+      case Seq(a, b) => ArrayEqCount(a, b)
+      case _ => throw new IllegalArgumentException(
+        "array_eq_count(array<bigint>, array<bigint>)") })
+
   /** Register every graft SQL function on the session. */
   def registerAll(spark: SparkSession): Unit = {
-    DotProduct.register(spark)
-    BigramGenerator.register(spark)
-    RollingFingerprint.register(spark)
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("hashed_shingles",
-      { case Seq(e) => HashedShingles(e)
-        case _ => throw new IllegalArgumentException("hashed_shingles(tokens)") },
-      "built-in")
-    reg.createOrReplaceTempFunction("lcg_min",
-      { case Seq(e, a, c) => LcgMin(e, litLong(a, "a"), litLong(c, "c"))
-        case _ => throw new IllegalArgumentException("lcg_min(hashes, a, c)") },
-      "built-in")
-    reg.createOrReplaceTempFunction("window_hashes",
-      { case Seq(e, k) => WindowHashes(e, litLong(k, "k").toInt)
-        case _ => throw new IllegalArgumentException("window_hashes(tokens, k)") },
-      "built-in")
-    reg.createOrReplaceTempFunction("simhash_pack",
-      { case Seq(e) => SimHashPack(e, portable = false)
-        case Seq(e, p) => SimHashPack(e, p.eval() == true)
-        case _ => throw new IllegalArgumentException("simhash_pack(tokens[, portable])") },
-      "built-in")
-    reg.createOrReplaceTempFunction("bucket_pair_dots",
-      { case Seq(e) => BucketPairDots(e)
-        case _ => throw new IllegalArgumentException(
-          "bucket_pair_dots(array<struct<id, e, nrm>>)") },
-      "built-in")
-    reg.createOrReplaceTempFunction("array_pairs",
-      { case Seq(e) => ArrayPairs(e)
-        case _ => throw new IllegalArgumentException("array_pairs(array<T>)") },
-      "built-in")
-    reg.createOrReplaceTempFunction("array_eq_count",
-      { case Seq(a, b) => ArrayEqCount(a, b)
-        case _ => throw new IllegalArgumentException(
-          "array_eq_count(array<bigint>, array<bigint>)") },
-      "built-in")
+    sqlBuilders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 
   /** Native codegen dot product of two array<double> columns. */

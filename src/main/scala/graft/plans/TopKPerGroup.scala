@@ -113,9 +113,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     e.injectOptimizerRule(_ => RewriteWindowTopK)
-    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_fingerprint"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        "graft.engine.expr.RollingFingerprint", "rolling_fingerprint"),
-      graft.engine.expr.RollingFingerprint.builder _))
+    // the FULL SQL-function surface, from the one shared registry — the
+    // extensions path and GraftFunctions.registerAll cannot diverge
+    graft.functions.GraftFunctions.sqlBuilders.foreach { case (name, builder) =>
+      e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions.GraftFunctions", name),
+        builder))
+    }
   }
 }
