@@ -50,6 +50,10 @@ object Bench {
     // that was already degraded when the suite STARTED but drained before
     // the post-suite canaries ran (observed: totals inflated 10-20% with
     // clean closing canaries). Both pairs are untimed w.r.t. the gate.
+    // Transparency note: running q28/q11 here ALSO warms them at the
+    // target sf before their timed runs (≈0.05-0.1 s each) — the same
+    // warm-session treatment the warmup list gives its 12 queries, now
+    // visible in the methodology instead of implicit.
     def canaryOf(q: String): Double = try {
       (1 to 3).map { _ =>
         val t0 = System.nanoTime()
