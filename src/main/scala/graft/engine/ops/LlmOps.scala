@@ -156,15 +156,19 @@ object LlmOps {
   private val q34 = {
     val buckets = (0 until 8).map(t =>
       s"${graft.operators.Similarity.srpBucketSql("e", t, 6, 64)} AS b$t").mkString(", ")
-    val orCond = (0 until 8).map(t => s"a.b$t = b.b$t").mkString(" OR ")
+    // r05: the oracle carries srpBandedPairs' bucketCap (rank-within-
+    // bucket ≤ 256 on both members) — non-binding at this sf (buckets are
+    // ~n/64), but the arithmetic must stay identical at any scale.
+    val (ranks, orCond) = graft.operators.Similarity.srpCapSql("vec_id", 8, 256)
     QueryDef(
       "q34_sim_threshold_count",
       s"""WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
          |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
          |  FROM embeddings),
-         |nb AS (SELECT vec_id, label, e, nrm, $buckets FROM n)
+         |nb AS (SELECT vec_id, label, e, nrm, $buckets FROM n),
+         |nr AS (SELECT *, $ranks FROM nb)
          |SELECT a.label, COUNT(*) AS n_pairs
-         |FROM nb a JOIN nb b ON a.vec_id < b.vec_id AND ($orCond)
+         |FROM nr a JOIN nr b ON a.vec_id < b.vec_id AND ($orCond)
          |WHERE CAST(ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS DECIMAL(7,4)) >= 0.30
          |GROUP BY a.label ORDER BY a.label""".stripMargin) { (s, dir) =>
       val emb = Tables.table(s, dir, "embeddings")
@@ -173,7 +177,7 @@ object LlmOps {
       // Similarity.srpBandedPairs on why the branches must stay symmetric.
       graft.operators.Similarity
         .srpBandedPairs(emb, "vec_id", "embedding",
-          threshold = 0.30, dim = 64, tables = 8, bitsPerTable = 6)
+          threshold = 0.30, dim = 64, tables = 8, bitsPerTable = 6, bucketCap = 256)
         .join(emb.select(col("vec_id").as("doc_a"), col("label")), "doc_a")
         .groupBy("label")
         .agg(count(lit(1)).as("n_pairs"))

@@ -134,16 +134,18 @@ object SimilarityOps {
   private val q49 = {
     val buckets = (0 until 8).map(t =>
       s"${graft.operators.Similarity.srpBucketSql("e", t, 6, 64)} AS b$t").mkString(", ")
-    val orCond = (0 until 8).map(t => s"a.b$t = b.b$t").mkString(" OR ")
+    // r05: oracle carries srpBandedPairs' bucketCap — see q34
+    val (ranks, orCond) = graft.operators.Similarity.srpCapSql("vec_id", 8, 256)
     QueryDef(
       "q49_dedup_embed",
       s"""WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
          |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
          |  FROM embeddings),
          |nb AS (SELECT vec_id, label, e, nrm, $buckets FROM n),
+         |nr AS (SELECT *, $ranks FROM nb),
          |dups AS (
          |  SELECT DISTINCT b.vec_id
-         |  FROM nb a JOIN nb b ON a.vec_id < b.vec_id AND ($orCond)
+         |  FROM nr a JOIN nr b ON a.vec_id < b.vec_id AND ($orCond)
          |  WHERE CAST(ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS DECIMAL(7,4)) >= 0.40)
          |SELECT label, COUNT(*) AS n_total,
          |  COUNT(*) FILTER (WHERE vec_id IN (SELECT vec_id FROM dups)) AS n_dups,
@@ -152,7 +154,7 @@ object SimilarityOps {
       val emb = Tables.table(s, dir, "embeddings")
       val dups = graft.operators.Similarity
         .srpBandedPairs(emb, "vec_id", "embedding",
-          threshold = 0.40, dim = 64, tables = 8, bitsPerTable = 6)
+          threshold = 0.40, dim = 64, tables = 8, bitsPerTable = 6, bucketCap = 256)
         .select(col("doc_b").as("vec_id")).distinct()
         .withColumn("is_dup", lit(1))
       emb.select("vec_id", "label").join(dups, Seq("vec_id"), "left")
@@ -288,12 +290,25 @@ object SimilarityOps {
     }
   }
 
-  // --- q66: edit-distance fuzzy matching, blocked by (brand, type) --------
-  // The string-similarity member of the dedup family: levenshtein pairs
-  // inside (brand, type) blocks — the block key is part of the operator
-  // contract (same blocks in the oracle), and tighter blocks keep per-block
-  // work quadratic-in-small like every other near-dup op here. Both
-  // engines implement classic Wagner-Fischer, so distances agree exactly.
+  // --- q66: edit-distance fuzzy matching, PassJoin content blocking -------
+  // The string-similarity member of the dedup family: same-(brand, type)
+  // row pairs whose names are within edit distance 3. The SEMANTICS keep
+  // the brand/type restriction (it is part of the query, enforced as a
+  // verify-stage filter), but the r05 plan derives CANDIDATES from string
+  // content, not metadata (VERDICT r04 #1 — metadata blocks grow linearly
+  // with the corpus, so their pairwise stage is quadratic at 100×):
+  //   1. pairwise edit distance runs over DISTINCT names only, blocked by
+  //      the PassJoin segment pigeonhole (operators/FuzzyJoin — lossless,
+  //      vocabulary-scale, linear candidate volume; StressFuzzy table);
+  //   2. verified name pairs expand back to row pairs via joins;
+  //   3. the identical-name (dist 0) family is a group-self-join, rank-
+  //      pruned to the 201 smallest keys per (name, brand, type): a pair
+  //      using a key ranked >201 is preceded by ≥200 smaller same-group
+  //      pairs, so it cannot reach the global dist-first top-200 — the
+  //      prune that keeps exact-dup expansion from going quadratic.
+  // The blocking is lossless, so the oracle stays fully declarative (the
+  // same brand/type-blocked brute force as before); both engines implement
+  // classic Wagner-Fischer, so distances agree exactly.
   private val q66 = QueryDef(
     "q66_fuzzy_levenshtein",
     """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
@@ -303,22 +318,26 @@ object SimilarityOps {
       |WHERE levenshtein(a.p_name, b.p_name) <= 3
       |ORDER BY dist, key_a, key_b LIMIT 200""".stripMargin) { (s, dir) =>
     val p = Tables.table(s, dir, "part").select("p_partkey", "p_brand", "p_type", "p_name")
-    val a = p.select(col("p_brand"), col("p_type"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
-    val b = p.select(col("p_brand").as("brand_b"), col("p_type").as("type_b"),
-      col("p_partkey").as("key_b"), col("p_name").as("name_b"))
-    a.join(b, col("p_brand") === col("brand_b") && col("p_type") === col("type_b")
-        && col("key_a") < col("key_b")
-        // length band: levenshtein(a,b) >= |len(a)-len(b)|, so dist<=3
-        // implies the lengths differ by <=3 — a free prune that skips the
-        // O(n·m) edit-distance DP for most pairs WITHOUT changing results.
-        && abs(length(col("name_a")) - length(col("name_b"))) <= 3)
-      // thresholded levenshtein: banded O(n·k) DP that bails out early and
-      // returns -1 past the threshold — identical accepted set as the
-      // unbounded distance filtered to <=3.
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 3))
-      .where(col("dist").between(0, 3))
-      .select("key_a", "key_b", "dist")
-      .orderBy("dist", "key_a", "key_b").limit(200)
+    val nn = graft.operators.FuzzyJoin.similarStringPairs(p.select("p_name"), "p_name", 3)
+    // expansion needs both orientations: row a carries str_a, row b str_b
+    val sym = nn.unionByName(nn.select(col("str_b").as("str_a"),
+      col("str_a").as("str_b"), col("dist")))
+    val w = Window.partitionBy("p_name", "p_brand", "p_type").orderBy("p_partkey")
+    val pruned = p.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= 201).drop("__rk")
+    val exact = pruned.as("a").join(pruned.as("b"),
+        col("a.p_name") === col("b.p_name") && col("a.p_brand") === col("b.p_brand")
+          && col("a.p_type") === col("b.p_type")
+          && col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+        lit(0).as("dist"))
+    val near = p.as("a")
+      .join(broadcast(sym), col("a.p_name") === col("str_a")) // vocabulary-scale
+      .join(p.as("b"), col("b.p_name") === col("str_b")
+        && col("a.p_brand") === col("b.p_brand") && col("a.p_type") === col("b.p_type")
+        && col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"), col("dist"))
+    exact.unionByName(near).orderBy("dist", "key_a", "key_b").limit(200)
   }
 
   // --- q75: near-dup candidate pairs → connected components (clusters) ----
@@ -498,18 +517,20 @@ object SimilarityOps {
   private val q111 = {
     val buckets = (0 until 8).map(t =>
       s"${graft.operators.Similarity.srpBucketSql("e", t, 6, 64)} AS b$t").mkString(", ")
-    val orCond = (0 until 8).map(t => s"a.b$t = b.b$t").mkString(" OR ")
+    // r05: oracle carries srpBandedPairs' bucketCap — see q34
+    val (ranks, orCond) = graft.operators.Similarity.srpCapSql("vec_id", 8, 256)
     QueryDef(
       "q111_hard_negatives",
       s"""WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
          |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
          |  FROM embeddings),
          |nb AS (SELECT vec_id, label, e, nrm, $buckets FROM n),
+         |nr AS (SELECT *, $ranks FROM nb),
          |pairs AS (
          |  SELECT DISTINCT a.vec_id AS anchor, a.label AS anchor_label,
          |    b.vec_id AS negative, b.label AS negative_label,
          |    CAST(ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS DECIMAL(7,4)) AS sim
-         |  FROM nb a JOIN nb b
+         |  FROM nr a JOIN nr b
          |    ON a.vec_id <> b.vec_id AND a.label <> b.label AND ($orCond)
          |  WHERE a.vec_id % 20 = 0),
          |ranked AS (
@@ -523,7 +544,7 @@ object SimilarityOps {
       val emb = Tables.table(s, dir, "embeddings")
       val pairs = graft.operators.Similarity
         .srpBandedPairs(emb, "vec_id", "embedding",
-          threshold = 0.10, dim = 64, tables = 8, bitsPerTable = 6)
+          threshold = 0.10, dim = 64, tables = 8, bitsPerTable = 6, bucketCap = 256)
       // symmetrize: srpBandedPairs emits each unordered pair once (a < b)
       val sym = pairs.select(col("doc_a").as("anchor"), col("doc_b").as("negative"), col("sim"))
         .unionByName(pairs.select(col("doc_b").as("anchor"), col("doc_a").as("negative"), col("sim")))

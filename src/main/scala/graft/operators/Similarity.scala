@@ -171,6 +171,23 @@ object Similarity {
         s"THEN ${1L << b} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** DuckDB SQL for table `t`'s bucket-membership rank (1-based, by id) —
+    * the oracle twin of the `bucketCap` filter: a row participates in
+    * table t's bucket only while its rank is within the cap. Emit as
+    * `ROW_NUMBER() ... AS r$t` over a CTE that already has `b$t`. */
+  def srpRankSql(idCol: String, t: Int): String =
+    s"ROW_NUMBER() OVER (PARTITION BY b$t ORDER BY $idCol) AS r$t"
+
+  /** Oracle fragments for capped SRP collision joins: (rank columns to add
+    * on top of a b0..b{tables-1} CTE, the a-vs-b OR-collision condition
+    * with both members inside the cap). Mirrors [[srpBandedPairs]]'s
+    * `bucketCap` exactly. */
+  def srpCapSql(idCol: String, tables: Int, cap: Int): (String, String) = (
+    (0 until tables).map(t => srpRankSql(idCol, t)).mkString(", "),
+    (0 until tables)
+      .map(t => s"(a.b$t = b.b$t AND a.r$t <= $cap AND b.r$t <= $cap)")
+      .mkString(" OR "))
+
   /** Pairs sharing ≥1 SRP table bucket whose rounded cosine meets
     * `threshold` — the content-derived replacement for metadata blocking:
     * candidate generation touches only bucket-colliding pairs, never a
@@ -186,15 +203,29 @@ object Similarity {
     * ordinary columns AFTER the generator, so the arithmetic is the same
     * codegen path as before, bit-identical to the DuckDB oracles; a pair's
     * sim is identical in every table it collides in, so filter/dedup
-    * commute. Output: (doc_a, doc_b, sim). */
+    * commute. Output: (doc_a, doc_b, sim).
+    *
+    * `bucketCap` (r05, VERDICT r04 #2) bounds every bucket's collected row
+    * to its `bucketCap` smallest ids BEFORE the collect — on degenerate
+    * input (mass-duplicate vectors) every table degenerates to one bucket
+    * holding the whole corpus, and an uncapped collect_list would build
+    * one corpus-sized row. The rank filter is deterministic (id order) and
+    * engine-portable: oracles reproduce it with [[srpRankSql]]. The window
+    * shares the (table, bucket) shuffle key with the groupBy, so the cap
+    * costs a per-partition sort, not an extra exchange. Dropped members
+    * still pair through any OTHER table where their rank fits — same
+    * capped-recall trade as every Dedup bucketCap/maxDocFreq. */
   def srpBandedPairs(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int, tables: Int = 8,
-      bitsPerTable: Int = 6): DataFrame = {
+      bitsPerTable: Int = 6, bucketCap: Int = 256): DataFrame = {
     val n = withNorm(vectors, idCol, vecCol)
     val nb = n.select(col("__id"), col("__e"), col("__nrm"),
       posexplode(array(srpBuckets(col("__e"), tables, bitsPerTable, dim): _*))
         .as(Seq("__t", "__bkt")))
-    nb.groupBy("__t", "__bkt")
+    val wCap = Window.partitionBy("__t", "__bkt").orderBy("__id")
+    nb.withColumn("__rk", row_number().over(wCap))
+      .where(col("__rk") <= bucketCap)
+      .groupBy("__t", "__bkt")
       .agg(collect_list(struct(col("__id"), col("__e"), col("__nrm"))).as("xs"))
       .select(graft.engine.expr.BucketPairDots.of(col("xs"))
         .as(Seq("doc_a", "doc_b", "__dot", "__na", "__nb")))
@@ -209,11 +240,14 @@ object Similarity {
     * generator path is equality-tested against (SimilaritySpec). */
   private[graft] def srpBandedPairsViaJoin(vectors: DataFrame, idCol: String,
       vecCol: String, threshold: Double, dim: Int, tables: Int = 8,
-      bitsPerTable: Int = 6): DataFrame = {
+      bitsPerTable: Int = 6, bucketCap: Int = 256): DataFrame = {
     val n = withNorm(vectors, idCol, vecCol)
+    val wCap = Window.partitionBy("__t", "__bkt").orderBy("__id")
     val nb = n.select(col("__id"), col("__e"), col("__nrm"),
       posexplode(array(srpBuckets(col("__e"), tables, bitsPerTable, dim): _*))
         .as(Seq("__t", "__bkt")))
+      .withColumn("__rk", row_number().over(wCap))
+      .where(col("__rk") <= bucketCap).drop("__rk")
     val a = nb.select(col("__t"), col("__bkt"), col("__id").as("doc_a"),
       col("__e").as("__ea"), col("__nrm").as("__na"))
     val b = nb.select(col("__t").as("__tb"), col("__bkt").as("__bktb"),
@@ -229,12 +263,17 @@ object Similarity {
   /** Pairs within a block whose rounded cosine meets `threshold` —
     * quadratic only inside each block (LSH/label blocking pattern). Same
     * grouped-generator shape as [[srpBandedPairs]]: the block shuffles
-    * once as one array row, pairs exist only as narrow generator output.
+    * once as one array row, pairs exist only as narrow generator output,
+    * and `bucketCap` bounds the collected row to the block's smallest ids
+    * (see srpBandedPairs — same degenerate-block rationale).
     * Output: (block, doc_a, doc_b, sim). */
   def blockedPairs(vectors: DataFrame, idCol: String, vecCol: String,
-      blockCol: String, threshold: Double): DataFrame = {
+      blockCol: String, threshold: Double, bucketCap: Int = 256): DataFrame = {
     val n = withNorm(vectors, idCol, vecCol, Seq(blockCol))
-    n.groupBy(col(blockCol))
+    val wCap = Window.partitionBy(blockCol).orderBy("__id")
+    n.withColumn("__rk", row_number().over(wCap))
+      .where(col("__rk") <= bucketCap)
+      .groupBy(col(blockCol))
       .agg(collect_list(struct(col("__id"), col("__e"), col("__nrm"))).as("xs"))
       .select(col(blockCol),
         graft.engine.expr.BucketPairDots.of(col("xs"))

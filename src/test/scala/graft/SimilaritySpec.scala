@@ -240,11 +240,16 @@ class SimilaritySpec extends SparkTestBase {
     // Same buckets, same candidate pairs, bit-identical sims: the native
     // BucketPairDots generator only changes WHERE the pairwise dot runs
     // (inside the grouped bucket, narrow output) — not its arithmetic.
+    // bucketCap = 8 BINDS on this fixture (buckets are ~500/64) so the
+    // capped-membership semantics are equality-tested too, not just the
+    // uncapped path.
     val emb = graft.engine.Tables.table(spark, sfDir, "embeddings")
     val native = graft.operators.Similarity
-      .srpBandedPairs(emb, "vec_id", "embedding", threshold = 0.2, dim = 64)
+      .srpBandedPairs(emb, "vec_id", "embedding", threshold = 0.2, dim = 64,
+        bucketCap = 8)
     val ref = graft.operators.Similarity
-      .srpBandedPairsViaJoin(emb, "vec_id", "embedding", threshold = 0.2, dim = 64)
+      .srpBandedPairsViaJoin(emb, "vec_id", "embedding", threshold = 0.2, dim = 64,
+        bucketCap = 8)
     // set compare via collect: exceptAll's rewrite trips an internal
     // binding error on this generator + decimal plan shape (Spark quirk,
     // not a result difference) — the pair sets are small, collect is fine
@@ -255,6 +260,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(np.nonEmpty, "fixture must produce candidate pairs")
     assert(np == rp,
       s"pair sets differ: onlyNative=${(np -- rp).take(3)} onlyRef=${(rp -- np).take(3)}")
+  }
+
+  test("srpBandedPairs bounds degenerate mass-duplicate buckets") {
+    // Adversarial input (VERDICT r04 #2): every vector identical → every
+    // table collapses to ONE bucket holding the whole corpus, the shape
+    // that made the uncapped collect_list a scale-robustness hole. With
+    // the cap, membership is the bucket's `bucketCap` smallest ids in
+    // every table, so output must be exactly C(cap, 2) pairs among them.
+    val cap = 16
+    val dup = spark.range(500).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 64), i -> cast(i AS FLOAT))").as("embedding"))
+    val out = graft.operators.Similarity
+      .srpBandedPairs(dup, "vec_id", "embedding", threshold = 0.99, dim = 64,
+        bucketCap = cap)
+      .collect()
+    assert(out.length == cap * (cap - 1) / 2,
+      s"expected C($cap,2) pairs, got ${out.length}")
+    assert(out.flatMap(r => Seq(r.getLong(0), r.getLong(1))).forall(_ < cap),
+      "capped buckets must keep the smallest ids")
   }
 
   test("blockedPairs equals brute-force pairwise cosine inside each block") {
