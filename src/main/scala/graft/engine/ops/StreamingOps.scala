@@ -557,8 +557,10 @@ object StreamingOps {
   // the batch's claimants (not "first seen", which would be partition-order
   // dependent). On static single-batch input the emitted set is exactly
   // q70's anti-join result grouped per fingerprint — the oracle below.
-  // Unbounded streams would add GroupStateTimeout eviction keyed to a
-  // retention horizon; the ledger here is meant to persist, so NoTimeout.
+  // Unbounded streams need GroupStateTimeout eviction keyed to a retention
+  // horizon — that variant is operators/StreamDedup.dedupWithTtl
+  // (EventTimeTimeout, StreamingSpec-gated on both state providers); the
+  // ledger HERE is meant to persist, so NoTimeout is the semantics.
   //
   // Keyed on the HEAD fingerprint (first 5 tokens, q70's r04 key): heads
   // collide in this corpus, so BOTH drop paths are genuinely exercised —

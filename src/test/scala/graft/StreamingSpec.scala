@@ -188,6 +188,67 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  // --- TTL'd ledger (StreamDedup.dedupWithTtl, VERDICT r04 #3) ------------
+  // Three checkpointed runs against a growing file source (one data batch
+  // per run — the restartFixtureCheck pattern):
+  //   run 1  10:00  keys 100, 200 claim (emitted)
+  //   run 2  10:20  key 100 duplicate → DROPPED (claim live until 11:00);
+  //          12:30  key 300 claims; watermark advances to 12:20 > 11:00,
+  //          so the finalization batch EVICTS keys 100/200
+  //   run 3  12:40  key 100 again → RE-ADMITTED (state was evicted)
+  private def ttlFixtureCheck(tag: String): Unit = {
+    import spark.implicits._
+    val root = Files.createTempDirectory(s"ttl_$tag").toString
+    val src = s"$root/src"; val cp = s"$root/cp"; val sink = s"$root/sink"
+    def hour(h: Int, m: Int) = new Timestamp(3600000L * h + 60000L * m)
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(src).schema
+      val events = spark.readStream.schema(schema).parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .as[graft.operators.StreamDedup.Event]
+      val q = graft.operators.StreamDedup.dedupWithTtl(events, ttlMs = 3600000L)
+        .toDF("id", "key", "n_claims")
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty) batch.write.mode("append").parquet(s"$sink/out")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Seq((1L, 100L, hour(10, 0)), (2L, 200L, hour(10, 0)))
+      .toDF("id", "key", "ts").coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    Seq((3L, 100L, hour(10, 20)), (4L, 300L, hour(12, 30)))
+      .toDF("id", "key", "ts").coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    Seq((5L, 100L, hour(12, 40)))
+      .toDF("id", "key", "ts").coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    val got = spark.read.parquet(s"$sink/out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 100L), (2L, 200L), (4L, 300L), (5L, 100L)),
+      s"TTL ledger must drop id 3 (live claim) and re-admit id 5 (evicted), got $got")
+  }
+
+  test("TTL'd ledger evicts expired claims and re-admits the key") {
+    ttlFixtureCheck("hdfs")
+  }
+
+  test("the TTL eviction contract holds on the RocksDB state store") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try ttlFixtureCheck("rocksdb")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("watermark drops late events in append mode") {
     // Spark's late-event filter in batch N uses the watermark that was
     // current DURING batch N-1 (eviction uses the newer one) — verified
