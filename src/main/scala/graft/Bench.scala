@@ -112,7 +112,19 @@ object Bench {
     // against the gate.
     val canaryShuffle = canaryOf("q11_join_shuffle")
     val exceeded = total > hardTotal
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"over_budget":$overBudget,"soft_budget_sec":$softTotal,"budget_exceeded":$exceeded,"canary_pre_sec":$canaryPre,"canary_shuffle_pre_sec":$canaryShufflePre,"canary_sec":$canary,"canary_shuffle_sec":$canaryShuffle,"sf":"$sfDir"}""")
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"over_budget":$overBudget,"soft_budget_sec":$softTotal,"budget_exceeded":$exceeded,"canary_pre_sec":$canaryPre,"canary_shuffle_pre_sec":$canaryShufflePre,"canary_sec":$canary,"canary_shuffle_sec":$canaryShuffle,"sf":"$sfDir"}"""
+    println(jsonLine)
+    // Full per-query artifact (r05, VERDICT r04 #4): the driver's
+    // BENCH_r*.json keeps only the tail of stdout, so early-alphabet query
+    // timings were unrecoverable from the round record. Persist the SAME
+    // JSON (all per-query times + the canary quartet) to a repo file the
+    // round can commit, keyed per round via env. Best-effort: a read-only
+    // cwd must not fail the capture.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full_r5.json")),
+      jsonLine + "\n")
+    catch { case _: Throwable => () }
     if (exceeded)
       System.err.println(f"BENCH BUDGET FAILURE: total $total%.1f s exceeds the $hardTotal%.0f s gate (canary $canary%.2f s)")
     else if (total > softTotal)

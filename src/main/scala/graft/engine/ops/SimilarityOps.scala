@@ -123,6 +123,50 @@ object SimilarityOps {
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(20)
   }
 
+  // --- q124: exact Jaccard via the inverted-index (posting) formulation ---
+  // The sparse-corpus twin of q48 (r05, VERDICT r04 #6 — promoted from
+  // test-gated library API to a driver-verified query): instead of
+  // banded-MinHash candidate blocks, explode (doc, shingle) postings, join
+  // on the shingle, and count co-occurrences — O(Σ df²) over genuinely
+  // shared shingles, the right formulation when shingles are rare per doc
+  // (natural text); `maxDocFreq = 50` excludes boilerplate shingles from
+  // intersections AND set sizes (a true Jaccard over the capped shingle
+  // universe — see Dedup.jaccardPostings). Unlike q48 this is EXHAUSTIVE
+  // over the capped universe: no LSH recall loss. Same portable trigram
+  // hashes and the q48 decimal-division chain, so the oracle re-derives
+  // the identical postings, caps, and jaccard doubles.
+  private val q124 = QueryDef(
+    "q124_jaccard_postings",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(l) - 1),
+      |    i -> (((CAST(ascii(substr(l[i],1,1))*31 + length(l[i]) AS BIGINT)) * 131
+      |          + (ascii(substr(l[i+1],1,1))*31 + length(l[i+1]))) * 131
+      |          + (ascii(substr(l[i+2],1,1))*31 + length(l[i+2]))) % 1000000007)) AS sh
+      |  FROM t),
+      |p0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      |keep AS (SELECT s FROM p0 GROUP BY s HAVING COUNT(*) <= 50),
+      |p AS (SELECT doc_id, s FROM p0 JOIN keep USING (s)),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM p GROUP BY doc_id),
+      |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |      FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+      |  CAST(CAST(CAST(inter AS DECIMAL(18,6)) / (sa.sz + sb.sz - inter) AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
+      |FROM i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b
+      |WHERE CAST(CAST(CAST(inter AS DECIMAL(18,6)) / (sa.sz + sb.sz - inter) AS DECIMAL(38,6)) AS DOUBLE) >= 0.5
+      |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 200""".stripMargin) { (s, dir) =>
+    import graft.functions.GraftFunctions
+    val sh = Tables.table(s, dir, "documents")
+      .withColumn("l", split(col("text"), " "))
+      .where(size(col("l")) >= 3)
+      .select(col("doc_id"), GraftFunctions.hashedShingles("l").as("sh"))
+    graft.operators.Dedup
+      .jaccardPostings(sh, "doc_id", "sh", minJaccard = 0.5, maxDocFreq = 50)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(200)
+  }
+
   // --- q49: embedding-cosine near-dup survivors, SRP-blocked --------------
   // A vector is a "dup" if a LOWER-id vector sharing ≥1 of its SRP table
   // buckets has rounded cosine ≥ 0.40; survivors = the rest. min-id
@@ -208,43 +252,16 @@ object SimilarityOps {
       |SELECT probe_id, rn, neighbor_id, CAST(sim AS DOUBLE) AS sim FROM (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn FROM s) t
       |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin) { (s, dir) =>
-    graft.engine.expr.DotProduct.register(s)
+    // the whole IVF pipeline lives in Similarity.ivfTopK (extracted r05 so
+    // the recall/nprobe trade is testable on clustered geometries too)
     val emb = Tables.table(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("nrm", expr("sqrt(dot_product(e, e))"))
     val centroids = emb.where(col("vec_id") < 10)
-      .select(col("vec_id").as("cid"), col("e").as("cv"))
-    // inverted lists: one row per vector, cell = argmin of the q102
-    // integer-micros metric (broadcast centroids, map-side collapse)
-    val cells = graft.operators.Clustering
-      .assign(Tables.table(s, dir, "embeddings"), "vec_id", "embedding", centroids)
-      .select(col("vec_id").as("neighbor_id"), col("cluster").as("cell"))
-    val probes = emb.where(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("nrm").as("pn"))
-    // coarse: the probe's nprobe=2 nearest cells under the SAME metric
-    val d2 = graft.engine.expr.DotProduct.dot(col("pe"), col("pe")) -
-      lit(2d) * graft.engine.expr.DotProduct.dot(col("pe"), col("cv")) +
-      graft.engine.expr.DotProduct.dot(col("cv"), col("cv"))
-    val wCoarse = Window.partitionBy("probe_id").orderBy(col("d2m"), col("cell"))
-    val chosen = probes.crossJoin(broadcast(centroids))
-      .withColumn("d2m", floor(d2 * lit(1000000d)))
-      .withColumn("cell", col("cid"))
-      .withColumn("crn", row_number().over(wCoarse))
-      .where(col("crn") <= 2)
-      .select("probe_id", "pe", "pn", "cell")
-    // fine: exact rounded-decimal cosine inside the probed cells only
-    val wFine = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
-    chosen.join(cells, "cell")
-      .join(emb.select(col("vec_id").as("neighbor_id"),
-        col("e"), col("nrm")), "neighbor_id")
-      .where(col("neighbor_id") =!= col("probe_id"))
-      .withColumn("sim",
-        round(expr("dot_product(pe, e)") / (col("pn") * col("nrm")), 4)
-          .cast("decimal(7,4)"))
-      .withColumn("rn", row_number().over(wFine))
-      .where(col("rn") <= 5)
-      .select(col("probe_id"), col("rn"), col("neighbor_id"),
-        col("sim").cast("double").as("sim"))
+      .select(col("vec_id").as("cid"),
+        col("embedding").cast("array<double>").as("cv"))
+    graft.operators.Similarity
+      .ivfTopK(emb, emb.where(col("vec_id") < 5), centroids,
+        "vec_id", "embedding", k = 5, nprobe = 2)
+      .withColumn("sim", col("sim").cast("double"))
       .orderBy("probe_id", "rn")
   }
 
@@ -609,5 +626,5 @@ object SimilarityOps {
   }
 
   def defs: Seq[QueryDef] =
-    Seq(q47, q48, q49, q50, q63, q66, q75, q88, q97, q102, q111, q112)
+    Seq(q47, q48, q49, q50, q63, q66, q75, q88, q97, q102, q111, q112, q124)
 }

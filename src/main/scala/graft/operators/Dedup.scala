@@ -125,21 +125,25 @@ object Dedup {
     */
   def jaccardPostings(df: DataFrame, idCol: String, shinglesCol: String,
       minJaccard: Double, maxDocFreq: Long = 0L): DataFrame = {
+    // Grouped-bucket formulation (r05): ONE shuffle groups each shingle's
+    // posting list into a row; the df cap is a size filter on the grouped
+    // row (singleton shingles KEPT — they count toward set sizes), sizes
+    // re-derive from the capped buckets, and pairs come from the native
+    // ArrayPairs generator over buckets with ≥2 docs. Both consumers
+    // (sizes, pairs) read the SAME shingle exchange (ReuseExchange), so
+    // the shingle pipeline is evaluated once — the posting self-JOIN this
+    // replaces evaluated it per join side plus once for the cap filter
+    // and once for sizes.
     val postingsAll = df.select(col(idCol).as("__doc"),
       explode(col(shinglesCol)).as("__sh"))
-    val postings =
-      if (maxDocFreq <= 0) postingsAll
-      else {
-        val keep = postingsAll.groupBy("__sh")
-          .agg(count(lit(1)).as("__df")).where(col("__df") <= maxDocFreq)
-          .select("__sh")
-        postingsAll.join(keep, "__sh")
-      }
-    val sizes = postings.groupBy(col("__doc"))
+    val buckets = postingsAll.groupBy("__sh")
+      .agg(expr("sort_array(collect_list(__doc))").as("xs"))
+      .where(if (maxDocFreq <= 0) lit(true) else size(col("xs")) <= maxDocFreq)
+    val sizes = buckets.select(explode(col("xs")).as("__doc"))
+      .groupBy(col("__doc"))
       .agg(count(lit(1)).as("__sz")) // shingle arrays are distinct per doc
-    val a = postings.select(col("__sh"), col("__doc").as("doc_a"))
-    val b = postings.select(col("__sh").as("__sh_b"), col("__doc").as("doc_b"))
-    a.join(b, col("__sh") === col("__sh_b") && col("doc_a") < col("doc_b"))
+    buckets.where(size(col("xs")) >= 2)
+      .select(graft.engine.expr.ArrayPairs.of(col("xs")).as(Seq("doc_a", "doc_b")))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("__doc").as("doc_a"), col("__sz").as("size_a")), "doc_a")

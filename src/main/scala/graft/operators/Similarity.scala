@@ -136,6 +136,55 @@ object Similarity {
       .select("probe_id", "rn", "neighbor_id", "sim")
   }
 
+  /** IVF (inverted-file) approximate top-k — the sublinear ANN search
+    * path: a coarse quantizer assigns every corpus vector to its nearest
+    * centroid cell ([[Clustering.assign]], integer-micros L2 — portable),
+    * probes pick their `nprobe` nearest cells under the SAME metric, and
+    * the exact rounded-decimal cosine re-rank runs only inside the probed
+    * cells — search touches ~nprobe/nlist of the corpus. Extracted from
+    * q50 (r05) so the recall/nprobe trade is testable on arbitrary vector
+    * geometries; recall depends on the data being CLUSTERED — on
+    * unclustered vectors recall ≈ the scan fraction by theory
+    * (SimilaritySpec pins both regimes).
+    *
+    * `centroids`: (cid, cv: array<double>). Output: (probe_id, rn,
+    * neighbor_id, sim DECIMAL(7,4)) like [[cosineTopK]]. */
+  def ivfTopK(vectors: DataFrame, probes: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    DotProduct.register(vectors.sparkSession)
+    val emb = vectors
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("e"))
+      .withColumn("nrm", expr("sqrt(dot_product(e, e))"))
+    // inverted lists: one row per vector (broadcast centroids, map-side)
+    val cells = Clustering.assign(vectors, idCol, vecCol, centroids)
+      .select(col(idCol).as("neighbor_id"), col("cluster").as("cell"))
+    val p = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).cast("array<double>").as("pe"))
+      .withColumn("pn", expr("sqrt(dot_product(pe, pe))"))
+    // coarse: the probe's nprobe nearest cells under the same metric
+    val d2 = DotProduct.dot(col("pe"), col("pe")) -
+      lit(2d) * DotProduct.dot(col("pe"), col("cv")) +
+      DotProduct.dot(col("cv"), col("cv"))
+    val wCoarse = Window.partitionBy("probe_id").orderBy(col("d2m"), col("cell"))
+    val chosen = p.crossJoin(broadcast(centroids))
+      .withColumn("d2m", floor(d2 * lit(1000000d)))
+      .withColumn("cell", col("cid"))
+      .withColumn("crn", row_number().over(wCoarse))
+      .where(col("crn") <= nprobe)
+      .select("probe_id", "pe", "pn", "cell")
+    // fine: exact rounded-decimal cosine inside the probed cells only
+    val wFine = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
+    chosen.join(cells, "cell")
+      .join(emb, "neighbor_id")
+      .where(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("sim",
+        round(expr("dot_product(pe, e)") / (col("pn") * col("nrm")), 4)
+          .cast("decimal(7,4)"))
+      .withColumn("rn", row_number().over(wFine))
+      .where(col("rn") <= k)
+      .select("probe_id", "rn", "neighbor_id", "sim")
+  }
+
   // ---- Engine-portable SRP blocking (oracle-checkable) -------------------
   // Unlike srpTopK's xxhash64 hyperplanes (Spark-internal, rows-only
   // checked), these planes are plain int64 arithmetic any engine reproduces

@@ -35,7 +35,8 @@ class SyntheticDocsSource extends TableProvider
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SyntheticDocsSource.schemaFor(
       options.getBoolean("withText", false),
-      options.getBoolean("withMedia", false))
+      options.getBoolean("withMedia", false),
+      options.getBoolean("withEmbedding", false))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -43,7 +44,8 @@ class SyntheticDocsSource extends TableProvider
       properties.getOrDefault("rows", "1000").toLong,
       properties.getOrDefault("partitions", "4").toInt,
       properties.getOrDefault("withText", "false").toBoolean,
-      properties.getOrDefault("withMedia", "false").toBoolean)
+      properties.getOrDefault("withMedia", "false").toBoolean,
+      properties.getOrDefault("withEmbedding", "false").toBoolean)
 }
 
 object SyntheticDocsSource {
@@ -57,14 +59,19 @@ object SyntheticDocsSource {
   val schemaWithText: StructType =
     schema.add(StructField("text", StringType, nullable = false))
 
-  /** Option-dependent schema: [+text] [+png, frames media payloads]. */
-  def schemaFor(withText: Boolean, withMedia: Boolean): StructType = {
+  /** Option-dependent schema: [+text] [+png, frames media payloads]
+    * [+embedding]. */
+  def schemaFor(withText: Boolean, withMedia: Boolean,
+      withEmbedding: Boolean = false): StructType = {
     var s = if (withText) schemaWithText else schema
     if (withMedia) {
       s = s.add(StructField("png", BinaryType, nullable = false))
       s = s.add(StructField("frames", BinaryType, nullable = false))
       s = s.add(StructField("wav", BinaryType, nullable = false))
     }
+    if (withEmbedding)
+      s = s.add(StructField("embedding",
+        ArrayType(FloatType, containsNull = false), nullable = false))
     s
   }
 
@@ -195,6 +202,34 @@ object SyntheticDocsSource {
   def wavSample(id: Long, i: Int): Int =
     ((id * 7919 + i.toLong * 104729) % 65536).toInt - 32768
 
+  // ---- Clustered embeddings (`withEmbedding=true`, r05) -----------------
+  // The geometry an ANN recall claim needs: the testdata embeddings are
+  // direction-UNclustered (within-label max cosine ≈ 0.45), where IVF
+  // recall ≈ its scan fraction BY THEORY — so a recall≥0.9 assertion needs
+  // vectors that actually cluster. Cluster c = id % embedClusters occupies
+  // dims [6c, 6c+6) with base magnitude 8 plus uniform noise in [-0.5,
+  // 0.5) on every dim: within-cluster cosine ≈ 0.97, cross-cluster ≈ 0,
+  // and everything is a pure function of doc_id (LCG stream), like every
+  // other column here.
+
+  val embedDim = 64
+  val embedClusters = 10
+  def embedClusterOf(id: Long): Int = (id % embedClusters).toInt
+
+  def embeddingFor(id: Long): Array[Float] = {
+    val c = embedClusterOf(id)
+    val a = new Array[Float](embedDim)
+    var h = id * 2654435761L + 1000003L
+    var d = 0
+    while (d < embedDim) {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      val noise = (h >>> 33).toDouble / (1L << 31).toDouble - 0.5
+      a(d) = (noise + (if (d >= 6 * c && d < 6 * c + 6) 8.0 else 0.0)).toFloat
+      d += 1
+    }
+    a
+  }
+
   def wavFor(id: Long): Array[Byte] = {
     val n = wavSampleCount(id)
     val dataSize = n * 2
@@ -220,11 +255,11 @@ object SyntheticDocsSource {
 }
 
 private class SyntheticDocsTable(rows: Long, partitions: Int,
-    withText: Boolean, withMedia: Boolean)
+    withText: Boolean, withMedia: Boolean, withEmbedding: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"synthetic_docs($rows)"
   override def schema(): StructType =
-    SyntheticDocsSource.schemaFor(withText, withMedia)
+    SyntheticDocsSource.schemaFor(withText, withMedia, withEmbedding)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   // Column pruning matters MORE for a generator than a file source: an
@@ -274,6 +309,9 @@ private case class DocsReaderFactory(fields: Seq[String])
         case "png"      => id => SyntheticDocsSource.pngFor(id)
         case "frames"   => id => SyntheticDocsSource.framesFor(id)
         case "wav"      => id => SyntheticDocsSource.wavFor(id)
+        case "embedding" => id =>
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            SyntheticDocsSource.embeddingFor(id))
         case other => throw new IllegalArgumentException(s"unknown column: $other")
       }.toArray
       private var id = start - 1

@@ -262,6 +262,31 @@ class SimilaritySpec extends SparkTestBase {
       s"pair sets differ: onlyNative=${(np -- rp).take(3)} onlyRef=${(rp -- np).take(3)}")
   }
 
+  test("IVF recall >= 0.9 at nprobe=2/nlist=10 on CLUSTERED embeddings") {
+    // The q50 fixture embeddings are direction-unclustered, where IVF
+    // recall ≈ scan fraction by theory (the test above pins that regime).
+    // On vectors that actually cluster — SyntheticDocsSource withEmbedding:
+    // 10 well-separated direction clusters — the probe's own cluster holds
+    // its true neighbors, the coarse quantizer routes the probe there, and
+    // recall must be near-total (VERDICT r04 #7).
+    val vecs = spark.read.format("graft-docs")
+      .option("rows", 600).option("partitions", 4).option("withEmbedding", "true")
+      .load().select(col("doc_id").as("vec_id"), col("embedding"))
+    // nlist=10 seed centroids: ids 0..9 cover all 10 clusters (cluster = id % 10)
+    val centroids = vecs.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"),
+        col("embedding").cast("array<double>").as("cv"))
+    val probes = vecs.where(col("vec_id").between(10, 29))
+    val ivf = graft.operators.Similarity
+      .ivfTopK(vecs, probes, centroids, "vec_id", "embedding", k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = graft.operators.Similarity
+      .cosineTopK(vecs, probes, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"IVF recall on clustered embeddings: $recall")
+  }
+
   test("srpBandedPairs bounds degenerate mass-duplicate buckets") {
     // Adversarial input (VERDICT r04 #2): every vector identical → every
     // table collapses to ONE bucket holding the whole corpus, the shape
@@ -279,6 +304,22 @@ class SimilaritySpec extends SparkTestBase {
       s"expected C($cap,2) pairs, got ${out.length}")
     assert(out.flatMap(r => Seq(r.getLong(0), r.getLong(1))).forall(_ < cap),
       "capped buckets must keep the smallest ids")
+  }
+
+  test("BucketPairDots skips equal-id (self) pairs on degenerate buckets") {
+    // ADVICE r04: a bucket carrying the same id twice must not emit an
+    // (x, x) row — the self-join formulation (doc_a < doc_b) dropped them
+    val rows = spark.sql(
+      """SELECT array(
+        |  named_struct('id', 1L, 'e', array(1.0D), 'nrm', 1.0D),
+        |  named_struct('id', 1L, 'e', array(2.0D), 'nrm', 2.0D),
+        |  named_struct('id', 2L, 'e', array(3.0D), 'nrm', 3.0D)) AS xs""".stripMargin)
+      .select(graft.engine.expr.BucketPairDots.of(col("xs"))
+        .as(Seq("doc_a", "doc_b", "dot", "na", "nb")))
+      .collect()
+    assert(rows.length == 2, s"expected the 2 cross-id pairs, got ${rows.length}")
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)), "self pair emitted")
+    assert(rows.map(_.getDouble(2)).sorted.toSeq == Seq(3.0, 6.0))
   }
 
   test("blockedPairs equals brute-force pairwise cosine inside each block") {
