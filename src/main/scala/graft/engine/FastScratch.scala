@@ -14,19 +14,28 @@ package graft.engine
  */
 object FastScratch {
 
-  /** Point tmpdir at the DETERMINISTIC scratch root (creating it) and
-    * return it, or None when unavailable. The root is fixed — not a
-    * per-run random dir — so cross-run caches keyed off `java.io.tmpdir`
-    * (q52's amortized bucketed copies, the q86/q87 fixtures, all named
-    * `graft_*`) keep amortizing exactly as they did under /tmp.
+  @volatile private var root: Option[String] = None
+
+  /** Root for the cross-run deterministic `graft_*` caches (q52's
+    * bucketed copies, q121's materialized aggregate, the q86/q87
+    * fixtures): the shared scratch root once [[init]] ran, the plain
+    * tmpdir otherwise. Deliberately NOT the per-PID run dir — the caches'
+    * whole point is amortizing across runs. */
+  def cacheRoot: String =
+    root.getOrElse(System.getProperty("java.io.tmpdir"))
+
+  /** Point tmpdir at a PER-PID run directory under the deterministic
+    * scratch root (creating both) and return the run dir, or None when
+    * tmpfs is unavailable.
     *
     * tmpfs is RAM: unlike /tmp, leftover per-run output (random-suffix
     * sink/checkpoint dirs) must not accumulate across runs, so init
-    * sweeps every child EXCEPT the deterministic `graft_*` caches before
-    * handing the root out. Concurrent runs are not a concern here — the
-    * driver runs Bench/Verify serially, and a sweep mid-run could only
-    * affect another process's already-written temp output, the same
-    * exposure a /tmp cleaner has. */
+    * sweeps — but only what cannot belong to anyone alive (r05, ADVICE
+    * r04: the old sweep deleted every non-`graft_` child of the SHARED
+    * root, so a concurrent process using the same scratch lost its
+    * in-flight temp output; now each process writes under `run_<pid>/`
+    * and the sweep removes only run dirs whose pid is dead, plus legacy
+    * loose children). `graft_*` caches are never swept. */
   def init(): Option[String] = {
     val shm = new java.io.File("/dev/shm")
     if (!shm.isDirectory || !shm.canWrite) None
@@ -34,10 +43,19 @@ object FastScratch {
       val dir = new java.io.File(shm, "graft-scratch")
       dir.mkdirs()
       Option(dir.listFiles()).foreach(_.foreach { child =>
-        if (!child.getName.startsWith("graft_")) delete(child)
+        val name = child.getName
+        val deletable =
+          if (name.startsWith("graft_")) false
+          else if (name.startsWith("run_"))
+            !new java.io.File(s"/proc/${name.stripPrefix("run_")}").isDirectory
+          else true // legacy loose temp output from pre-r05 runs
+        if (deletable) delete(child)
       })
-      System.setProperty("java.io.tmpdir", dir.toString)
-      Some(dir.toString)
+      val run = new java.io.File(dir, s"run_${ProcessHandle.current().pid()}")
+      run.mkdirs()
+      root = Some(dir.toString)
+      System.setProperty("java.io.tmpdir", run.toString)
+      Some(run.toString)
     }
   }
 

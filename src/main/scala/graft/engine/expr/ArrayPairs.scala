@@ -16,6 +16,12 @@ import org.apache.spark.sql.types._
  * bit_count, [[ArrayEqCount]], …) computes the pair's payload in ordinary
  * codegen expressions.
  *
+ * CONTRACT (ADVICE r04): elements are treated as opaque — DISTINCTNESS is
+ * the caller's job. An array carrying the same id twice yields an (x, x)
+ * pair; every Dedup call site is structurally distinct-per-bucket (the
+ * bucket is grouped BY doc, or postings are distinct per doc), and the
+ * id-aware [[BucketPairDots]] twin skips equal-id pairs itself.
+ *
  * This is the bucketed-pair idiom of the dedup family
  * (minhash/simhash/substring candidates) as ONE reusable operator: the
  * `flatten(transform(sequence(...), i -> transform(slice(...))))` lambda

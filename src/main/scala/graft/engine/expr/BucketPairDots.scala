@@ -78,6 +78,15 @@ case class BucketPairDots(child: Expression)
     new Iterator[InternalRow] {
       private var a = 0
       private var b = 1
+      // skip positions whose members share an id (degenerate input with
+      // duplicate ids in one bucket): the doc_a < doc_b contract promises
+      // STRICT inequality, and the self-join formulation this generator
+      // replaced (join condition doc_a < doc_b) dropped such rows too
+      // (ADVICE r04)
+      private def skipSelfPairs(): Unit =
+        while (a < n - 1 && ids(a) == ids(b)) step()
+      private def step(): Unit = { b += 1; if (b == n) { a += 1; b = a + 1 } }
+      skipSelfPairs()
       override def hasNext: Boolean = a < n - 1
       override def next(): InternalRow = {
         val va = vecs(a); val vb = vecs(b)
@@ -87,8 +96,8 @@ case class BucketPairDots(child: Expression)
         val row =
           if (ids(a) < ids(b)) InternalRow(ids(a), ids(b), s, nrms(a), nrms(b))
           else InternalRow(ids(b), ids(a), s, nrms(b), nrms(a))
-        b += 1
-        if (b == n) { a += 1; b = a + 1 }
+        step()
+        skipSelfPairs()
         row
       }
     }

@@ -26,8 +26,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
  * `sequence(1, size-2)` turns DESCENDING below 3 tokens and crashes on
  * element_at(l, 0); this returns an empty array instead. Every caller
  * pre-filters `size(l) >= 3`, so the difference is unreachable in the
- * declared queries. ASCII-first-char semantics as RollingFingerprint
- * (this corpus is pure ASCII, where ascii() == charAt(0)).
+ * declared queries. Token codes use code-point semantics ([[TokenCode]],
+ * r05) so the registered SQL function agrees with its lambda/oracle twins
+ * on non-ASCII input too.
  */
 case class HashedShingles(child: Expression) extends UnaryExpression {
 
@@ -61,12 +62,7 @@ object HashedShingles {
     var i = 0
     while (i < n) {
       if (arr.isNullAt(i)) codes(i) = 0L
-      else {
-        val str = arr.getUTF8String(i).toString
-        val len = str.length
-        val first = if (len > 0) str.charAt(0).toLong else 0L
-        codes(i) = first * 31 + len
-      }
+      else codes(i) = TokenCode.of(arr.getUTF8String(i).toString)
       i += 1
     }
     val seen = new java.util.LinkedHashSet[java.lang.Long]

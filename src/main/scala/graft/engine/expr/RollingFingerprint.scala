@@ -21,9 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
  * space with empties kept (split's limit=-1 semantics), so the result is
  * bit-identical to the lambda formulation and to the DuckDB oracle text —
  * asserted against both on the real corpus and on boundary fixtures in
- * GraftFunctionsSpec. ASCII-first-char semantics: this corpus is pure
- * ASCII (measured), where Spark's ascii(), DuckDB's ascii(), and charAt(0)
- * coincide.
+ * GraftFunctionsSpec. Token codes use code-point semantics ([[TokenCode]],
+ * r05) so the registered SQL function agrees with its lambda/oracle twins
+ * on non-ASCII input too (the space delimiter is ASCII, so the boundary
+ * walk itself is surrogate-safe by construction).
  */
 case class RollingFingerprint(child: Expression, limit: Int)
     extends UnaryExpression {
@@ -62,9 +63,7 @@ object RollingFingerprint {
       if (i == n || str.charAt(i) == ' ') {
         // token = [tokStart, i) — possibly empty (leading/trailing/double
         // spaces), exactly like split(text, ' ') with limit -1
-        val len = i - tokStart
-        val first = if (len > 0) str.charAt(tokStart).toLong else 0L
-        acc = (acc * 131 + first * 31 + len) % Mod
+        acc = (acc * 131 + TokenCode.ofSpan(str, tokStart, i)) % Mod
         tokens += 1
         tokStart = i + 1
         if (i == n || (limit > 0 && tokens >= limit)) done = true

@@ -34,8 +34,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
  * carrying 64 buffer columns, just to compute a per-document scalar. This
  * is one map-side pass — no explode, no shuffle, no aggregate state — so
  * the signature step scales like every other map-only fingerprint in the
- * family. ASCII-first-char semantics as RollingFingerprint/HashedShingles
- * (this corpus is pure ASCII, where ascii() == charAt(0)).
+ * family. Token codes use code-point semantics ([[TokenCode]], r05) so
+ * the registered SQL function agrees with its lambda/oracle twins on
+ * non-ASCII input too.
  */
 case class SimHashPack(child: Expression, portable: Boolean)
     extends UnaryExpression {
@@ -74,10 +75,7 @@ object SimHashPack {
         val tok = arr.getUTF8String(i)
         if (seen.add(tok)) {
           if (portable) {
-            val str = tok.toString
-            val len = str.length
-            val first = if (len > 0) str.charAt(0).toLong else 0L
-            val h = (first * 31 + len) % M
+            val h = TokenCode.of(tok.toString) % M
             var b = 0
             while (b < 64) {
               val v = (h * (2 * b + 3)) % M * Mul % M

@@ -59,12 +59,7 @@ object WindowHashes {
     var i = 0
     while (i < n) {
       if (arr.isNullAt(i)) codes(i) = 0L
-      else {
-        val str = arr.getUTF8String(i).toString
-        val len = str.length
-        val first = if (len > 0) str.charAt(0).toLong else 0L
-        codes(i) = first * 31 + len
-      }
+      else codes(i) = TokenCode.of(arr.getUTF8String(i).toString)
       i += 1
     }
     val seen = new java.util.LinkedHashSet[java.lang.Long]

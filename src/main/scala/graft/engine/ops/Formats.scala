@@ -151,7 +151,9 @@ object Formats {
       s"${f.length}_${f.lastModified}"
     }
     val key = math.abs((dir + sig("orders") + sig("lineitem")).hashCode)
-    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_buckets_$key"
+    // cacheRoot, not java.io.tmpdir: the per-PID run dir (FastScratch r05)
+    // would defeat the cross-run amortization these copies exist for
+    val wh = s"${graft.engine.FastScratch.cacheRoot}/graft_buckets_$key"
     val db = s"graft_buckets_$key"
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh/$db'")
     // column-pruned copies: the bucket layout demo only needs the join key
@@ -271,10 +273,13 @@ object Formats {
   // the scan; the aggregate is map-side-combined. Nothing here is driver-
   // bound except writing the constant fixture.
 
-  /** Write constant fixture content once; versioned path = idempotent. */
+  /** Write constant fixture content once; versioned path = idempotent.
+    * Lives under the shared cacheRoot (not the per-PID run dir) so the
+    * oracle SQL's embedded path stays valid and cross-run idempotence
+    * holds. */
   private def fixture(relPath: String, content: => String): String = {
     val f = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/$relPath")
+      s"${graft.engine.FastScratch.cacheRoot}/$relPath")
     if (!f.exists()) {
       f.getParentFile.mkdirs()
       Files.write(f.toPath, content.getBytes("UTF-8"))
@@ -324,7 +329,7 @@ object Formats {
   private val q86 = QueryDef(
     "q86_csv_permissive_source",
     s"""WITH raw AS (
-       |  SELECT * FROM read_csv('${System.getProperty("java.io.tmpdir")}/graft_csv_v2/messy.csv',
+       |  SELECT * FROM read_csv('${graft.engine.FastScratch.cacheRoot}/graft_csv_v2/messy.csv',
        |    columns={'id':'VARCHAR','name':'VARCHAR','val':'VARCHAR'},
        |    header=false, delim=',', quote='', null_padding=true, auto_detect=false)),
        |typed AS (
@@ -346,7 +351,7 @@ object Formats {
   private val q87 = QueryDef(
     "q87_json_permissive_source",
     s"""WITH raw AS (
-       |  SELECT * FROM read_csv('${System.getProperty("java.io.tmpdir")}/graft_json_v1/messy.jsonl',
+       |  SELECT * FROM read_csv('${graft.engine.FastScratch.cacheRoot}/graft_json_v1/messy.jsonl',
        |    columns={'line':'VARCHAR'}, header=false, delim='|', quote='', auto_detect=false)),
        |typed AS (
        |  SELECT TRY_CAST(json_extract_string(TRY_CAST(line AS JSON), '$$.id') AS BIGINT) AS id_t,

@@ -680,7 +680,8 @@ object Relational {
   private val q60 = QueryDef(
     "q60_sample",
     """SELECT l_returnflag, COUNT(*) AS n_sampled FROM lineitem
-      |WHERE ((((l_orderkey * 131 + l_linenumber) % 1000000007) * 131 + l_partkey) % 1000000007)
+      |WHERE (((((l_orderkey % 1000000007) * 131 + (l_linenumber % 1000000007)) % 1000000007) * 131
+      |        + (l_partkey % 1000000007)) % 1000000007)
       |      % 1000003 * 2654435761 % 1000003 % 100 < 10
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     Tables.table(s, dir, "lineitem")
@@ -806,7 +807,7 @@ object Relational {
   private val q71 = QueryDef(
     "q71_stratified_sample",
     """SELECT lang, COUNT(*) AS n_sampled FROM documents
-      |WHERE doc_id % 1000003 * 2654435761 % 1000003 % 100 <
+      |WHERE doc_id % 1000000007 % 1000003 * 2654435761 % 1000003 % 100 <
       |  CASE lang WHEN 'de' THEN 50 WHEN 'en' THEN 30 WHEN 'es' THEN 20
       |            WHEN 'fr' THEN 10 WHEN 'zh' THEN 5 ELSE 0 END
       |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>

@@ -256,11 +256,15 @@ object WarehouseOps {
     // refresh only touches the delta batch (keys ≡ 7 mod 10). Like q52's
     // bucketed copies, the stored aggregate IS pre-existing state in the
     // scenario being modeled, so it lives at a deterministic per-input
-    // path (size+mtime key — regenerated testdata invalidates it) and
-    // only the first-ever invocation pays the history aggregation.
+    // path and only the first-ever invocation pays the history
+    // aggregation. The key embeds the RAW size/mtime values plus the sf
+    // name (r05, ADVICE r04: a truncated 32-bit hashCode could collide
+    // after testdata regeneration and silently serve a stale aggregate —
+    // the raw values cannot).
     val f = new java.io.File(s"$dir/orders.parquet")
-    val key = math.abs((dir + f.length + "_" + f.lastModified).hashCode)
-    val stored = s"${System.getProperty("java.io.tmpdir")}/graft_matview_$key"
+    val sfName = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+    val key = s"${sfName}_${f.length}_${f.lastModified}"
+    val stored = s"${graft.engine.FastScratch.cacheRoot}/graft_matview_$key"
     if (!new java.io.File(s"$stored/_SUCCESS").exists())
       aggOf(orders.where(col("o_orderkey") % 10 =!= 7))
         .write.mode("overwrite").parquet(stored)

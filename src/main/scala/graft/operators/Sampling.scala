@@ -39,10 +39,18 @@ object Sampling {
     * hash propagates it, and the admission predicate silently drops the
     * row. For text keys, fingerprint first —
     * `admitted(pct, GraftFunctions.fingerprint("text"))` — which is the
-    * same portable arithmetic and keeps the oracle property. */
+    * same portable arithmetic and keeps the oracle property.
+    *
+    * Each key is pmod'ed into [0, Mod) before the fold (r05, ADVICE r04):
+    * Spark's `%` keeps the dividend's sign, so a negative key would
+    * produce a negative percentile that `< pct` ADMITS at every pct > 0,
+    * and a raw key above ~Long.Max/131 would overflow the fold silently
+    * in Spark but error in DuckDB — either way breaking the audit
+    * property. With pmod the integral-key contract is total: any int64
+    * key, any sign, and every intermediate stays < 2³⁸. */
   def admissionPct(keys: Seq[Column]): Column = {
     require(keys.nonEmpty, "consistent sampling needs at least one key column")
-    val folded = keys.map(_.cast("long"))
+    val folded = keys.map(k => pmod(k.cast("long"), lit(Mod)))
       .reduce((acc, k) => (acc * 131L + k) % Mod)
     folded % M * Mul % M % 100L
   }

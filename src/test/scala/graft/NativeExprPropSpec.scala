@@ -17,12 +17,21 @@ import graft.functions.GraftFunctions
 class NativeExprPropSpec extends SparkTestBase {
 
   // space-separated "text" with messy token shapes: empties, 1-char,
-  // punctuation-bearing, longish
+  // punctuation-bearing, longish, non-ASCII BMP, and astral
+  // (surrogate-pair) leads — the case where UTF-16 charAt semantics
+  // diverged from ascii()/length() code points before TokenCode (r05)
+  private val charGen: Gen[Char] = Gen.frequency(
+    8 -> Gen.alphaNumChar, 2 -> Gen.oneOf('.', ',', '!', '-', '_'),
+    2 -> Gen.oneOf('é', '中', '€', 'ß'))
   private val tokenGen: Gen[String] = Gen.frequency(
-    3 -> Gen.choose(1, 10).flatMap(n =>
-      Gen.stringOfN(n, Gen.frequency(
-        8 -> Gen.alphaNumChar, 2 -> Gen.oneOf('.', ',', '!', '-', '_')))),
-    1 -> Gen.const("")) // empty token = a doubled/leading/trailing space
+    6 -> Gen.choose(1, 10).flatMap(n => Gen.stringOfN(n, charGen)),
+    // astral first char: code point 0x1D11E, two UTF-16 units
+    1 -> Gen.choose(0, 4).flatMap(n => Gen.stringOfN(n, charGen))
+      .map("𝄞" + _),
+    // astral mid-token: first char BMP, length still differs in units
+    1 -> Gen.choose(0, 4).flatMap(n => Gen.stringOfN(n, charGen))
+      .map(s => "a𝄞" + s),
+    2 -> Gen.const("")) // empty token = a doubled/leading/trailing space
   private val textGen: Gen[String] =
     Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, tokenGen)).map(_.mkString(" "))
 

@@ -194,6 +194,17 @@ class OperatorsSpec extends SparkTestBase {
     // admission rate lands near the target (loose 3-sigma-ish bound)
     assert(math.abs(n10.toDouble / total - 0.10) < 0.02,
       s"10% sample admitted $n10 of $total")
+    // r05 (ADVICE r04): NEGATIVE keys must hash into [0,100) like any
+    // other — before the pmod fix a negative residue compared < pct at
+    // every pct, silently admitting 100% of such rows
+    import spark.implicits._
+    val neg = (-1000L until 0L).toDF("k")
+    val negPct = neg.select(Sampling.admissionPct(Seq(col("k"))).as("p"))
+    assert(negPct.where(col("p") < 0 || col("p") >= 100).count() == 0,
+      "admission percentile must stay in [0,100) for negative keys")
+    val negN10 = neg.where(Sampling.admitted(10, col("k"))).count()
+    assert(negN10 > 0 && negN10 < 300,
+      s"negative keys must sample near the target rate, admitted $negN10/1000")
     // stratified: strata absent from the map are dropped entirely
     val docs = graft.engine.Tables.table(spark, sfDir, "documents")
     val strat = docs.where(Sampling.stratifiedAdmitted(col("lang"),
