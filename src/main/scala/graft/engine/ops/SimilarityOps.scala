@@ -336,9 +336,13 @@ object SimilarityOps {
       |ORDER BY dist, key_a, key_b LIMIT 200""".stripMargin) { (s, dir) =>
     val p = Tables.table(s, dir, "part").select("p_partkey", "p_brand", "p_type", "p_name")
     val nn = graft.operators.FuzzyJoin.similarStringPairs(p.select("p_name"), "p_name", 3)
-    // expansion needs both orientations: row a carries str_a, row b str_b
-    val sym = nn.unionByName(nn.select(col("str_b").as("str_a"),
-      col("str_a").as("str_b"), col("dist")))
+    // expansion needs both orientations: row a carries str_a, row b str_b.
+    // Explode, not union-of-self: a union would duplicate the whole
+    // candidate pipeline in the plan (PlanSuite counts its joins).
+    val sym = nn.select(explode(array(
+        struct(col("str_a"), col("str_b"), col("dist")),
+        struct(col("str_b").as("str_a"), col("str_a").as("str_b"), col("dist")))).as("p"))
+      .select(col("p.str_a").as("str_a"), col("p.str_b").as("str_b"), col("p.dist").as("dist"))
     val w = Window.partitionBy("p_name", "p_brand", "p_type").orderBy("p_partkey")
     val pruned = p.withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= 201).drop("__rk")

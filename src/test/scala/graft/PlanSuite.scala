@@ -117,6 +117,24 @@ class PlanSuite extends SparkTestBase {
     }
   }
 
+  test("q66 PassJoin candidates equi-join on segment keys; expansion broadcasts") {
+    // The r05 shape: candidates come from an EQUI join on the content-
+    // derived (i, l, txt) keys — if Catalyst failed to extract the keys
+    // the plan degrades to a nested loop over vocab² — and the verified
+    // name-pair expansion rides a broadcast (vocabulary-scale side). ONE
+    // BroadcastNestedLoopJoin is expected and correct: FuzzyJoin's
+    // tiny-string branch (strings shorter than tau+1 chars) is an
+    // inherently non-equi pairing over an alphabet-BOUNDED broadcast side
+    // (empty on this data, min name length 7).
+    val p = plan("q66_fuzzy_levenshtein")
+    assert(!p.contains("CartesianProduct"), s"q66 planned a cartesian:\n$p")
+    // formatted explain renders each node twice (tree + details), so one
+    // physical instance = 2 string matches
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"q66 planned ${bnlj / 2} nested loops (1 bounded tiny-branch allowed):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q66 lost the broadcast expansion:\n$p")
+  }
+
   test("q72 avro container scan reads only the projected columns") {
     // q72's final select drops nothing at sf-level, so check pruning on a
     // narrower projection through the same source
