@@ -566,9 +566,14 @@ object SimilarityOps {
       val pairs = graft.operators.Similarity
         .srpBandedPairs(emb, "vec_id", "embedding",
           threshold = 0.10, dim = 64, tables = 8, bitsPerTable = 6, bucketCap = 256)
-      // symmetrize: srpBandedPairs emits each unordered pair once (a < b)
-      val sym = pairs.select(col("doc_a").as("anchor"), col("doc_b").as("negative"), col("sim"))
-        .unionByName(pairs.select(col("doc_b").as("anchor"), col("doc_a").as("negative"), col("sim")))
+      // symmetrize: srpBandedPairs emits each unordered pair once (a < b).
+      // Explode, not union-of-self — a union would evaluate the whole SRP
+      // candidate pipeline twice (the q66 r05 lesson)
+      val sym = pairs.select(explode(array(
+          struct(col("doc_a").as("anchor"), col("doc_b").as("negative"), col("sim")),
+          struct(col("doc_b").as("anchor"), col("doc_a").as("negative"), col("sim")))).as("p"))
+        .select(col("p.anchor").as("anchor"), col("p.negative").as("negative"),
+          col("p.sim").as("sim"))
         .where(col("anchor") % 20 === 0)
       val lab = emb.select(col("vec_id"), col("label"))
       val w = Window.partitionBy("anchor").orderBy(col("sim").desc, col("negative"))

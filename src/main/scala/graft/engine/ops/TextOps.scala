@@ -323,9 +323,13 @@ object TextOps {
     val tok = Tables.table(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
     val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).cast("double").as("dl"))
-    val dfq = tok.groupBy("t")
-      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    // dl and df derive FROM tf (dl = Σtf per doc; df = tf-row count per
+    // term, since (doc_id, t) is unique there): all three stats then share
+    // tf's exchange (ReuseExchange), so the corpus explode+shuffle runs
+    // once instead of once per statistic (r05)
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).cast("double").as("dl"))
+    val dfq = tf.groupBy("t")
+      .agg(count(lit(1)).cast("double").as("df"))
     val st = dl.agg(count(lit(1)).cast("double").as("n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val qt = dfq.orderBy("df", "t").limit(3)

@@ -195,8 +195,12 @@ object Dedup {
     shufflePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
     try {
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    // explode, not union-of-self: a union would evaluate the caller's
+    // candidate-pair pipeline twice inside the materializing job
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("u"), col(bCol).as("v")),
+        struct(col(bCol).as("u"), col(aCol).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct().persist()
     // seed with min(self ∪ neighbors) straight off the edge aggregation —
     // equivalent to (trivial init + one propagation round) for one shuffle

@@ -70,6 +70,19 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(passJoinPairs(df, 1) == brutePairs(df, 1))
   }
 
+  test("non-ASCII and astral strings pair correctly (code-point consistency)") {
+    // Spark's length()/substring()/levenshtein() are all code-point based,
+    // so the segment arithmetic must stay consistent on multi-byte and
+    // surrogate-pair text — a UTF-16-unit slip would mis-place segment
+    // windows and silently lose pairs.
+    val df = Seq(
+      "héllo wörld", "hällo wörld", "héllo wörlds",  // BMP accents, dist 1
+      "中文的字符串", "中文的字符乱", "中文的字符",      // CJK, dist 1
+      "𝄞𝄞abcd", "𝄞𝄞abed", "𝄞𝄞abcdxyz",               // astral leads
+      "plain text", "plain test").toDF("s")
+    assert(passJoinPairs(df, 3) == brutePairs(df, 3))
+  }
+
   test("probe fan-out per string is bounded by (tau+1)^2 * (2tau+1)") {
     val tau = 3
     val bound = (tau + 1) * (tau + 1) * (2 * tau + 1)
