@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.operators.{Dedup, Sampling, Similarity}
+import graft.operators.{Dedup, FuzzyJoin, Sampling, Similarity}
 
 /** End-to-end LIBRARY-USER test: a miniature training-data curation
   * pipeline composed purely from the public operator APIs (no declared
@@ -12,7 +12,8 @@ import graft.operators.{Dedup, Sampling, Similarity}
   *
   *   consistent sample → quality gate → near-dup candidates →
   *   connected components → survivor selection → embedding attach →
-  *   SRP similarity pairs over the survivors.
+  *   SRP similarity pairs + IVF neighbors + fuzzy lede matching over
+  *   the survivors.
   *
   * Asserts the cross-operator INVARIANTS a pipeline author relies on:
   * stage outputs compose (schemas line up), dedup survivors are unique
@@ -66,6 +67,35 @@ class LibraryPipelineSpec extends SparkTestBase {
       assert(survivorIds.contains(r.getLong(0)) && survivorIds.contains(r.getLong(1)),
         "similarity pairs must reference only curated survivors")
       assert(r.getLong(0) < r.getLong(1))
+    }
+
+    // 7. ANN retrieval over the curated corpus (r05 ivfTopK): centroids
+    // seeded from the 10 smallest surviving ids, 5 probe docs; every
+    // neighbor must be a survivor and ranks must be dense from 1
+    val centroids = enriched.orderBy("doc_id").limit(10)
+      .select(col("doc_id").as("cid"),
+        col("embedding").cast("array<double>").as("cv"))
+    val probes = enriched.orderBy("doc_id").limit(5)
+    val ann = Similarity.ivfTopK(enriched, probes, centroids,
+      "doc_id", "embedding", k = 3, nprobe = 2).collect()
+    assert(ann.nonEmpty, "IVF search over the curated corpus found nothing")
+    ann.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length),
+        "per-probe ranks must be dense from 1")
+    }
+    assert(ann.forall(r => survivorIds.contains(r.getLong(2))),
+      "ANN neighbors must be curated survivors")
+
+    // 8. fuzzy matching on the survivors' 2-token ledes (r05 FuzzyJoin):
+    // lossless PassJoin candidates — spot-check symmetry + the distance
+    // contract on whatever pairs the corpus yields
+    val ledes = gated.select(
+      concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("lede"))
+    val fuzzy = FuzzyJoin.similarStringPairs(ledes, "lede", 2).collect()
+    fuzzy.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs must be ordered")
+      val d = r.getInt(2)
+      assert(d >= 1 && d <= 2, s"dist out of contract: $d")
     }
   }
 }
