@@ -142,7 +142,19 @@ object Dedup {
     val sizes = buckets.select(explode(col("xs")).as("__doc"))
       .groupBy(col("__doc"))
       .agg(count(lit(1)).as("__sz")) // shingle arrays are distinct per doc
+    // Spread the pair-generator input explicitly: AQE coalesces the bucket
+    // exchange by its INPUT bytes (grouped postings compress to almost
+    // nothing), blind to the O(df²) rows ArrayPairs emits per bucket — at
+    // modest scale it folds the whole generate stage into ONE task that
+    // then does all pairwise work serially. A repartition keyed by __sh
+    // alone is collapsed as redundant against the groupBy's existing
+    // hashpartitioning(__sh); (__sh, xs) is kept, stays deterministic, and
+    // distributes as uniformly as __sh. Per-row generator work is bounded
+    // by maxDocFreq (≤ C(cap,2) pairs), so an even row spread is an even
+    // work spread.
+    val numPart = df.sparkSession.sessionState.conf.numShufflePartitions
     buckets.where(size(col("xs")) >= 2)
+      .repartition(numPart, col("__sh"), col("xs"))
       .select(graft.engine.expr.ArrayPairs.of(col("xs")).as(Seq("doc_a", "doc_b")))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
