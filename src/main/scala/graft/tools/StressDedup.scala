@@ -88,6 +88,18 @@ object StressDedup {
         Dedup.substringPairs(df.withColumn("toks", split(col("text"), " ")),
           "doc_id", "toks", k = 8, maxDocFreq = 50).count())
 
+      // q124 shape: exact-Jaccard inverted index (promoted r05) — the df
+      // cap bounds per-shingle pair generation; the generator-input
+      // repartition keeps the pair stage spread when AQE's input-byte
+      // coalescing would fold the compacted bucket frame into few tasks
+      val shingled = df
+        .withColumn("l", split(col("text"), " "))
+        .where(size(col("l")) >= 3)
+        .select(col("doc_id"), GraftFunctions.hashedShingles("l").as("sh"))
+      val (jpN, jpT) = timed(
+        Dedup.jaccardPostings(shingled, "doc_id", "sh",
+          minJaccard = 0.5, maxDocFreq = 50).count())
+
       // q116 shape: bucketed global ordinal (r04) — the claim under test is
       // that the construction stays linear with FLAT bucket skew (the
       // fingerprint is uniform, so each of the 32 range buckets carries
@@ -108,6 +120,7 @@ object StressDedup {
           ("q48 banded pairs", prT, prN, true),
           ("q75 connectedComponents", ccT, ccN, true),
           ("q88 substringPairs", ssT, ssN, true),
+          ("q124 jaccardPostings", jpT, jpN, false),
           ("q116 globalIndex", giT, giN, false))) {
         val (bm, bp) = if (blocked) (blockMax.toString, blockP99.toString)
                        else ("-", "-")
