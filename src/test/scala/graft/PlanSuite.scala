@@ -105,6 +105,20 @@ class PlanSuite extends SparkTestBase {
     }
   }
 
+  test("q124 pair-generator input is explicitly spread, not left to AQE") {
+    // The r05 lesson (SCALING.md §Bench budget): AQE sizes a shuffle read
+    // by its INPUT bytes and cannot see generator EXPANSION, so the
+    // compacted grouped-postings frame coalesces into ONE partition and
+    // ArrayPairs then emits every candidate pair serially in one task.
+    // Pin the explicit (__sh, xs) repartition that keeps the stage wide.
+    val p = plan("q124_jaccard_postings")
+    assert(p.toLowerCase.contains("arraypairs"),
+      s"q124 lost the native pair generator:\n$p")
+    assert("hashpartitioning\\(__sh[^)]*xs".r.findFirstIn(p).isDefined,
+      s"q124 lost the generator-input repartition (AQE will serialize the pair stage):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q34/q111 SRP pairwise runs the grouped generator, not a vector self-join") {
     // The r04-end shape: pairs come from the BucketPairDots Generate over
     // the ONE grouped bucket row — if a self-join on (table, bucket)
