@@ -29,6 +29,11 @@ object Bench {
     // work, not first-touch class loading (BASELINE.md's warm-session
     // methodology).
     val warmSf = "/root/testdata/sf0.001"
+    // A warmup that throws is an early-warning signal, not noise (r06,
+    // VERDICT r05 #2): in r05 two warmup queries silently swallowed the
+    // events-ts regression that later failed 25 timed queries. Each failure
+    // is logged to stderr AND recorded in the JSON as warmup_failed.
+    val warmupFailed = scala.collection.mutable.ListBuffer[String]()
     Seq("q12_join_multiway", "q18_agg_hash", "q25_window_rank", "q36_text_tf",
       "q03_multiformat_sink", "q52_bucketed_join", "q33_sim_cosine_topk",
       "q17_join_asof", "q42_stream_watermark_dedup",
@@ -39,7 +44,11 @@ object Bench {
       "q66_fuzzy_levenshtein")
       .foreach { q =>
         try SparkEntry.queries(q)(spark, warmSf).count()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          warmupFailed += q
+          System.err.println(s"BENCH WARMUP FAILURE: $q — " +
+            String.valueOf(e.getMessage).linesIterator.nextOption().getOrElse(e.toString))
+        }
       }
     // q52 models a PRE-EXISTING bucketed table (its layout write is "paid
     // once" and amortized at a deterministic per-sf path — see Formats).
@@ -112,7 +121,8 @@ object Bench {
     // against the gate.
     val canaryShuffle = canaryOf("q11_join_shuffle")
     val exceeded = total > hardTotal
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"over_budget":$overBudget,"soft_budget_sec":$softTotal,"budget_exceeded":$exceeded,"canary_pre_sec":$canaryPre,"canary_shuffle_pre_sec":$canaryShufflePre,"canary_sec":$canary,"canary_shuffle_sec":$canaryShuffle,"sf":"$sfDir"}"""
+    val warmFailedJson = warmupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"warmup_failed":$warmFailedJson,"over_budget":$overBudget,"soft_budget_sec":$softTotal,"budget_exceeded":$exceeded,"canary_pre_sec":$canaryPre,"canary_shuffle_pre_sec":$canaryShufflePre,"canary_sec":$canary,"canary_shuffle_sec":$canaryShuffle,"sf":"$sfDir"}"""
     println(jsonLine)
     // Full per-query artifact (r05, VERDICT r04 #4): the driver's
     // BENCH_r*.json keeps only the tail of stdout, so early-alphabet query
@@ -122,8 +132,19 @@ object Bench {
     // cwd must not fail the capture.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full_r5.json")),
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full_r6.json")),
       jsonLine + "\n")
+    catch { case _: Throwable => () }
+    // Append-only run history (r06, ADVICE r05 #1): the driver's post-round
+    // run OVERWRITES the per-round file above, which in r05 destroyed the
+    // builder's committed clean capture as cited evidence. Every run also
+    // appends here (wall-clock stamped), so no later run erases an earlier
+    // measurement. Best-effort like the file above.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_runs.jsonl"),
+      s"""{"at_epoch_ms":${System.currentTimeMillis()},${jsonLine.drop(1)}""" + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     catch { case _: Throwable => () }
     if (exceeded)
       System.err.println(f"BENCH BUDGET FAILURE: total $total%.1f s exceeds the $hardTotal%.0f s gate (canary $canary%.2f s)")

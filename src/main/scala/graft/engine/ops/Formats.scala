@@ -120,9 +120,14 @@ object Formats {
           .cast("double").as("sum_acctbal"))
     val tmp = Files.createTempDirectory("q03_sink").toString
     base.write.mode("overwrite").partitionBy("r_name").parquet(s"$tmp/parquet")
-    base.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
-    base.write.mode("overwrite").json(s"$tmp/json")
-    s.read.parquet(s"$tmp/parquet")
+    // CSV/JSON sinks write from the MATERIALIZED parquet result, not the
+    // source plan (r06, VERDICT r05 #8): each `base.write` would re-execute
+    // the full join+agg — three source scans for one tiny aggregate. At
+    // 100 TB the aggregate-once/fan-out-formats shape is the only sane one.
+    val materialized = s.read.parquet(s"$tmp/parquet")
+    materialized.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    materialized.write.mode("overwrite").json(s"$tmp/json")
+    materialized
       .select("n_name", "r_name", "n_customers", "sum_acctbal")
       .orderBy("n_name")
   }

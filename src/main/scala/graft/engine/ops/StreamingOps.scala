@@ -120,14 +120,10 @@ object StreamingOps {
       |SELECT wstart, event_type, n FROM w, mx
       |WHERE wstart + INTERVAL 1 HOUR <= mt - INTERVAL 1 HOUR
       |ORDER BY wstart, event_type""".stripMargin) { (s, dir) =>
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val schema = s.read.parquet(path).schema
-    // File-stream sources need a directory: point at the sf dir and
-    // glob-filter to the events file.
-    def src = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Schema-adaptive events source (r06): all streaming sites share
+    // Tables.eventsStream, so a physical ts-encoding change is handled in
+    // exactly one place (see Tables.normalize).
+    def src = Tables.eventsStream(s, dir)
     val stream = src.union(src)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
@@ -162,11 +158,8 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = s
     import spark.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val perUser = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .selectExpr("user_id", "ts div 1000 AS ts_us")
+    val perUser = Tables.eventsStream(s, dir)
+      .selectExpr("user_id", "unix_micros(ts) AS ts_us")
       .as[(Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
@@ -216,11 +209,7 @@ object StreamingOps {
       | AND p.user_id = v.user_id
       | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
       |ORDER BY purchase_id, view_id LIMIT 500""".stripMargin) { (s, dir) =>
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val src = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = Tables.eventsStream(s, dir)
     def branch(kind: String, alias: String) = src
       .where(col("event_type") === kind)
       .select(col("event_id").as(s"${alias}_event_id"),
@@ -261,12 +250,8 @@ object StreamingOps {
     "q61_stream_foreachbatch",
     """SELECT date_trunc('hour', ts) AS wstart, event_type, COUNT(*) AS n
       |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin) { (s, dir) =>
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
     val target = java.nio.file.Files.createTempDirectory("q61_sink").toString
-    val agg = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = Tables.eventsStream(s, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("wstart"), col("event_type"), col("n"))
@@ -306,13 +291,10 @@ object StreamingOps {
       |SELECT e.user_id, COUNT(*) AS n_events, MIN(p.profile_n) AS profile_n
       |FROM events e JOIN profile p ON e.user_id = p.user_id
       |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin) { (s, dir) =>
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
     val profile = Tables.table(s, dir, "events")
       .groupBy("user_id").agg(count(lit(1)).as("profile_n"))
       .withColumnRenamed("user_id", "p_user_id")
-    val enriched = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val enriched = Tables.eventsStream(s, dir)
       .join(broadcast(profile), col("user_id") === col("p_user_id"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), min(col("profile_n")).as("profile_n"))
@@ -360,11 +342,7 @@ object StreamingOps {
       |WHERE view_id IS NOT NULL
       |   OR pts < (SELECT MAX(ts) - INTERVAL 2 HOUR FROM events)
       |ORDER BY purchase_id, view_id LIMIT 500""".stripMargin) { (s, dir) =>
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val src = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = Tables.eventsStream(s, dir)
     def branch(kind: String, alias: String) = src
       .where(col("event_type") === kind)
       .select(col("event_id").as(s"${alias}_event_id"),
@@ -460,11 +438,7 @@ object StreamingOps {
       |WHERE session_last + INTERVAL 10 MINUTE
       |      <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
       |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val sessions = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val sessions = Tables.eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -646,11 +620,7 @@ object StreamingOps {
       |SELECT wstart, event_type, COUNT(*) AS n FROM w
       |WHERE wstart + INTERVAL 1 HOUR <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
       |GROUP BY wstart, event_type ORDER BY wstart, event_type""".stripMargin) { (s, dir) =>
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val windows = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val windows = Tables.eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"))

@@ -23,13 +23,9 @@ object StreamProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     for (p <- parts; r <- 1 to reps) {
       val t0 = System.nanoTime()
-      val sessions = spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val sessions = graft.engine.Tables.eventsStream(spark, sfDir)
         .withWatermark("ts", "1 hour")
         .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))

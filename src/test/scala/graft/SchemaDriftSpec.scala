@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.Tables
+
+/** Physical-schema drift guard (r06, VERDICT r05 #1/#2).
+  *
+  * The r05 outage: the testdata generator changed `events.ts` from
+  * TIMESTAMP(NANOS) to TIMESTAMP(MICROS, NTZ) and the hard-coded nanos
+  * recipe failed analysis on 25 queries. These tests pin the fix: the SAME
+  * loader accepts every ts encoding the generator has ever produced (and
+  * the plain-LTZ one it might produce next), yields identical values, and
+  * fails LOUDLY — naming table+column+type — on drift it can't make safe.
+  */
+class SchemaDriftSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def writeSingleFile(df: DataFrame, dir: Path, table: String): Unit =
+    ParquetFixtures.writeSingleFile(df, dir, table)
+
+  /** 240 events over ~28 h, 5 users — LTZ ts is the canonical target. */
+  private lazy val baseEvents: DataFrame = spark.sql(
+    """SELECT id AS event_id,
+      |  timestampadd(MINUTE, CAST(id * 7 AS INT), timestamp'2024-01-01 00:00:00') AS ts,
+      |  id % 5 AS user_id,
+      |  CASE WHEN id % 3 = 0 THEN 'view' ELSE 'purchase' END AS event_type,
+      |  CAST(id AS DOUBLE) / 10 AS value,
+      |  '{"k":1}' AS props
+      |FROM range(240)""".stripMargin)
+
+  private def fixtureDir(): Path = Files.createTempDirectory("drift_fix")
+
+  test("events.ts loads identically from ns-long, µs-NTZ, and LTZ encodings") {
+    val expected = baseEvents.select("event_id", "ts").as[(Long, java.sql.Timestamp)]
+      .collect().toMap
+
+    val variants: Seq[(String, DataFrame)] = Seq(
+      // what the legacy nanosAsLong flag yields for TIMESTAMP(NANOS) files
+      "ns-long" -> baseEvents.withColumn("ts", expr("unix_micros(ts) * 1000")),
+      // what the regenerated driver testdata uses (r05 drift)
+      "us-ntz" -> baseEvents.withColumn("ts", col("ts").cast(TimestampNTZType)),
+      // plain LTZ — the canonical type itself
+      "ltz" -> baseEvents)
+    for ((label, df) <- variants) {
+      val dir = fixtureDir()
+      writeSingleFile(df, dir, "events")
+      val loaded = Tables.table(spark, dir.toString, "events")
+      assert(loaded.schema("ts").dataType === TimestampType, label)
+      val got = loaded.select("event_id", "ts").as[(Long, java.sql.Timestamp)]
+        .collect().toMap
+      assert(got === expected, s"$label values drifted")
+    }
+  }
+
+  test("eventsStream applies the same normalization as the batch loader") {
+    val dir = fixtureDir()
+    writeSingleFile(
+      baseEvents.withColumn("ts", col("ts").cast(TimestampNTZType)), dir, "events")
+    val src = Tables.eventsStream(spark, dir.toString)
+    assert(src.isStreaming)
+    assert(src.schema("ts").dataType === TimestampType)
+  }
+
+  test("narrower integrals widen to canonical (int32 c_custkey -> bigint)") {
+    val dir = fixtureDir()
+    val narrow = spark.sql(
+      """SELECT CAST(id AS INT) AS c_custkey, concat('c', id) AS c_name,
+        |  CAST(id % 7 AS INT) AS c_nationkey, CAST(id AS DOUBLE) AS c_acctbal,
+        |  'BUILDING' AS c_mktsegment FROM range(50)""".stripMargin)
+    writeSingleFile(narrow, dir, "customer")
+    val loaded = Tables.table(spark, dir.toString, "customer")
+    assert(loaded.schema("c_custkey").dataType === LongType)
+    assert(loaded.agg(sum("c_custkey")).as[Long].head() === (0L until 50L).sum)
+  }
+
+  test("wider-than-canonical passes through losslessly (int64 r_regionkey)") {
+    val dir = fixtureDir()
+    val wide = spark.sql(
+      "SELECT id AS r_regionkey, concat('r', id) AS r_name FROM range(5)")
+    writeSingleFile(wide, dir, "region")
+    val loaded = Tables.table(spark, dir.toString, "region")
+    // no downcast (could overflow on real drift) — the wider type survives
+    assert(loaded.schema("r_regionkey").dataType === LongType)
+    assert(loaded.count() === 5)
+  }
+
+  test("unsupported drift fails loudly with table+column+type") {
+    val dir = fixtureDir()
+    writeSingleFile(baseEvents.withColumn("ts", col("ts").cast(StringType)),
+      dir, "events")
+    val e = intercept[IllegalStateException] {
+      Tables.table(spark, dir.toString, "events")
+    }
+    assert(e.getMessage.contains("events.ts"))
+    assert(e.getMessage.contains("StringType"))
+  }
+
+  test("missing canonical column fails loudly") {
+    val dir = fixtureDir()
+    writeSingleFile(baseEvents.drop("props"), dir, "events")
+    val e = intercept[IllegalStateException] {
+      Tables.table(spark, dir.toString, "events")
+    }
+    assert(e.getMessage.contains("events.props"))
+  }
+
+  test("extra generator columns pass through untouched") {
+    val dir = fixtureDir()
+    writeSingleFile(baseEvents.withColumn("extra_col", lit(1)), dir, "events")
+    val loaded = Tables.table(spark, dir.toString, "events")
+    assert(loaded.columns.contains("extra_col"))
+    assert(loaded.schema("ts").dataType === TimestampType)
+  }
+}
