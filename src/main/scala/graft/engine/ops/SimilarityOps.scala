@@ -566,6 +566,13 @@ object SimilarityOps {
       val pairs = graft.operators.Similarity
         .srpBandedPairs(emb, "vec_id", "embedding",
           threshold = 0.10, dim = 64, tables = 8, bitsPerTable = 6, bucketCap = 256)
+        // Only pairs touching an anchor (vec_id % 20) can survive the
+        // anchor filter below — and this predicate references the pair
+        // dedup's own grouping keys, so Catalyst pushes it BELOW
+        // srpBandedPairs' dropDuplicates: the pair-dedup shuffle carries
+        // ~1/10th the rows (r06; at 100 TB that shuffle is the operator's
+        // dominant cost). The oracle's pairs CTE anchors the same way.
+        .where(col("doc_a") % 20 === 0 || col("doc_b") % 20 === 0)
       // symmetrize: srpBandedPairs emits each unordered pair once (a < b).
       // Explode, not union-of-self — a union would evaluate the whole SRP
       // candidate pipeline twice (the q66 r05 lesson)
