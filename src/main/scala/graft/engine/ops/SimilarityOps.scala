@@ -641,6 +641,68 @@ object SimilarityOps {
       .orderBy("anchor", "rn").limit(500)
   }
 
+  // --- q125: int8 scalar quantization of embeddings (r06) -----------------
+  // The vector-compression step every 100 TB embedding store runs before
+  // ANN: per-vector max-abs scale, symmetric int8 codes (round-half-up,
+  // clamped to ±127), plus the per-label reconstruction-error audit that
+  // decides whether the compressed index is usable. 4x smaller vectors =
+  // 4x more index per executor; the audit is the go/no-go signal.
+  //
+  // Engine-portable by the established recipe: codes are exact small
+  // integers (floor-based round, deterministic in both engines), the
+  // error is expressed through dot products (`d_ee − 2·s·d_eq + s²·d_qq`,
+  // identical left-assoc operation order in both SQL texts, so the
+  // doubles are bit-equal), and every aggregated value is floored to an
+  // integer BEFORE the sum — no float summation-order hazard. Scale
+  // shape: pure map work + one groupBy(label) shuffle of 4 numbers per
+  // vector; nothing pairwise, nothing collected.
+  private val q125 = QueryDef(
+    "q125_embedding_quantize",
+    """WITH v AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      |s AS (SELECT vec_id, label, e,
+      |    greatest(list_max(list_transform(e, x -> abs(x))), 0.000000001) AS scale FROM v),
+      |q AS (SELECT vec_id, label, e, scale,
+      |    list_transform(e, x -> CAST(greatest(-127, least(127,
+      |      CAST(floor(x / scale * 127 + 0.5) AS BIGINT))) AS DOUBLE)) AS qd
+      |  FROM s),
+      |d AS (SELECT label, scale,
+      |    list_dot_product(e, e) AS d_ee,
+      |    list_dot_product(e, qd) AS d_eq,
+      |    list_dot_product(qd, qd) AS d_qq,
+      |    list_max(list_transform(qd, x -> abs(x))) AS maxq
+      |  FROM q)
+      |SELECT label, COUNT(*) AS n_vectors,
+      |  CAST(SUM(CAST(d_qq AS BIGINT)) AS BIGINT) AS sum_qq,
+      |  CAST(SUM(CAST(floor((d_ee - 2 * (scale / 127) * d_eq
+      |      + (scale / 127) * (scale / 127) * d_qq) * 1000000000) AS BIGINT)) AS BIGINT)
+      |    AS sum_err_nanos,
+      |  CAST(MAX(maxq) AS BIGINT) AS max_abs_q
+      |FROM d GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+    import graft.engine.expr.DotProduct
+    Tables.table(s, dir, "embeddings")
+      .select(col("label"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .withColumn("scale",
+        expr("greatest(array_max(transform(e, x -> abs(x))), 0.000000001d)"))
+      .withColumn("qd", expr(
+        """transform(e, x -> CAST(greatest(-127L, least(127L,
+          |  CAST(floor(x / scale * 127d + 0.5d) AS BIGINT))) AS DOUBLE))""".stripMargin))
+      .withColumn("d_ee", DotProduct.dot(col("e"), col("e")))
+      .withColumn("d_eq", DotProduct.dot(col("e"), col("qd")))
+      .withColumn("d_qq", DotProduct.dot(col("qd"), col("qd")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("d_qq").cast("bigint")).as("sum_qq"),
+        sum(expr(
+          """CAST(floor((d_ee - 2d * (scale / 127d) * d_eq
+            |  + (scale / 127d) * (scale / 127d) * d_qq) * 1e9d) AS BIGINT)""".stripMargin))
+          .as("sum_err_nanos"),
+        max(expr("CAST(array_max(transform(qd, x -> abs(x))) AS BIGINT)"))
+          .as("max_abs_q"))
+      .orderBy("label")
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(q47, q48, q49, q50, q63, q66, q75, q88, q97, q102, q111, q112, q124)
+    Seq(q47, q48, q49, q50, q63, q66, q75, q88, q97, q102, q111, q112, q124,
+      q125)
 }

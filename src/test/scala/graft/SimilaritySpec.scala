@@ -312,6 +312,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(full === brute, "nprobe = nlist must equal the brute-force top-k")
   }
 
+  test("q125 int8 quantization: codes bounded, error within the scalar-quant bound") {
+    val rows = SparkEntry.queries("q125_embedding_quantize")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).as[Int](org.apache.spark.sql.Encoders.scalaInt).head()
+    val maxAbs = emb
+      .select(max(expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")))
+      .as[Double](org.apache.spark.sql.Encoders.scalaDouble).head()
+    val total = emb.count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum === total)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_vectors")
+      // symmetric int8: every code within ±127, and each vector's max-abs
+      // element quantizes to exactly ±127 by construction
+      assert(r.getAs[Long]("max_abs_q") === 127L)
+      assert(r.getAs[Long]("sum_qq") <= n * dim * 127L * 127L)
+      // scalar-quant bound: per-element error ≤ (scale/254)² with
+      // scale ≤ the corpus max magnitude; −1 nano per vector of slack for
+      // the floor of a ±1e-13 float residue on exactly-quantizable vectors
+      val errNanos = r.getAs[Long]("sum_err_nanos")
+      assert(errNanos >= -n)
+      assert(errNanos <= n * dim * math.ceil(math.pow(maxAbs / 254, 2) * 1e9).toLong)
+    }
+  }
+
   test("srpBandedPairs bounds degenerate mass-duplicate buckets") {
     // Adversarial input (VERDICT r04 #2): every vector identical → every
     // table collapses to ONE bucket holding the whole corpus, the shape
