@@ -256,6 +256,18 @@ class PlanSuite extends SparkTestBase {
       s"q119 expected exactly 1 hash exchange, found $exchanges:\n$p")
   }
 
+  test("q125 quantization is map-only into one aggregation exchange") {
+    // The compression audit's scale claim: all quantization arithmetic is
+    // map-side (codes, dots, per-vector error), so the plan is scan →
+    // project → partial agg → ONE hash exchange on label → final agg.
+    // No join, no generate, nothing pairwise.
+    val p = plan("q125_embedding_quantize")
+    assert(!p.contains("Join"), s"q125 planned a join:\n$p")
+    val exchanges = "hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"q125 expected exactly 1 hash exchange, found $exchanges:\n$p")
+  }
+
   test("q115 chunking is map-only ahead of the presentation sort") {
     // Chunk generation must be explode + slice on the scan with no
     // wide exchange before the final orderBy/limit — at 100 TB chunking
