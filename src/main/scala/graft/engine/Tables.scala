@@ -91,10 +91,21 @@ object Tables {
       // µs-NTZ vs LTZ: bit-identical under the UTC session timezone.
       case (TimestampNTZType, TimestampType) => Some(col(name).cast(TimestampType))
       case (TimestampType, TimestampNTZType) => Some(col(name).cast(TimestampNTZType))
+      // A date-typed file for a timestamp column (midnight extension —
+      // DuckDB reads the same DATE, and the driver's compare treats date
+      // vs midnight-timestamp as equal, so both sides stay aligned).
+      case (DateType, TimestampNTZType) => Some(col(name).cast(TimestampNTZType))
+      case (DateType, TimestampType) => Some(col(name).cast(TimestampType))
       // Narrower than canonical: widen (lossless).
       case (ByteType | ShortType | IntegerType, LongType) => Some(col(name).cast(LongType))
       case (ByteType | ShortType, IntegerType) => Some(col(name).cast(IntegerType))
       case (FloatType, DoubleType) => Some(col(name).cast(DoubleType))
+      // Numeric re-encodings of a double column: a generator that writes
+      // prices as decimal(p,s) or integral units. Cast is exact for any
+      // decimal of ≤15 significant digits and any integral < 2^53.
+      case (_: DecimalType, DoubleType) => Some(col(name).cast(DoubleType))
+      case (ByteType | ShortType | IntegerType | LongType, DoubleType) =>
+        Some(col(name).cast(DoubleType))
       // WIDER than canonical: pass through — a downcast could overflow, and
       // the oracle reads the same widened files (both sides stay aligned).
       case (LongType, IntegerType) | (IntegerType, ByteType | ShortType) |
@@ -130,16 +141,20 @@ object Tables {
     normalize(name, spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 
-  /** Streaming read of the events file with the SAME normalization as the
-    * batch loader — the one place all 8 StreamingOps sources route through
-    * (r06; previously each site hard-coded the nanos recipe). File-stream
+  /** Streaming read of one table file with the SAME normalization as the
+    * batch loader — every StreamingOps source routes through here (r06;
+    * previously each site hard-coded the nanos recipe). File-stream
     * sources need a directory: point at the sf dir and glob-filter. */
-  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+  def tableStream(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    normalize("events", s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val schema = s.read.parquet(s"$dir/$name.parquet").schema
+    normalize(name, s.readStream.schema(schema)
+      .option("pathGlobFilter", s"$name.parquet").parquet(dir))
   }
+
+  /** The events stream — the input of 8 of the 10 streaming queries. */
+  def eventsStream(s: SparkSession, dir: String): DataFrame =
+    tableStream(s, dir, "events")
 
   /**
    * Load the named tables (default: every table) and (re-)register `<name>`

@@ -568,9 +568,7 @@ object StreamingOps {
       .select(fpCol.as("fingerprint")).distinct()
       .as[Long].map(f => (f, true))
       .groupByKey(_._1).mapValues(_._2)
-    val schema = s.read.parquet(s"$dir/documents.parquet").schema
-    val deduped = s.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val deduped = Tables.tableStream(s, dir, "documents")
       .where(col("doc_id") >= 250)
       .select(col("doc_id"), fpCol.as("fingerprint"))
       .as[(Long, Long)]

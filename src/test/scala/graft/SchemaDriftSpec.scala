@@ -88,6 +88,48 @@ class SchemaDriftSpec extends SparkTestBase {
     assert(loaded.count() === 5)
   }
 
+  test("date-encoded timestamp columns midnight-extend (o_orderdate as DATE)") {
+    val dir = fixtureDir()
+    val dated = spark.sql(
+      """SELECT id AS o_orderkey, id AS o_custkey, 'O' AS o_orderstatus,
+        |  CAST(id AS DOUBLE) AS o_totalprice,
+        |  date_add(date'2024-01-01', CAST(id AS INT)) AS o_orderdate,
+        |  '1-URGENT' AS o_orderpriority FROM range(10)""".stripMargin)
+    writeSingleFile(dated, dir, "orders")
+    val loaded = Tables.table(spark, dir.toString, "orders")
+    assert(loaded.schema("o_orderdate").dataType === TimestampNTZType)
+    val hms = loaded.select(
+      sum(expr("hour(o_orderdate) + minute(o_orderdate) + second(o_orderdate)")))
+      .as[Long].head()
+    assert(hms === 0L, "date drift must midnight-extend exactly")
+  }
+
+  test("decimal/integral re-encodings of a double column cast exactly") {
+    val dir = fixtureDir()
+    val reencoded = spark.sql(
+      """SELECT id AS s_suppkey, concat('s', id) AS s_name,
+        |  CAST(id % 7 AS INT) AS s_nationkey,
+        |  CAST(CAST(id AS DECIMAL(12,2)) + 0.25 AS DECIMAL(12,2)) AS s_acctbal
+        |FROM range(20)""".stripMargin)
+    writeSingleFile(reencoded, dir, "supplier")
+    val loaded = Tables.table(spark, dir.toString, "supplier")
+    assert(loaded.schema("s_acctbal").dataType === DoubleType)
+    assert(loaded.agg(sum("s_acctbal")).as[Double].head()
+      === (0 until 20).map(_ + 0.25).sum)
+  }
+
+  test("tableStream normalizes non-events tables too (int32 doc_id)") {
+    val dir = fixtureDir()
+    val narrow = spark.sql(
+      """SELECT CAST(id AS INT) AS doc_id, concat('w x y z v body ', id) AS text,
+        |  'en' AS lang, 'syn' AS source, CAST(20 AS BIGINT) AS n_chars
+        |FROM range(30)""".stripMargin)
+    writeSingleFile(narrow, dir, "documents")
+    val src = Tables.tableStream(spark, dir.toString, "documents")
+    assert(src.isStreaming)
+    assert(src.schema("doc_id").dataType === LongType)
+  }
+
   test("unsupported drift fails loudly with table+column+type") {
     val dir = fixtureDir()
     writeSingleFile(baseEvents.withColumn("ts", col("ts").cast(StringType)),
