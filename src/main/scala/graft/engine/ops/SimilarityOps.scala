@@ -702,7 +702,66 @@ object SimilarityOps {
       .orderBy("label")
   }
 
+  // --- q126: product quantization codes (r06) ------------------------------
+  // The fine-quantization half of the IVF-PQ design every 100 TB ANN
+  // deployment runs (q50 is the coarse half, q125 the scalar alternative):
+  // the 64-dim space splits into m=8 subspaces of 8 dims; each subvector
+  // maps to its nearest of 4 seeded codes (the slices of vec_id < 4 — the
+  // q50/q102 seeded-codebook convention), so a vector stores 8 small codes
+  // instead of 64 floats. Output: the per-(subspace, code) histogram and
+  // distortion audit that decides codebook quality.
+  //
+  // Scale shape: the 32-row codebook broadcasts; assignment is MAP-ONLY —
+  // argmin is a MIN aggregation over the integer key `d2m * 10 + cid`
+  // (d2m floored micros, cid ∈ 0..3, so the min decodes to the
+  // (d2m, cid)-lexicographic winner — no window, partial-aggregatable),
+  // giving one map-side-combined shuffle of 8 rows per vector and a tiny
+  // second agg. Engine-portable: slices, the dot-product L2 identity, and
+  // the floor/encode arithmetic are identical in both SQL texts.
+  private val q126 = QueryDef(
+    "q126_pq_codes",
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |sub AS (SELECT vec_id, s, e[8*s+1 : 8*s+8] AS sv
+      |  FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS s)),
+      |cb AS (SELECT vec_id AS cid, s, sv AS cv FROM sub WHERE vec_id < 4),
+      |d AS (SELECT sub.vec_id, sub.s, cb.cid,
+      |    greatest(CAST(floor((list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+      |      + list_dot_product(cv, cv)) * 1000000) AS BIGINT), 0) AS d2m
+      |  FROM sub JOIN cb ON sub.s = cb.s),
+      |a AS (SELECT vec_id, s, MIN(d2m * 10 + cid) AS k
+      |  FROM d GROUP BY vec_id, s)
+      |SELECT s AS subspace, CAST(k % 10 AS BIGINT) AS code,
+      |  COUNT(*) AS n_assigned,
+      |  CAST(SUM(k // 10) AS BIGINT) AS sum_d2_micros,
+      |  CAST(MIN(vec_id) AS BIGINT) AS first_vec
+      |FROM a GROUP BY 1, 2 ORDER BY subspace, code""".stripMargin) { (s, dir) =>
+    import graft.engine.expr.DotProduct
+    val v = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val sub = v.select(col("vec_id"), explode(expr("sequence(0, 7)")).as("s"), col("e"))
+      .withColumn("sv", expr("slice(e, 8 * s + 1, 8)")).drop("e")
+    val cb = sub.where(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("s").as("cs"), col("sv").as("cv"))
+    sub.join(broadcast(cb), col("s") === col("cs"))
+      // greatest(., 0): a code's distance to ITSELF is exactly 0, and the
+      // float identity can land at -1e-13 → floor -1, which would corrupt
+      // the k%10 decode; the clamp is deterministic in both engines.
+      .withColumn("d2m",
+        greatest(floor((DotProduct.dot(col("sv"), col("sv"))
+          - lit(2d) * DotProduct.dot(col("sv"), col("cv"))
+          + DotProduct.dot(col("cv"), col("cv"))) * lit(1000000d)).cast("bigint"),
+          lit(0L)))
+      .groupBy("vec_id", "s")
+      .agg(min(col("d2m") * lit(10L) + col("cid")).as("k"))
+      .groupBy(col("s").as("subspace"), (col("k") % 10).cast("bigint").as("code"))
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(expr("k div 10")).as("sum_d2_micros"),
+        min("vec_id").as("first_vec"))
+      .orderBy("subspace", "code")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(q47, q48, q49, q50, q63, q66, q75, q88, q97, q102, q111, q112, q124,
-      q125)
+      q125, q126)
 }

@@ -268,6 +268,20 @@ class PlanSuite extends SparkTestBase {
       s"q125 expected exactly 1 hash exchange, found $exchanges:\n$p")
   }
 
+  test("q126 PQ assignment broadcasts the codebook; argmin is aggregation") {
+    // The IVF-PQ scale claim: the 32-row codebook is broadcast (never a
+    // shuffled join), and the argmin runs as a MIN aggregation — so the
+    // plan carries exactly two hash exchanges (per-vector argmin, final
+    // histogram) and no window sort.
+    val p = plan("q126_pq_codes")
+    assert(p.contains("BroadcastHashJoin"), s"codebook not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), s"argmin must be aggregation, not window:\n$p")
+    val exchanges = "hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2,
+      s"q126 expected exactly 2 hash exchanges, found $exchanges:\n$p")
+  }
+
   test("q115 chunking is map-only ahead of the presentation sort") {
     // Chunk generation must be explode + slice on the scan with no
     // wide exchange before the final orderBy/limit — at 100 TB chunking

@@ -337,6 +337,24 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("q126 PQ codes: complete partition per subspace, seeds self-assign") {
+    val rows = SparkEntry.queries("q126_pq_codes")(spark, sfDir).collect()
+    val total = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    // every vector gets exactly one code per subspace
+    assert(rows.map(_.getAs[Long]("n_assigned")).sum === 8L * total)
+    (0 until 8).foreach { s =>
+      val inS = rows.filter(_.getAs[Int]("subspace") == s)
+      assert(inS.map(_.getAs[Long]("n_assigned")).sum === total, s"subspace $s")
+      assert(inS.forall(r => (0L to 3L).contains(r.getAs[Long]("code"))))
+      assert(inS.forall(_.getAs[Long]("sum_d2_micros") >= 0L))
+    }
+    // each seed vector (vec_id < 4) is its own code's nearest neighbor at
+    // distance 0, so every (subspace, code) bucket exists and its
+    // first_vec is at most the seed id
+    assert(rows.length === 32)
+    rows.foreach(r => assert(r.getAs[Long]("first_vec") <= r.getAs[Long]("code")))
+  }
+
   test("srpBandedPairs bounds degenerate mass-duplicate buckets") {
     // Adversarial input (VERDICT r04 #2): every vector identical → every
     // table collapses to ONE bucket holding the whole corpus, the shape
