@@ -761,7 +761,78 @@ object SimilarityOps {
       .orderBy("subspace", "code")
   }
 
+  // --- q127: PQ asymmetric-distance (ADC) top-k search (r06) ---------------
+  // The actual query path of an IVF-PQ deployment, completing q126: a probe
+  // never touches raw corpus vectors — it computes an 8×4 distance TABLE to
+  // the codebook once, then scores every vector as the SUM of table lookups
+  // over its 8 stored codes. At 100 TB that is the whole point: the corpus
+  // side of the search reads 8 small codes per vector (the q126 index),
+  // not 64 floats, and the per-probe work is a broadcast of a 160-row
+  // table. Exact integer arithmetic end-to-end after the per-cell floor
+  // (code assignment = q126's MIN-key recipe; ADC sum = BIGINT), so the
+  // oracle re-derives codes, tables, and the exact top-k.
+  private val q127 = QueryDef(
+    "q127_pq_adc_topk",
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |sub AS (SELECT vec_id, s, e[8*s+1 : 8*s+8] AS sv
+      |  FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS s)),
+      |cb AS (SELECT vec_id AS cid, s, sv AS cv FROM sub WHERE vec_id < 4),
+      |d AS (SELECT sub.vec_id, sub.s, cb.cid,
+      |    greatest(CAST(floor((list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+      |      + list_dot_product(cv, cv)) * 1000000) AS BIGINT), 0) AS d2m
+      |  FROM sub JOIN cb ON sub.s = cb.s),
+      |codes AS (SELECT vec_id, s, CAST(MIN(d2m * 10 + cid) % 10 AS BIGINT) AS code
+      |  FROM d GROUP BY vec_id, s),
+      |pt AS (SELECT sub.vec_id AS probe_id, sub.s, cb.cid,
+      |    greatest(CAST(floor((list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+      |      + list_dot_product(cv, cv)) * 1000000) AS BIGINT), 0) AS pd2m
+      |  FROM sub JOIN cb ON sub.s = cb.s
+      |  WHERE sub.vec_id < 5),
+      |adc AS (SELECT pt.probe_id, codes.vec_id,
+      |    CAST(SUM(pt.pd2m) AS BIGINT) AS adc_micros
+      |  FROM codes JOIN pt ON codes.s = pt.s AND codes.code = pt.cid
+      |  WHERE codes.vec_id <> pt.probe_id
+      |  GROUP BY pt.probe_id, codes.vec_id)
+      |SELECT probe_id, rn, vec_id, adc_micros FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+      |      ORDER BY adc_micros, vec_id) AS rn
+      |  FROM adc) t
+      |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin) { (s, dir) =>
+    import graft.engine.expr.DotProduct
+    val v = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val sub = v.select(col("vec_id"), explode(expr("sequence(0, 7)")).as("s"), col("e"))
+      .withColumn("sv", expr("slice(e, 8 * s + 1, 8)")).drop("e")
+    val cb = sub.where(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("s").as("cs"), col("sv").as("cv"))
+    def d2m(a: org.apache.spark.sql.Column,
+            b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      greatest(floor((DotProduct.dot(a, a) - lit(2d) * DotProduct.dot(a, b)
+        + DotProduct.dot(b, b)) * lit(1000000d)).cast("bigint"), lit(0L))
+    // the q126 index: 8 codes per vector, map-only + one combined shuffle
+    val codes = sub.join(broadcast(cb), col("s") === col("cs"))
+      .withColumn("k", d2m(col("sv"), col("cv")) * lit(10L) + col("cid"))
+      .groupBy("vec_id", "s")
+      .agg((min("k") % 10).cast("bigint").as("code"))
+    // per-probe distance tables: 5 probes × 8 subspaces × 4 codes = 160 rows
+    val pt = sub.where(col("vec_id") < 5)
+      .join(broadcast(cb), col("s") === col("cs"))
+      .select(col("vec_id").as("probe_id"), col("s").as("ps"),
+        col("cid"), d2m(col("sv"), col("cv")).as("pd2m"))
+    // ADC: table lookup per stored code, integer-sum per (probe, vector)
+    val w = Window.partitionBy("probe_id").orderBy(col("adc_micros"), col("vec_id"))
+    codes.join(broadcast(pt), col("s") === col("ps") && col("code") === col("cid"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum("pd2m").as("adc_micros"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select("probe_id", "rn", "vec_id", "adc_micros")
+      .orderBy("probe_id", "rn")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(q47, q48, q49, q50, q63, q66, q75, q88, q97, q102, q111, q112, q124,
-      q125, q126)
+      q125, q126, q127)
 }

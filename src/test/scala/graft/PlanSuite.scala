@@ -282,6 +282,18 @@ class PlanSuite extends SparkTestBase {
       s"q126 expected exactly 2 hash exchanges, found $exchanges:\n$p")
   }
 
+  test("q127 ADC search broadcasts codebook and probe tables") {
+    // The PQ search scale claim: no shuffled join anywhere — codebook and
+    // the 160-row probe tables broadcast; the only wide exchanges are the
+    // two integer aggregations and the per-probe top-k window.
+    val p = plan("q127_pq_adc_topk")
+    assert(p.contains("BroadcastHashJoin"), s"PQ sides not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    val exchanges = "hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3,
+      s"q127 expected <=3 hash exchanges (codes agg, ADC agg, top-k window), found $exchanges:\n$p")
+  }
+
   test("q115 chunking is map-only ahead of the presentation sort") {
     // Chunk generation must be explode + slice on the scan with no
     // wide exchange before the final orderBy/limit — at 100 TB chunking

@@ -355,6 +355,41 @@ class SimilaritySpec extends SparkTestBase {
     rows.foreach(r => assert(r.getAs[Long]("first_vec") <= r.getAs[Long]("code")))
   }
 
+  test("q127 ADC top-k equals an independent driver-side PQ reimplementation") {
+    // Full independent check of the IVF-PQ query math: re-derive codes,
+    // probe tables, and ADC sums in plain Scala over the collected sf0.001
+    // corpus (500×64 — driver-side is fine in a TEST) and compare exact
+    // top-k lists.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def slice(v: Array[Double], s: Int) = v.slice(8 * s, 8 * s + 8)
+    def d2m(a: Array[Double], b: Array[Double]): Long = {
+      // same operation order as the engine's dot-product identity
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0d)((acc, i) => acc + x(i) * y(i))
+      math.max(math.floor((dot(a, a) - 2d * dot(a, b) + dot(b, b)) * 1e6).toLong, 0L)
+    }
+    val codebook = (0 until 8).map(s => (0L until 4L).map(c => slice(emb(c), s)))
+    val codes = emb.map { case (id, v) =>
+      id -> (0 until 8).map { s =>
+        (0L until 4L).map(c => d2m(slice(v, s), codebook(s)(c.toInt)) * 10 + c).min % 10
+      }
+    }
+    val expected = (0L until 5L).flatMap { p =>
+      val table = (0 until 8).map(s =>
+        (0L until 4L).map(c => d2m(slice(emb(p), s), codebook(s)(c.toInt))))
+      codes.collect { case (id, cs) if id != p =>
+        (p, id, (0 until 8).map(s => table(s)(cs(s).toInt)).sum)
+      }.toSeq.sortBy(t => (t._3, t._2)).take(5)
+        .zipWithIndex.map { case ((pp, id, adc), i) => (pp, i + 1L, id, adc) }
+    }.toSet
+    val got = SparkEntry.queries("q127_pq_adc_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("rn").toLong, r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+  }
+
   test("srpBandedPairs bounds degenerate mass-duplicate buckets") {
     // Adversarial input (VERDICT r04 #2): every vector identical → every
     // table collapses to ONE bucket holding the whole corpus, the shape
