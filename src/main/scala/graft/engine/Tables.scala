@@ -75,6 +75,17 @@ object Tables {
     "embeddings" -> Seq("vec_id" -> LongType,
       "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
 
+  /** Epoch-integer → µs, dispatching on magnitude. For any date between
+    * March 1973 and year 5000 the four scales sit in disjoint bands
+    * around 1e9/1e12/1e15/1e18, so the CASE is unambiguous there;
+    * earlier values fall through to the finer-grained interpretation.
+    * Pure integer arithmetic — codegen-friendly, no doubles. */
+  private def epochToMicrosSql(name: String): String =
+    s"""CASE WHEN abs($name) >= ${100000000000000000L}L THEN $name div 1000
+       |     WHEN abs($name) >= ${100000000000000L}L THEN $name
+       |     WHEN abs($name) >= ${100000000000L}L THEN $name * 1000
+       |     ELSE $name * 1000000 END""".stripMargin
+
   /** The adaptation for one drifted column, or None when the physical type
     * is acceptable as-is (exact match, or wider-than-canonical lossless
     * pass-through). Throws on anything it can't make safe. */
@@ -82,12 +93,17 @@ object Tables {
                     actual: DataType, canon: DataType): Option[Column] =
     (actual, canon) match {
       case (a, c) if a == c => None
-      // ns-epoch longs: TIMESTAMP(NANOS) files read under the legacy flag.
-      // `div` (integer division) — see the header note on precision.
+      // Epoch-integer timestamps. The observed case is ns (TIMESTAMP(NANOS)
+      // files read as longs under the legacy flag), but a generator could
+      // equally write µs/ms/s integers — and the four scales occupy
+      // non-overlapping magnitude bands for any date after March 1973
+      // (s ≈ 1e9, ms ≈ 1e12, µs ≈ 1e15, ns ≈ 1e18 — three decades apart
+      // each), so a per-value integer CASE dispatches exactly. `div`
+      // (integer division) — see the header note on precision.
       case (LongType, TimestampType) =>
-        Some(timestamp_micros(expr(s"$name div 1000")))
+        Some(timestamp_micros(expr(epochToMicrosSql(name))))
       case (LongType, TimestampNTZType) =>
-        Some(timestamp_micros(expr(s"$name div 1000")).cast(TimestampNTZType))
+        Some(timestamp_micros(expr(epochToMicrosSql(name))).cast(TimestampNTZType))
       // µs-NTZ vs LTZ: bit-identical under the UTC session timezone.
       case (TimestampNTZType, TimestampType) => Some(col(name).cast(TimestampType))
       case (TimestampType, TimestampNTZType) => Some(col(name).cast(TimestampNTZType))

@@ -34,13 +34,18 @@ class SchemaDriftSpec extends SparkTestBase {
 
   private def fixtureDir(): Path = Files.createTempDirectory("drift_fix")
 
-  test("events.ts loads identically from ns-long, µs-NTZ, and LTZ encodings") {
+  test("events.ts loads identically from s/ms/µs/ns-long, µs-NTZ, and LTZ encodings") {
     val expected = baseEvents.select("event_id", "ts").as[(Long, java.sql.Timestamp)]
       .collect().toMap
 
     val variants: Seq[(String, DataFrame)] = Seq(
       // what the legacy nanosAsLong flag yields for TIMESTAMP(NANOS) files
       "ns-long" -> baseEvents.withColumn("ts", expr("unix_micros(ts) * 1000")),
+      // the other three epoch-integer scales the magnitude dispatch covers
+      // (the fixture has whole-minute timestamps, so every scale is exact)
+      "us-long" -> baseEvents.withColumn("ts", expr("unix_micros(ts)")),
+      "ms-long" -> baseEvents.withColumn("ts", expr("unix_millis(ts)")),
+      "s-long" -> baseEvents.withColumn("ts", expr("unix_seconds(ts)")),
       // what the regenerated driver testdata uses (r05 drift)
       "us-ntz" -> baseEvents.withColumn("ts", col("ts").cast(TimestampNTZType)),
       // plain LTZ — the canonical type itself
