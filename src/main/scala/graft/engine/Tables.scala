@@ -126,6 +126,9 @@ object Tables {
       // the oracle reads the same widened files (both sides stay aligned).
       case (LongType, IntegerType) | (IntegerType, ByteType | ShortType) |
            (DoubleType, FloatType) => None
+      // double-element embedding arrays: every consumer casts the column
+      // to array<double> anyway, so the wider element passes through
+      case (ArrayType(DoubleType, _), ArrayType(FloatType, _)) => None
       case (other, c) => throw new IllegalStateException(
         s"schema drift: $table.$name has unsupported physical type $other " +
           s"(canonical $c) — extend Tables.adapt or fix the input data")

@@ -135,6 +135,21 @@ class SchemaDriftSpec extends SparkTestBase {
     assert(src.schema("doc_id").dataType === LongType)
   }
 
+  test("double-element embedding arrays pass through (consumers cast anyway)") {
+    val dir = fixtureDir()
+    val wide = spark.sql(
+      """SELECT id AS vec_id,
+        |  transform(sequence(1, 4), i -> CAST(id * 10 + i AS DOUBLE)) AS embedding,
+        |  CAST(id % 3 AS INT) AS label FROM range(12)""".stripMargin)
+    writeSingleFile(wide, dir, "embeddings")
+    val loaded = Tables.table(spark, dir.toString, "embeddings")
+    loaded.schema("embedding").dataType match {
+      case ArrayType(DoubleType, _) => ()
+      case other => fail(s"expected array<double> pass-through, got $other")
+    }
+    assert(loaded.count() === 12)
+  }
+
   test("unsupported drift fails loudly with table+column+type") {
     val dir = fixtureDir()
     writeSingleFile(baseEvents.withColumn("ts", col("ts").cast(StringType)),
