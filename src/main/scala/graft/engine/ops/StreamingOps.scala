@@ -28,7 +28,9 @@ object StreamingOps {
     * — and an undersized one caps parallelism at scale. It is therefore a
     * deliberate knob, not an inherited batch setting: sized here for the
     * local bench volume; a 100 TB deployment sets it to O(executor cores)
-    * once at checkpoint creation. */
+    * once at checkpoint creation. r06 re-measurement (StreamProbe, q85
+    * shape at sf0.1, warm): 8 parts 2.7 s, 4 parts 1.9 s, 2 parts 1.8 s
+    * — 4 takes the 2× win without flooring local parallelism. */
   private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
@@ -131,7 +133,7 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("wstart"), col("event_type"), col("n"))
     val target = java.nio.file.Files.createTempDirectory("q42_sink").toString
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val query = stream.writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -176,7 +178,7 @@ object StreamingOps {
     // per batch — at 100 TB the driver never materializes the result; here
     // the single static batch yields exactly one row per user.
     val target = java.nio.file.Files.createTempDirectory("q53_sink").toString
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val query = perUser.toDF("user_id", "n_events", "last_us")
         .writeStream
         .outputMode("update")
@@ -255,7 +257,7 @@ object StreamingOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("wstart"), col("event_type"), col("n"))
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val query = agg.writeStream
         .outputMode("complete")
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -299,7 +301,7 @@ object StreamingOps {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), min(col("profile_n")).as("profile_n"))
     val target = java.nio.file.Files.createTempDirectory("q73_sink").toString + "/out"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val query = enriched.writeStream
         .outputMode("update")
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -445,7 +447,7 @@ object StreamingOps {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
     val target = java.nio.file.Files.createTempDirectory("q85_sink").toString
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val query = sessions.writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -586,7 +588,7 @@ object StreamingOps {
           }
       }
     val target = java.nio.file.Files.createTempDirectory("q104_sink").toString
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val query = deduped.toDF("doc_id", "fingerprint", "n_claims")
         .writeStream
         .outputMode("update")
@@ -624,7 +626,7 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("wstart"), col("event_type"), col("n"))
     val target = java.nio.file.Files.createTempDirectory("q105_sink").toString
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val query = windows.writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
