@@ -832,7 +832,65 @@ object SimilarityOps {
       .orderBy("probe_id", "rn")
   }
 
+  // --- q128: contrastive positives (same-label nearest neighbors) ---------
+  // The missing half of the contrastive-pair family: q111 mines hard
+  // NEGATIVES (nearest different-label), q112 random negatives — a
+  // contrastive dataset also needs each anchor's POSITIVES, its top
+  // same-label neighbors. Identical scale shape to q111 (SRP-banded
+  // candidates, anchor pushdown below the pair dedup, explode
+  // symmetrization, broadcast label joins) with the label predicate
+  // flipped to equality and top-2 per anchor.
+  private val q128 = {
+    val buckets = (0 until 8).map(t =>
+      s"${graft.operators.Similarity.srpBucketSql("e", t, 6, 64)} AS b$t").mkString(", ")
+    val (ranks, orCond) = graft.operators.Similarity.srpCapSql("vec_id", 8, 256)
+    QueryDef(
+      "q128_contrastive_positives",
+      s"""WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |nb AS (SELECT vec_id, label, e, nrm, $buckets FROM n),
+         |nr AS (SELECT *, $ranks FROM nb),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS anchor, b.vec_id AS positive, a.label,
+         |    CAST(ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS DECIMAL(7,4)) AS sim
+         |  FROM nr a JOIN nr b
+         |    ON a.vec_id <> b.vec_id AND a.label = b.label AND ($orCond)
+         |  WHERE a.vec_id % 20 = 0),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor
+         |      ORDER BY sim DESC, positive) AS rn
+         |  FROM pairs WHERE sim >= 0.10)
+         |SELECT anchor, rn, positive, CAST(sim AS DOUBLE) AS sim, label
+         |FROM ranked WHERE rn <= 2
+         |ORDER BY anchor, rn LIMIT 300""".stripMargin) { (s, dir) =>
+      val emb = Tables.table(s, dir, "embeddings")
+      val pairs = graft.operators.Similarity
+        .srpBandedPairs(emb, "vec_id", "embedding",
+          threshold = 0.10, dim = 64, tables = 8, bitsPerTable = 6, bucketCap = 256)
+        // anchor pushdown below the pair dedup — see q111
+        .where(col("doc_a") % 20 === 0 || col("doc_b") % 20 === 0)
+      val sym = pairs.select(explode(array(
+          struct(col("doc_a").as("anchor"), col("doc_b").as("positive"), col("sim")),
+          struct(col("doc_b").as("anchor"), col("doc_a").as("positive"), col("sim")))).as("p"))
+        .select(col("p.anchor").as("anchor"), col("p.positive").as("positive"),
+          col("p.sim").as("sim"))
+        .where(col("anchor") % 20 === 0)
+      val lab = emb.select(col("vec_id"), col("label"))
+      val w = Window.partitionBy("anchor").orderBy(col("sim").desc, col("positive"))
+      sym
+        .join(broadcast(lab.select(col("vec_id").as("anchor"), col("label").as("label"))), "anchor")
+        .join(broadcast(lab.select(col("vec_id").as("positive"), col("label").as("p_label"))), "positive")
+        .where(col("label") === col("p_label"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+        .select(col("anchor"), col("rn"), col("positive"),
+          col("sim").cast("double").as("sim"), col("label"))
+        .orderBy("anchor", "rn").limit(300)
+    }
+  }
+
   def defs: Seq[QueryDef] =
     Seq(q47, q48, q49, q50, q63, q66, q75, q88, q97, q102, q111, q112, q124,
-      q125, q126, q127)
+      q125, q126, q127, q128)
 }

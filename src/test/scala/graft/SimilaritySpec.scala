@@ -390,6 +390,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("q128 contrastive positives: same-label only, ranked, anchor-scoped") {
+    val rows = SparkEntry.queries("q128_contrastive_positives")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (anchor, rn, positive) = (r.getLong(0), r.getAs[Int]("rn"), r.getLong(2))
+      assert(anchor % 20 === 0L)
+      assert(anchor !== positive)
+      assert(labels(anchor) === labels(positive), s"$anchor/$positive labels differ")
+      assert(labels(anchor) === r.getAs[Int]("label"))
+      assert(rn >= 1 && rn <= 2)
+      assert(r.getAs[Double]("sim") >= 0.10)
+    }
+    // per anchor: rn=1's sim >= rn=2's sim
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val byRn = g.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("sim"))
+      assert(byRn.sorted.reverse.sameElements(byRn))
+    }
+  }
+
   test("srpBandedPairs bounds degenerate mass-duplicate buckets") {
     // Adversarial input (VERDICT r04 #2): every vector identical → every
     // table collapses to ONE bucket holding the whole corpus, the shape
