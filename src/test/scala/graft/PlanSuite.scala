@@ -119,12 +119,13 @@ class PlanSuite extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q34/q111 SRP pairwise runs the grouped generator, not a vector self-join") {
+  test("q34/q111/q128 SRP pairwise runs the grouped generator, not a vector self-join") {
     // The r04-end shape: pairs come from the BucketPairDots Generate over
     // the ONE grouped bucket row — if a self-join on (table, bucket)
     // reappears, every candidate pair carries both dim-sized vectors
     // through the shuffle again (the cost this shape removed).
-    Seq("q34_sim_threshold_count", "q111_hard_negatives").foreach { q =>
+    Seq("q34_sim_threshold_count", "q111_hard_negatives",
+        "q128_contrastive_positives").foreach { q =>
       val p = plan(q)
       assert(p.contains("bucketpairdots") || p.contains("BucketPairDots"),
         s"$q lost the grouped pair generator:\n$p")
