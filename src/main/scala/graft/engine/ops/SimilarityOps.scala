@@ -820,14 +820,26 @@ object SimilarityOps {
       .join(broadcast(cb), col("s") === col("cs"))
       .select(col("vec_id").as("probe_id"), col("s").as("ps"),
         col("cid"), d2m(col("sv"), col("cv")).as("pd2m"))
-    // ADC: table lookup per stored code, integer-sum per (probe, vector)
-    val w = Window.partitionBy("probe_id").orderBy(col("adc_micros"), col("vec_id"))
-    codes.join(broadcast(pt), col("s") === col("ps") && col("code") === col("cid"))
+    // ADC: table lookup per stored code, integer-sum per (probe, vector).
+    // Co-locate each vector's 8 code rows first: `codes` comes out hashed
+    // on (vec_id, s), so without this the (probe, vec) partial aggregation
+    // combines almost nothing and the final exchange carries ~8× the
+    // output rows (measured at 2M vectors in StressQuant).
+    val adc = codes.repartition(col("vec_id"))
+      .join(broadcast(pt), col("s") === col("ps") && col("code") === col("cid"))
       .where(col("vec_id") =!= col("probe_id"))
       .groupBy("probe_id", "vec_id")
       .agg(sum("pd2m").as("adc_micros"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= 5)
+    // Per-probe top-k via the bounded-heap TopKPerGroup operator, NOT a
+    // window: with few probes the window repartitions the whole scored
+    // corpus into |probes| partitions and fully SORTS each. StressQuant
+    // at 2M vectors: 36.5 s with the window, 6.0 s with co-location +
+    // heap (O(n log k), no sort materialization). The rn window then
+    // runs over the ≤ probes×k surviving rows — free.
+    val top = graft.plans.TopKPerGroup(adc, Seq("probe_id"),
+      Seq("adc_micros" -> true, "vec_id" -> true), 5)
+    val w = Window.partitionBy("probe_id").orderBy(col("adc_micros"), col("vec_id"))
+    top.withColumn("rn", row_number().over(w))
       .select("probe_id", "rn", "vec_id", "adc_micros")
       .orderBy("probe_id", "rn")
   }

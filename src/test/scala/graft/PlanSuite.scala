@@ -283,16 +283,18 @@ class PlanSuite extends SparkTestBase {
       s"q126 expected exactly 2 hash exchanges, found $exchanges:\n$p")
   }
 
-  test("q127 ADC search broadcasts codebook and probe tables") {
+  test("q127 ADC search broadcasts tables and heaps its per-probe top-k") {
     // The PQ search scale claim: no shuffled join anywhere — codebook and
-    // the 160-row probe tables broadcast; the only wide exchanges are the
-    // two integer aggregations and the per-probe top-k window.
+    // the 160-row probe tables broadcast — and the per-probe top-k runs
+    // the bounded-heap TopKPerGroupExec, never a corpus-wide window sort
+    // (StressQuant at 2M vectors: 36.5 s window vs 6.0 s heap).
     val p = plan("q127_pq_adc_topk")
     assert(p.contains("BroadcastHashJoin"), s"PQ sides not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TopKPerGroup"), s"q127 lost the heap top-k:\n$p")
     val exchanges = "hashpartitioning".r.findAllIn(p).length
-    assert(exchanges <= 3,
-      s"q127 expected <=3 hash exchanges (codes agg, ADC agg, top-k window), found $exchanges:\n$p")
+    assert(exchanges <= 4,
+      s"q127 expected <=4 hash exchanges (codes agg, co-locate, ADC agg, top-k), found $exchanges:\n$p")
   }
 
   test("q115 chunking is map-only ahead of the presentation sort") {
