@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+
+/**
+ * Semantic edge cases for the QualityOps family (q129–q134) over
+ * synthesized fixtures — the oracle parity suite proves cross-engine
+ * equality; these prove the SEMANTICS are the intended ones (funnel
+ * ordering, EWMA weighting, outlier threshold, drift null case,
+ * novelty of exact copies).
+ */
+class QualitySpec extends SparkTestBase {
+
+  private def writeEvents(rows: Seq[(Long, String, Long, String, Double)]): String = {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("quality_fixture")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val data = rows.map { case (id, ts, uid, typ, v) =>
+      Row(id, Timestamp.valueOf(ts), uid, typ, v, """{"k": 1}""")
+    }
+    ParquetFixtures.writeSingleFile(
+      spark.createDataFrame(data.asJava, schema), dir, "events")
+    dir.toString
+  }
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("quality_docs")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    val data = rows.map { case (id, text) =>
+      Row(id, text, "en", "src0", text.length.toLong)
+    }
+    ParquetFixtures.writeSingleFile(
+      spark.createDataFrame(data.asJava, schema), dir, "documents")
+    dir.toString
+  }
+
+  test("q133 funnel counts only correctly-ordered stages within the 24 h window") {
+    // user 1: view → click(+1h) → purchase(+2h)      → all three stages
+    // user 2: purchase → click → view (reversed)      → view stage only
+    // user 3: view → click +30h (outside the window)  → view stage only
+    // user 4: view → click(+1h) → purchase +26h after → view+click only
+    val dir = writeEvents(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-01 01:00:00", 1L, "click", 1.0),
+      (3L, "2024-01-01 02:00:00", 1L, "purchase", 1.0),
+      (4L, "2024-01-01 00:00:00", 2L, "purchase", 1.0),
+      (5L, "2024-01-01 01:00:00", 2L, "click", 1.0),
+      (6L, "2024-01-01 02:00:00", 2L, "view", 1.0),
+      (7L, "2024-01-01 00:00:00", 3L, "view", 1.0),
+      (8L, "2024-01-02 06:00:00", 3L, "click", 1.0),
+      (9L, "2024-01-01 00:00:00", 4L, "view", 1.0),
+      (10L, "2024-01-01 01:00:00", 4L, "click", 1.0),
+      (11L, "2024-01-02 03:00:00", 4L, "purchase", 1.0)))
+    val r = SparkEntry.queries("q133_event_funnel")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_view") === 4L)
+    assert(r.getAs[Long]("n_view_click") === 2L)
+    assert(r.getAs[Long]("n_view_click_purchase") === 1L)
+  }
+
+  test("q131 EWMA weights are exact powers of two over available lags") {
+    val dir = writeEvents(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view", 10.0),
+      (2L, "2024-01-01 01:00:00", 1L, "view", 20.0),
+      (3L, "2024-01-01 02:00:00", 1L, "view", 40.0)))
+    val rows = SparkEntry.queries("q131_ewma_smooth")(spark, dir)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ewma")).toMap
+    assert(rows(1L) === 10.0)                 // 128·10 / 128
+    assert(rows(2L) === 16.666667)            // (128·20 + 64·10) / 192
+    assert(rows(3L) === 30.0)                 // (128·40 + 64·20 + 32·10) / 224
+  }
+
+  test("q129 flags exactly the planted outlier (threshold needs n ≥ 11)") {
+    // 12 values at 10 + one at 1000: score/bound ratio = (n−1)/9 = 12/9 > 1.
+    val base = (1L to 12L).map(i =>
+      (i, f"2024-01-01 ${i}%02d:00:00", i, "view", 10.0))
+    val dir = writeEvents(base :+ (99L, "2024-01-01 23:00:00", 99L, "view", 1000.0))
+    val flagged = SparkEntry.queries("q129_outlier_zscore")(spark, dir)
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    assert(flagged === Set(99L))
+  }
+
+  test("q130 TVD is zero when both halves have identical histograms") {
+    // same values planted at Jan-10 (early) and Jan-20 (late)
+    val vals = Seq(5.0, 55.0, 155.0, 499.0)
+    val rows = vals.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i * 2L, "2024-01-10 00:00:00", 1L, "view", v),
+        (i * 2L + 1L, "2024-01-20 00:00:00", 1L, "view", v))
+    }
+    val dir = writeEvents(rows)
+    val r = SparkEntry.queries("q130_drift_tvd")(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Double]("tvd") === 0.0)
+  }
+
+  test("q132 novelty: originals score 1.0, an exact copy scores 0.0") {
+    val dir = writeDocs(Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta"),      // exact copy of doc 0
+      (2L, "omega psi chi phi")))          // disjoint grams
+    val rows = SparkEntry.queries("q132_ngram_novelty")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("novelty")).toMap
+    assert(rows(0L) === 1.0)
+    assert(rows(1L) === 0.0)
+    assert(rows(2L) === 1.0)
+  }
+
+  test("q134 winsorized mean is between p05 and p95 and clips both tails") {
+    val r = SparkEntry.queries("q134_winsorize")(spark, sfDir).collect()
+    assert(r.length === 5)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_low") > 0L)
+      assert(row.getAs[Long]("n_high") > 0L)
+      val m = row.getAs[Double]("mean_winsor")
+      assert(m > 0.0 && m < 500.0)
+    }
+  }
+}
