@@ -297,5 +297,32 @@ object QualityOps {
       .orderBy("event_type")
   }
 
-  def defs: Seq[QueryDef] = Seq(q129, q130, q131, q132, q133, q134)
+  // --- q135: cohort retention matrix ---------------------------------------
+  // Users grouped by their FIRST active day (the cohort anchor); each cell
+  // counts how many of a cohort were active again `day_offset` days later —
+  // the retention curve every product/engagement dashboard draws. Same
+  // scale spine as q133: the distinct (user, day) set, the min-day cohort
+  // agg, and the join are ALL keyed on user_id (co-partitioned on a real
+  // cluster); the final matrix agg is |cohorts × offsets| — tiny.
+  private val q135 = QueryDef(
+    "q135_cohort_retention",
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+      |coh AS (SELECT user_id, MIN(d) AS cohort_d FROM uw GROUP BY user_id)
+      |SELECT coh.cohort_d, CAST(date_diff('day', coh.cohort_d, uw.d) AS INT) AS day_offset,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM uw JOIN coh USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val uw = Tables.table(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val coh = uw.groupBy("user_id").agg(min(col("d")).as("cohort_d"))
+    uw.join(coh, Seq("user_id"))
+      .groupBy(col("cohort_d"),
+        datediff(col("d"), col("cohort_d")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_d", "day_offset")
+  }
+
+  def defs: Seq[QueryDef] = Seq(q129, q130, q131, q132, q133, q134, q135)
 }

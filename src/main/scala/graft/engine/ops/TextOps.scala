@@ -440,6 +440,62 @@ object TextOps {
       .orderBy(col("n").desc, col("pair")).limit(20)
   }
 
+  // --- q136: token co-occurrence lift --------------------------------------
+  // Association mining over the corpus: for the 100 most frequent tokens,
+  // the pairwise lift n_ab·N / (n_a·n_b) — the rational-arithmetic stand-in
+  // for PMI (no ln, so the decimal chain is exact cross-engine). Scale
+  // discipline: the pair self-join happens ONLY inside the top-100
+  // vocabulary (a broadcast semi-join prunes the postings first), so the
+  // pair space is ≤ C(100,2) keys regardless of corpus size, and per-doc
+  // pair fanout is bounded by tokens-per-doc². All integer products stay
+  // under 1e10 ≪ int64.
+  private val q136 = QueryDef(
+    "q136_token_lift",
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents),
+      |freq AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+      |top AS (SELECT t, n FROM freq ORDER BY n DESC, t LIMIT 100),
+      |pairs AS (
+      |  SELECT a.t AS ta, b.t AS tb, COUNT(*) AS n_ab
+      |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t
+      |  WHERE a.t IN (SELECT t FROM top) AND b.t IN (SELECT t FROM top)
+      |  GROUP BY a.t, b.t),
+      |nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT p.ta, p.tb, CAST(p.n_ab AS BIGINT) AS n_ab,
+      |  CAST(CAST(CAST(p.n_ab * nd.n_docs AS DECIMAL(18,6)) / (fa.n * fb.n) AS DECIMAL(38,6)) AS DOUBLE) AS lift
+      |FROM pairs p JOIN top fa ON p.ta = fa.t JOIN top fb ON p.tb = fb.t, nd
+      |ORDER BY n_ab DESC, ta, tb LIMIT 100""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.table(s, dir, "documents")
+    val tok = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+    // Bounded collect-for-broadcast (the BloomFilter precedent): the top-100
+    // vocabulary is ≤ 100 rows BY CONSTRUCTION, and materializing it once
+    // means the corpus-wide frequency agg runs ONE scan instead of being
+    // re-executed for the semi-join and both lift joins (Spark does not
+    // reuse broadcast exchanges across different projections of a subplan).
+    val topRows = tok.groupBy("t").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t")).limit(100)
+      .as[(String, Long)].collect().toSeq
+    val top = topRows.toDF("t", "n")
+    val pruned = tok.join(broadcast(top.select("t")), Seq("t"), "left_semi")
+    val pairs = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("ta"), col("b.t").as("tb"))
+      .agg(count(lit(1)).as("n_ab"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    pairs
+      .join(broadcast(top.select(col("t").as("ta"), col("n").as("na"))), Seq("ta"))
+      .join(broadcast(top.select(col("t").as("tb"), col("n").as("nb"))), Seq("tb"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("ta"), col("tb"), col("n_ab"),
+        ((col("n_ab") * col("n_docs")).cast("decimal(18,6)") /
+          (col("na") * col("nb"))).cast("decimal(38,6)")
+          .cast("double").as("lift"))
+      .orderBy(col("n_ab").desc, col("ta"), col("tb")).limit(100)
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(q43, q44, q45, q46, q78, q79, q100, q114, q118, q119, q120)
+    Seq(q43, q44, q45, q46, q78, q79, q100, q114, q118, q119, q120, q136)
 }
