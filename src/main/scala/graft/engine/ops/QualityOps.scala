@@ -61,14 +61,33 @@ object QualityOps {
         (dev * dev).cast("decimal(25,12)").as("dev2"), col("n"))
     val v = d.groupBy("event_type")
       .agg(sum(col("dev2")).cast("decimal(28,12)").as("var_sum"))
-    val score = (col("dev2") * col("n").cast("decimal(7,0)")).cast("decimal(38,12)")
+    // Per-group stats in ONE broadcast, with double shadows of mean/bound
+    // for the sieve below.
+    val stats = m.join(v, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("mean"), col("var_sum"),
+        col("mean").cast("double").as("mean_d"),
+        col("var_sum").cast("double").as("var_sum_d"))
+    val devX = (vDec - col("mean")).cast("decimal(12,6)")
+    val dev2X = (devX * devX).cast("decimal(25,12)")
+    val score = (dev2X * col("n").cast("decimal(7,0)")).cast("decimal(38,12)")
     val bound = (lit(9) * col("var_sum")).cast("decimal(30,12)")
+    // Sieve-then-exact (StressQuality finding, r06-late): the exact
+    // DECIMAL(38,12) predicate costs ~3 BigDecimal multiplies PER ROW
+    // (215 s CPU over 10M rows — Spark decimals wider than 18 digits
+    // leave the compact-Long fast path). A codegen double pre-filter with
+    // a 1% conservative margin keeps every row the exact predicate could
+    // keep (double relative error ≤ 1e-13 and the 6dp value quantization
+    // ≤ 1e-4 relative here — both ≪ 1%), so the exact decimal test runs
+    // on the tiny candidate set only and the RESULT is bit-identical.
+    val sieve = pow(col("value") - col("mean_d"), 2) * col("n") >
+      lit(8.91) * col("var_sum_d")
     // The 12-scale decimals stay exact for the FILTER; the displayed
     // score/bound are ROUND(·,6)-ed then narrowed before the double cast:
     // a 19-significant-digit DECIMAL(38,12)→DOUBLE cast double-rounds
     // differently across engines, and DuckDB's decimal DOWNSCALE cast
     // truncates where Spark's rounds — explicit ROUND agrees in both.
-    d.join(broadcast(v), Seq("event_type"))
+    events.join(broadcast(stats), Seq("event_type"))
+      .where(sieve)
       .where(score > bound)
       .select(col("event_id"), col("event_type"), col("value"),
         round(score, 6).cast("decimal(24,6)").cast("double").as("score"),
