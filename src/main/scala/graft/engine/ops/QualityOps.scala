@@ -51,10 +51,16 @@ object QualityOps {
       |ORDER BY event_id LIMIT 500""".stripMargin) { (s, dir) =>
     val events = Tables.table(s, dir, "events")
     val vDec = col("value").cast("decimal(18,6)")
-    val m = events.groupBy("event_type")
+    val mAgg = events.groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         (sum(vDec).cast("decimal(18,6)") / count(lit(1)))
           .cast("decimal(38,6)").as("mean"))
+    // Bounded collect-for-broadcast: the per-type stats are ≤ |event_type|
+    // rows (an enum — 5 values). Materializing pass 1 once means its
+    // corpus scan is not re-executed by BOTH consumers below (the var pass
+    // and the stats join) — the plan goes 4 scans → the textbook 3.
+    val m = s.createDataFrame(
+      java.util.Arrays.asList(mAgg.collect(): _*), mAgg.schema)
     val dev = (vDec - col("mean")).cast("decimal(12,6)")
     val d = events.join(broadcast(m), Seq("event_type"))
       .select(col("event_id"), col("event_type"), col("value"),
@@ -253,23 +259,30 @@ object QualityOps {
       |  CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_view_click_purchase,
       |  CAST(CAST(CAST((SELECT COUNT(*) FROM c) AS DECIMAL(18,6)) / (SELECT COUNT(*) FROM v) AS DECIMAL(38,6)) AS DOUBLE) AS conv_click,
       |  CAST(CAST(CAST((SELECT COUNT(*) FROM p) AS DECIMAL(18,6)) / (SELECT COUNT(*) FROM c) AS DECIMAL(38,6)) AS DOUBLE) AS conv_purchase""".stripMargin) { (s, dir) =>
+    // LEFT-JOIN CHAIN, each stage computed ONCE: the naive formulation
+    // (separate v/c/p sets, then three COUNT subqueries) re-executes the
+    // view aggregate up to 4× and the click stage 2× — at corpus scale
+    // that's 6 scans for a 3-stage funnel. Here each filtered scan runs
+    // once; users that miss a stage carry NULL forward, and the single
+    // final aggregate counts non-nulls per stage.
     val events = Tables.table(s, dir, "events")
-    val v = events.where(col("event_type") === "view")
+    val u1 = events.where(col("event_type") === "view")
       .groupBy("user_id").agg(min(col("ts")).as("t1"))
-    val c = events.where(col("event_type") === "click").as("e")
-      .join(v, Seq("user_id"))
-      .where(col("ts") > col("t1") &&
-        col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
-      .groupBy("user_id").agg(min(col("ts")).as("t2"))
-    val p = events.where(col("event_type") === "purchase").as("e")
-      .join(c, Seq("user_id"))
-      .where(col("ts") > col("t2") &&
-        col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
-      .groupBy("user_id").agg(min(col("ts")).as("t3"))
-    val nv = v.agg(count(lit(1)).as("n_view"))
-    val nc = c.agg(count(lit(1)).as("n_view_click"))
-    val np = p.agg(count(lit(1)).as("n_view_click_purchase"))
-    nv.crossJoin(nc).crossJoin(np)
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("cts"))
+    val u2 = u1.join(clicks,
+        col("user_id") === col("c_user") && col("cts") > col("t1") &&
+          col("cts") <= col("t1") + expr("INTERVAL 24 HOURS"), "left")
+      .groupBy("user_id", "t1").agg(min(col("cts")).as("t2"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"))
+    val u3 = u2.join(purchases,
+        col("user_id") === col("p_user") && col("pts") > col("t2") &&
+          col("pts") <= col("t2") + expr("INTERVAL 24 HOURS"), "left")
+      .groupBy("user_id", "t1", "t2").agg(min(col("pts")).as("t3"))
+    u3.agg(count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_view_click"),
+        count(col("t3")).as("n_view_click_purchase"))
       .select(col("n_view"), col("n_view_click"), col("n_view_click_purchase"),
         (col("n_view_click").cast("decimal(18,6)") / col("n_view"))
           .cast("decimal(38,6)").cast("double").as("conv_click"),
@@ -332,11 +345,15 @@ object QualityOps {
       |  CAST(COUNT(*) AS BIGINT) AS n_users
       |FROM uw JOIN coh USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    // cohort anchor via an UNORDERED window over the distinct set instead
+    // of a second events scan + self-join: one corpus scan total, and the
+    // min() needs no Sort (unbounded frame), just the user_id exchange the
+    // distinct already produced.
     val uw = Tables.table(s, dir, "events")
       .select(col("user_id"), to_date(col("ts")).as("d"))
       .distinct()
-    val coh = uw.groupBy("user_id").agg(min(col("d")).as("cohort_d"))
-    uw.join(coh, Seq("user_id"))
+    val w = Window.partitionBy("user_id")
+    uw.withColumn("cohort_d", min(col("d")).over(w))
       .groupBy(col("cohort_d"),
         datediff(col("d"), col("cohort_d")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))

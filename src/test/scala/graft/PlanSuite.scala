@@ -394,4 +394,46 @@ class PlanSuite extends SparkTestBase {
     Seq("cbo_big", "cbo_med", "cbo_small").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("q129 outlier pass structure: 2 in-plan scans, broadcast-only joins") {
+    // Pass 1 (the per-type means) is collected eagerly (≤ 5 rows — the
+    // event_type enum) so the var pass and the stats join don't each
+    // re-execute it: the REMAINING plan holds exactly the var-pass scan
+    // and the final filtered scan, and every join is a broadcast.
+    val p = plan("q129_outlier_zscore")
+    assert("(\\d+)\\) Scan parquet".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q131 EWMA fuses all 8 lag taps into one window pass") {
+    val p = plan("q131_ewma_smooth")
+    assert("(\\d+)\\) Window".r.findAllIn(p).size == 1, p)
+    assert("(\\d+)\\) Exchange".r.findAllIn(p).size == 1, p)
+    assert("(\\d+)\\) Sort".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q133 funnel left-join chain scans each stage exactly once") {
+    // The naive three-subquery funnel re-executes the view aggregate up
+    // to 4× — the chain form must keep exactly one scan per stage.
+    val p = plan("q133_event_funnel")
+    assert("(\\d+)\\) Scan parquet".r.findAllIn(p).size == 3, p)
+  }
+
+  test("q135 cohort retention is a single corpus scan (window, not self-join)") {
+    val p = plan("q135_cohort_retention")
+    assert("(\\d+)\\) Scan parquet".r.findAllIn(p).size == 1, p)
+    assert("(\\d+)\\) Window".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q136 token lift: the collected vocab is LocalTableScan, lift joins broadcast") {
+    // the top-100 vocabulary must arrive as literal rows (one corpus
+    // frequency scan, executed once), never as a re-executed aggregate
+    // subtree inside the semi/lift joins
+    val p = plan("q136_token_lift")
+    assert(p.contains("LocalTableScan"), p)
+    assert("(\\d+)\\) Scan parquet".r.findAllIn(p).size == 3, p)
+    assert("(\\d+)\\) BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
