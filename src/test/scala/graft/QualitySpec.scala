@@ -119,6 +119,68 @@ class QualitySpec extends SparkTestBase {
     assert(rows(2L) === 1.0)
   }
 
+  test("q131 EWMA equals an independent driver-side reimplementation on random fixtures") {
+    // The oracle proves Spark ≡ DuckDB; this proves both ≡ the intended
+    // math (the q127 pattern: an engine-free reimplementation guards
+    // against BOTH engines sharing a misreading of the definition).
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, f"2024-01-${1 + rnd.nextInt(28)}%02d ${rnd.nextInt(24)}%02d:00:00",
+        (i % 7).toLong, "view", math.rint(rnd.nextDouble() * 50000) / 100.0)
+    }
+    val dir = writeEvents(rows)
+    val got = SparkEntry.queries("q131_ewma_smooth")(spark, dir)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ewma")).toMap
+    // independent: per user sort by (ts, event_id), truncated EWMA with
+    // integer 2^(7-k) weights over available lags, 6dp half-up rounding
+    val byUser = rows.groupBy(_._3).view.mapValues(_.sortBy(r => (r._2, r._1)))
+    val expected = byUser.values.flatten.map { r =>
+      val seq = byUser(r._3)
+      val i = seq.indexOf(r)
+      val taps = (0 to 7).flatMap { k =>
+        if (i - k >= 0) Some((BigDecimal(seq(i - k)._5).setScale(6), 1L << (7 - k)))
+        else None
+      }
+      val num = taps.map { case (v, w) => v * w }.sum
+      val den = taps.map(_._2).sum
+      val ewma = (num / den).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      r._1 -> ewma.toDouble
+    }.toMap
+    assert(got.size === expected.size)
+    got.foreach { case (id, v) => assert(v === expected(id), s"event $id") }
+  }
+
+  test("q133 funnel equals an independent driver-side simulator on random fixtures") {
+    val rnd = new scala.util.Random(7)
+    val types = Vector("view", "click", "purchase", "signup", "error")
+    val rows = (0 until 400).map { i =>
+      (i.toLong,
+        f"2024-01-${1 + rnd.nextInt(28)}%02d ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00",
+        rnd.nextInt(40).toLong, types(rnd.nextInt(types.size)), 1.0)
+    }
+    val dir = writeEvents(rows)
+    val r = SparkEntry.queries("q133_event_funnel")(spark, dir).collect()(0)
+    // independent simulator: stage k+1 anchors on stage k's min ts,
+    // within 24 h, strictly after
+    val dayMs = 24L * 3600 * 1000
+    def ts(s: String) = Timestamp.valueOf(s).getTime
+    val byUser = rows.groupBy(_._3)
+    val t1 = byUser.flatMap { case (u, es) =>
+      es.filter(_._4 == "view").map(e => ts(e._2)).minOption.map(u -> _)
+    }
+    val t2 = t1.flatMap { case (u, a) =>
+      byUser(u).filter(e => e._4 == "click" && ts(e._2) > a && ts(e._2) <= a + dayMs)
+        .map(e => ts(e._2)).minOption.map(u -> _)
+    }
+    val t3 = t2.flatMap { case (u, a) =>
+      byUser(u).filter(e => e._4 == "purchase" && ts(e._2) > a && ts(e._2) <= a + dayMs)
+        .map(e => ts(e._2)).minOption.map(u -> _)
+    }
+    assert(r.getAs[Long]("n_view") === t1.size.toLong)
+    assert(r.getAs[Long]("n_view_click") === t2.size.toLong)
+    assert(r.getAs[Long]("n_view_click_purchase") === t3.size.toLong)
+  }
+
   test("q134 winsorized mean is between p05 and p95 and clips both tails") {
     val r = SparkEntry.queries("q134_winsorize")(spark, sfDir).collect()
     assert(r.length === 5)
