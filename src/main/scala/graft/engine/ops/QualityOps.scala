@@ -1,35 +1,38 @@
 package graft.engine.ops
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.engine.{QueryDef, Tables}
+import graft.operators.Quality
 
 /**
  * Data-quality / observability surface (round 6): the monitoring shapes a
  * production ingest pipeline runs beside its analytics — outlier detection,
  * distribution-drift scoring between time windows, EWMA smoothing,
- * corpus novelty, funnel conversion, and robust (winsorized) statistics.
+ * corpus novelty, funnel conversion, robust (winsorized) statistics, and
+ * cohort retention.
  *
- * Cross-engine exactness discipline (SURVEY §2 determinism contract): all
- * fractional math is DECIMAL with explicit widths (the q44 ratio pattern);
- * variance comparisons are integer-scaled (multiply through by n instead of
- * dividing — no sqrt, no float reduction order); EWMA weights are exact
- * powers of two so the weighted sum is a pure decimal dot product.
+ * The generic operators live in [[graft.operators.Quality]] (usable on any
+ * DataFrame); each query here binds one onto the events/documents tables
+ * and adds the deterministic presentation (aliases, total-order sort,
+ * LIMIT). Cross-engine exactness discipline (SURVEY §2 determinism
+ * contract): all fractional math is DECIMAL with explicit widths (the q44
+ * ratio pattern); decision predicates are rational (multiplied through by
+ * counts — no sqrt/ln/float-reduction picks rows); wide-decimal predicates
+ * run sieve-then-exact (see SCALING.md §Data-quality monitors).
  */
 object QualityOps {
 
   // --- q129: outlier detection (z-score shape, rational arithmetic) -------
   // Flags events whose squared deviation exceeds 9× the population variance
   // of their event_type (|z| > 3) WITHOUT ever computing a float stddev:
-  // pass 1 = decimal mean per type; pass 2 = decimal Σ(v−mean)² per type;
-  // the flag compares dev²·n > 9·Σdev² — multiply through by n so no
-  // division (and no engine-specific sqrt/rounding) touches the decision.
-  // Scale: two map-side-combined aggregations over events + a 5-row
-  // broadcast join back; nothing pairwise, the monitor is one scan per pass
-  // at any corpus size. Decimal widths carry |v| ≤ 1e6 and n ≤ 1e7 rows per
-  // group exactly; beyond that widen (25,12)→(30,12) — documented, not
-  // silent overflow (both engines raise on decimal overflow).
+  // the flag compares dev²·n > 9·Σdev². Two map-side-combined aggregation
+  // passes + broadcast joins; pass 1 (the ≤5-row event_type enum stats) is
+  // collected once so neither consumer re-executes it (3 scans total,
+  // PlanSuite-pinned). Displayed score/bound are ROUND(·,6)-ed then
+  // narrowed before the double cast: a 19-significant-digit
+  // DECIMAL(38,12)→DOUBLE cast double-rounds differently across engines,
+  // and DuckDB's decimal DOWNSCALE cast truncates where Spark's rounds.
   private val q129 = QueryDef(
     "q129_outlier_zscore",
     """WITH m AS (
@@ -49,55 +52,10 @@ object QualityOps {
       |FROM d JOIN v USING (event_type)
       |WHERE CAST(d.dev2 * CAST(d.n AS DECIMAL(7,0)) AS DECIMAL(38,12)) > CAST(9 * v.var_sum AS DECIMAL(30,12))
       |ORDER BY event_id LIMIT 500""".stripMargin) { (s, dir) =>
-    val events = Tables.table(s, dir, "events")
-    val vDec = col("value").cast("decimal(18,6)")
-    val mAgg = events.groupBy("event_type")
-      .agg(count(lit(1)).as("n"),
-        (sum(vDec).cast("decimal(18,6)") / count(lit(1)))
-          .cast("decimal(38,6)").as("mean"))
-    // Bounded collect-for-broadcast: the per-type stats are ≤ |event_type|
-    // rows (an enum — 5 values). Materializing pass 1 once means its
-    // corpus scan is not re-executed by BOTH consumers below (the var pass
-    // and the stats join) — the plan goes 4 scans → the textbook 3.
-    val m = s.createDataFrame(
-      java.util.Arrays.asList(mAgg.collect(): _*), mAgg.schema)
-    val dev = (vDec - col("mean")).cast("decimal(12,6)")
-    val d = events.join(broadcast(m), Seq("event_type"))
+    Quality.outliers(s, Tables.table(s, dir, "events"), "event_type", "value", z = 3)
       .select(col("event_id"), col("event_type"), col("value"),
-        (dev * dev).cast("decimal(25,12)").as("dev2"), col("n"))
-    val v = d.groupBy("event_type")
-      .agg(sum(col("dev2")).cast("decimal(28,12)").as("var_sum"))
-    // Per-group stats in ONE broadcast, with double shadows of mean/bound
-    // for the sieve below.
-    val stats = m.join(v, Seq("event_type"))
-      .select(col("event_type"), col("n"), col("mean"), col("var_sum"),
-        col("mean").cast("double").as("mean_d"),
-        col("var_sum").cast("double").as("var_sum_d"))
-    val devX = (vDec - col("mean")).cast("decimal(12,6)")
-    val dev2X = (devX * devX).cast("decimal(25,12)")
-    val score = (dev2X * col("n").cast("decimal(7,0)")).cast("decimal(38,12)")
-    val bound = (lit(9) * col("var_sum")).cast("decimal(30,12)")
-    // Sieve-then-exact (StressQuality finding, r06-late): the exact
-    // DECIMAL(38,12) predicate costs ~3 BigDecimal multiplies PER ROW
-    // (215 s CPU over 10M rows — Spark decimals wider than 18 digits
-    // leave the compact-Long fast path). A codegen double pre-filter with
-    // a 1% conservative margin keeps every row the exact predicate could
-    // keep (double relative error ≤ 1e-13 and the 6dp value quantization
-    // ≤ 1e-4 relative here — both ≪ 1%), so the exact decimal test runs
-    // on the tiny candidate set only and the RESULT is bit-identical.
-    val sieve = pow(col("value") - col("mean_d"), 2) * col("n") >
-      lit(8.91) * col("var_sum_d")
-    // The 12-scale decimals stay exact for the FILTER; the displayed
-    // score/bound are ROUND(·,6)-ed then narrowed before the double cast:
-    // a 19-significant-digit DECIMAL(38,12)→DOUBLE cast double-rounds
-    // differently across engines, and DuckDB's decimal DOWNSCALE cast
-    // truncates where Spark's rounds — explicit ROUND agrees in both.
-    events.join(broadcast(stats), Seq("event_type"))
-      .where(sieve)
-      .where(score > bound)
-      .select(col("event_id"), col("event_type"), col("value"),
-        round(score, 6).cast("decimal(24,6)").cast("double").as("score"),
-        round(bound, 6).cast("decimal(24,6)").cast("double").as("bound"))
+        round(col("score"), 6).cast("decimal(24,6)").cast("double").as("score"),
+        round(col("bound"), 6).cast("decimal(24,6)").cast("double").as("bound"))
       .orderBy("event_id").limit(500)
   }
 
@@ -107,9 +65,7 @@ object QualityOps {
   // ingest pipeline alarms on. TVD = ½ Σ_bins |p1 − p2| is fully rational
   // (unlike KL/PSI's ln) so the decimal chain is exact cross-engine.
   // Scale: ONE scan → ≤ (types × 10 bins) rows; the window totals run over
-  // that tiny aggregate, not the raw data. Bin boundaries are fixed-width
-  // (value/50 clamped to 0..9) — content-independent, so the same query
-  // compares any two ingest batches.
+  // that tiny aggregate, not the raw data.
   private val q130 = QueryDef(
     "q130_drift_tvd",
     """WITH b AS (
@@ -131,35 +87,18 @@ object QualityOps {
       |  CAST(CAST(CAST(SUM(ABS(CAST(CAST(CAST(n1 AS DECIMAL(18,6)) / tot1 AS DECIMAL(38,6))
       |        - CAST(CAST(n2 AS DECIMAL(18,6)) / tot2 AS DECIMAL(38,6)) AS DECIMAL(38,6)))) AS DECIMAL(18,6)) / 2 AS DECIMAL(38,6)) AS DOUBLE) AS tvd
       |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
-    val events = Tables.table(s, dir, "events")
-    val binned = events.select(col("event_type"),
-      least(lit(9), floor(col("value") / 50.0).cast("int")).as("bin"),
-      when(col("ts") < lit("2024-01-16").cast("timestamp"), 1).otherwise(0).as("early"))
-    val counts = binned.groupBy("event_type", "bin")
-      .agg(sum(col("early")).as("n1"), sum(lit(1) - col("early")).as("n2"))
-    val w = Window.partitionBy("event_type")
-    val withTot = counts
-      .withColumn("tot1", sum(col("n1")).over(w))
-      .withColumn("tot2", sum(col("n2")).over(w))
-    def ratio(n: String, tot: String) =
-      (col(n).cast("decimal(18,6)") / col(tot)).cast("decimal(38,6)")
-    withTot.groupBy("event_type")
-      .agg(max(col("tot1")).as("tot1"), max(col("tot2")).as("tot2"),
-        (sum(abs((ratio("n1", "tot1") - ratio("n2", "tot2")).cast("decimal(38,6)")))
-          .cast("decimal(18,6)") / lit(2)).cast("decimal(38,6)")
-          .cast("double").as("tvd"))
+    Quality.tvdDrift(Tables.table(s, dir, "events"), "event_type", "value",
+        col("ts") < lit("2024-01-16").cast("timestamp"),
+        binWidth = 50.0, nBins = 10)
       .orderBy("event_type")
   }
 
   // --- q131: EWMA smoothing (exact power-of-two weights) ------------------
   // Per-user exponentially-weighted moving average (α = ½, 8 taps) over the
-  // event stream — the time-series smoother dashboards chart. The classic
-  // recursive EWMA can't be cross-engine exact (float accumulation order);
-  // this truncated form makes the weighted sum a DECIMAL dot product with
-  // INTEGER weights 2^(7−k), so the result is bit-identical in any engine.
-  // Catalyst fuses all 8 lag() calls over the same window spec into ONE
-  // WindowExec — a single partition-by-user sort pass, no self-joins.
-  // Scale: one shuffle on user_id; state per row is 8 small decimals.
+  // event stream. The classic recursive EWMA can't be cross-engine exact
+  // (float accumulation order); the truncated form is a DECIMAL dot product
+  // with INTEGER weights 2^(7−k) — bit-identical in any engine, and all 8
+  // lag() taps fuse into ONE WindowExec (PlanSuite-pinned).
   private val ewmaLagsSql = (0 to 7).map(k =>
     s"COALESCE(CAST(lag(v, $k) OVER w * ${1 << (7 - k)} AS DECIMAL(22,6)), CAST(0 AS DECIMAL(22,6)))")
     .mkString(" + ")
@@ -178,22 +117,8 @@ object QualityOps {
        |SELECT user_id, event_id,
        |  CAST(CAST(num / den AS DECIMAL(38,6)) AS DOUBLE) AS ewma
        |FROM e ORDER BY user_id, ts, event_id LIMIT 1000""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val base = Tables.table(s, dir, "events")
-      .where(col("user_id") < 30)
-      .select(col("user_id"), col("event_id"), col("ts"),
-        col("value").cast("decimal(18,6)").as("v"))
-    val num = (0 to 7).map { k =>
-      coalesce((lag(col("v"), k).over(w) * lit(1 << (7 - k)))
-        .cast("decimal(22,6)"), lit(0).cast("decimal(22,6)"))
-    }.reduce(_ + _).cast("decimal(18,6)")
-    val den = (0 to 7).map { k =>
-      when(lag(col("v"), k).over(w).isNull, 0).otherwise(1 << (7 - k))
-    }.reduce(_ + _)
-    base.select(col("user_id"), col("event_id"), col("ts"),
-      num.as("num"), den.as("den"))
-      .select(col("user_id"), col("event_id"), col("ts"),
-        (col("num") / col("den")).cast("decimal(38,6)").cast("double").as("ewma"))
+    Quality.ewma(Tables.table(s, dir, "events").where(col("user_id") < 30),
+        "user_id", "ts", "event_id", "value", taps = 8)
       .orderBy("user_id", "ts", "event_id")
       .select("user_id", "event_id", "ewma")
       .limit(1000)
@@ -241,11 +166,10 @@ object QualityOps {
 
   // --- q133: ordered funnel conversion -------------------------------------
   // view → click (≤24 h later) → purchase (≤24 h after that click): the
-  // product-analytics staple. Stage k+1's anchor is stage k's MIN(ts), so
-  // the pipeline is (agg on user) → (join on user) → (agg on user) chained —
-  // every shuffle is on the SAME key (user_id), so a real cluster
-  // co-partitions all three stages; no window over raw events, no
-  // sequence-explode. Output is the one-row conversion summary.
+  // product-analytics staple, as Quality.funnel's LEFT-JOIN CHAIN — each
+  // stage's filtered scan runs exactly once (PlanSuite pins 3 scans), every
+  // join/agg is keyed on user_id (co-partitioned on a cluster), and the
+  // single final aggregate counts non-nulls per stage.
   private val q133 = QueryDef(
     "q133_event_funnel",
     """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
@@ -259,28 +183,9 @@ object QualityOps {
       |  CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_view_click_purchase,
       |  CAST(CAST(CAST((SELECT COUNT(*) FROM c) AS DECIMAL(18,6)) / (SELECT COUNT(*) FROM v) AS DECIMAL(38,6)) AS DOUBLE) AS conv_click,
       |  CAST(CAST(CAST((SELECT COUNT(*) FROM p) AS DECIMAL(18,6)) / (SELECT COUNT(*) FROM c) AS DECIMAL(38,6)) AS DOUBLE) AS conv_purchase""".stripMargin) { (s, dir) =>
-    // LEFT-JOIN CHAIN, each stage computed ONCE: the naive formulation
-    // (separate v/c/p sets, then three COUNT subqueries) re-executes the
-    // view aggregate up to 4× and the click stage 2× — at corpus scale
-    // that's 6 scans for a 3-stage funnel. Here each filtered scan runs
-    // once; users that miss a stage carry NULL forward, and the single
-    // final aggregate counts non-nulls per stage.
-    val events = Tables.table(s, dir, "events")
-    val u1 = events.where(col("event_type") === "view")
-      .groupBy("user_id").agg(min(col("ts")).as("t1"))
-    val clicks = events.where(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("cts"))
-    val u2 = u1.join(clicks,
-        col("user_id") === col("c_user") && col("cts") > col("t1") &&
-          col("cts") <= col("t1") + expr("INTERVAL 24 HOURS"), "left")
-      .groupBy("user_id", "t1").agg(min(col("cts")).as("t2"))
-    val purchases = events.where(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("pts"))
-    val u3 = u2.join(purchases,
-        col("user_id") === col("p_user") && col("pts") > col("t2") &&
-          col("pts") <= col("t2") + expr("INTERVAL 24 HOURS"), "left")
-      .groupBy("user_id", "t1", "t2").agg(min(col("pts")).as("t3"))
-    u3.agg(count(col("t1")).as("n_view"),
+    Quality.funnel(Tables.table(s, dir, "events"), "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"), windowHours = 24)
+      .agg(count(col("t1")).as("n_view"),
         count(col("t2")).as("n_view_click"),
         count(col("t3")).as("n_view_click_purchase"))
       .select(col("n_view"), col("n_view_click"), col("n_view_click_purchase"),
@@ -294,9 +199,7 @@ object QualityOps {
   // Per event_type: clamp values into [p05, p95] (exact percentiles, q58's
   // round-to-2dp parity recipe) and report clip counts + the winsorized
   // mean — the robust-stats guard that keeps q129-style monitors from being
-  // dominated by the tail they're hunting. Scale: percentile is the one
-  // sort-based aggregate (per-group sort, q58's cost model); the clamp pass
-  // is a 5-row broadcast join + one map-side-combined aggregation.
+  // dominated by the tail they're hunting.
   private val q134 = QueryDef(
     "q134_winsorize",
     """WITH q AS (
@@ -311,31 +214,17 @@ object QualityOps {
       |  CAST(CAST(CAST(SUM(CAST(LEAST(GREATEST(CAST(e.value AS DECIMAL(18,6)), CAST(q.p05 AS DECIMAL(18,6))), CAST(q.p95 AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DECIMAL(18,6)) / COUNT(*) AS DECIMAL(38,6)) AS DOUBLE) AS mean_winsor
       |FROM events e JOIN q USING (event_type)
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin) { (s, dir) =>
-    val events = Tables.table(s, dir, "events")
-    val q = events.groupBy("event_type")
-      .agg(
-        round(expr("percentile(value, 0.05)"), 2).cast("decimal(18,2)").as("p05"),
-        round(expr("percentile(value, 0.95)"), 2).cast("decimal(18,2)").as("p95"))
-    val clamped = least(greatest(col("value").cast("decimal(18,6)"),
-      col("p05").cast("decimal(18,6)")), col("p95").cast("decimal(18,6)"))
-      .cast("decimal(18,6)")
-    events.join(broadcast(q), Seq("event_type"))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("value") < col("p05").cast("double"), 1).otherwise(0)).as("n_low"),
-        sum(when(col("value") > col("p95").cast("double"), 1).otherwise(0)).as("n_high"),
-        (sum(clamped).cast("decimal(18,6)") / count(lit(1)))
-          .cast("decimal(38,6)").cast("double").as("mean_winsor"))
+    Quality.winsorize(Tables.table(s, dir, "events"), "event_type", "value",
+        pLo = 0.05, pHi = 0.95)
       .orderBy("event_type")
   }
 
   // --- q135: cohort retention matrix ---------------------------------------
   // Users grouped by their FIRST active day (the cohort anchor); each cell
-  // counts how many of a cohort were active again `day_offset` days later —
-  // the retention curve every product/engagement dashboard draws. Same
-  // scale spine as q133: the distinct (user, day) set, the min-day cohort
-  // agg, and the join are ALL keyed on user_id (co-partitioned on a real
-  // cluster); the final matrix agg is |cohorts × offsets| — tiny.
+  // counts how many of a cohort were active again `day_offset` days later.
+  // ONE corpus scan (PlanSuite-pinned): Quality.retention anchors cohorts
+  // with an unordered window min over the distinct (user, day) set instead
+  // of a second scan + self-join.
   private val q135 = QueryDef(
     "q135_cohort_retention",
     """WITH uw AS (
@@ -345,18 +234,7 @@ object QualityOps {
       |  CAST(COUNT(*) AS BIGINT) AS n_users
       |FROM uw JOIN coh USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-    // cohort anchor via an UNORDERED window over the distinct set instead
-    // of a second events scan + self-join: one corpus scan total, and the
-    // min() needs no Sort (unbounded frame), just the user_id exchange the
-    // distinct already produced.
-    val uw = Tables.table(s, dir, "events")
-      .select(col("user_id"), to_date(col("ts")).as("d"))
-      .distinct()
-    val w = Window.partitionBy("user_id")
-    uw.withColumn("cohort_d", min(col("d")).over(w))
-      .groupBy(col("cohort_d"),
-        datediff(col("d"), col("cohort_d")).as("day_offset"))
-      .agg(count(lit(1)).as("n_users"))
+    Quality.retention(Tables.table(s, dir, "events"), "user_id", "ts")
       .orderBy("cohort_d", "day_offset")
   }
 

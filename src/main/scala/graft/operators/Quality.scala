@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Data-quality / observability library API (r06-late): the generic forms
+ * of the q129–q135 monitors, applicable to ANY DataFrame — the engine ops
+ * in `graft.engine.ops.QualityOps` are thin bindings of these onto the
+ * events/documents tables.
+ *
+ * Shared discipline (see SCALING.md §Data-quality monitors):
+ * - every fractional statistic is DECIMAL with explicit widths, so
+ *   partition order and engine never change a result;
+ * - decision predicates are RATIONAL (multiplied through by counts — no
+ *   sqrt/ln/float-reduction in anything that picks rows);
+ * - wide-decimal predicates run sieve-then-exact: a codegen double
+ *   pre-filter with a conservative margin prunes, the exact decimal test
+ *   decides (BigDecimal math touches candidates only, never the corpus).
+ */
+object Quality {
+
+  /** Rows whose squared deviation from their group mean exceeds z² × the
+    * population variance — the |z-score| > z outlier rule computed without
+    * a float stddev. Appends exact `score` = dev²·n and `bound` = z²·Σdev²
+    * (DECIMAL) to the surviving rows.
+    *
+    * Two aggregation passes + broadcast joins; the per-group means
+    * (≤ `maxGroups` rows by contract) are collected once so neither
+    * consumer re-executes pass 1. */
+  def outliers(s: SparkSession, df: DataFrame, groupCol: String,
+      valueCol: String, z: Int, maxGroups: Int = 10000): DataFrame = {
+    val vDec = col(valueCol).cast("decimal(18,6)")
+    val mAgg = df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        (sum(vDec).cast("decimal(18,6)") / count(lit(1)))
+          .cast("decimal(38,6)").as("mean"))
+    val mRows = mAgg.limit(maxGroups + 1).collect()
+    require(mRows.length <= maxGroups,
+      s"outliers: more than $maxGroups groups in $groupCol — raise maxGroups " +
+        "only if the group stats genuinely fit the driver")
+    val m = s.createDataFrame(java.util.Arrays.asList(mRows: _*), mAgg.schema)
+    val dev = (vDec - col("mean")).cast("decimal(12,6)")
+    val dev2 = (dev * dev).cast("decimal(25,12)")
+    val v = df.join(broadcast(m), Seq(groupCol))
+      .select(col(groupCol), dev2.as("dev2"))
+      .groupBy(groupCol)
+      .agg(sum(col("dev2")).cast("decimal(28,12)").as("var_sum"))
+    val stats = m.join(v, Seq(groupCol))
+      .select(col(groupCol), col("n"), col("mean"), col("var_sum"),
+        col("mean").cast("double").as("mean_d"),
+        col("var_sum").cast("double").as("var_sum_d"))
+    val score = (dev2 * col("n").cast("decimal(7,0)")).cast("decimal(38,12)")
+    val bound = (lit(z * z) * col("var_sum")).cast("decimal(30,12)")
+    val sieve = pow(col(valueCol) - col("mean_d"), 2) * col("n") >
+      lit(z * z * 0.99) * col("var_sum_d")
+    df.join(broadcast(stats), Seq(groupCol))
+      .where(sieve)
+      .where(score > bound)
+      .withColumn("score", score)
+      .withColumn("bound", bound)
+      .drop("n", "mean", "var_sum", "mean_d", "var_sum_d")
+  }
+
+  /** Total-variation distance between the `valueCol` histograms of the two
+    * row populations split by `earlyCond`, per group: ½ Σ_bins |p1 − p2|
+    * over fixed-width bins (floor(value/binWidth) clamped to nBins−1).
+    * One scan collapses to ≤ |groups|×nBins rows before any ratio math. */
+  def tvdDrift(df: DataFrame, groupCol: String, valueCol: String,
+      earlyCond: Column, binWidth: Double, nBins: Int): DataFrame = {
+    val binned = df.select(col(groupCol),
+      least(lit(nBins - 1), floor(col(valueCol) / binWidth).cast("int")).as("bin"),
+      when(earlyCond, 1).otherwise(0).as("early"))
+    val counts = binned.groupBy(groupCol, "bin")
+      .agg(sum(col("early")).as("n1"), sum(lit(1) - col("early")).as("n2"))
+    val w = Window.partitionBy(groupCol)
+    val withTot = counts
+      .withColumn("tot1", sum(col("n1")).over(w))
+      .withColumn("tot2", sum(col("n2")).over(w))
+    def ratio(n: String, tot: String) =
+      (col(n).cast("decimal(18,6)") / col(tot)).cast("decimal(38,6)")
+    withTot.groupBy(groupCol)
+      .agg(max(col("tot1")).as("tot1"), max(col("tot2")).as("tot2"),
+        (sum(abs((ratio("n1", "tot1") - ratio("n2", "tot2")).cast("decimal(38,6)")))
+          .cast("decimal(18,6)") / lit(2)).cast("decimal(38,6)")
+          .cast("double").as("tvd"))
+  }
+
+  /** Truncated EWMA (α = ½, `taps` taps) per key in (orderCol, tiebreak)
+    * order, appended as `ewma`. Integer weights 2^(taps−1−k) make the
+    * smoother a decimal dot product — bit-identical on any engine. All
+    * taps share ONE window spec, so Catalyst plans a single WindowExec
+    * (one shuffle + one sort per key). taps ≤ 16 keeps the numerator
+    * inside DECIMAL(18,6) for |value| ≤ 1e6. */
+  def ewma(df: DataFrame, keyCol: String, orderCol: String,
+      tiebreak: String, valueCol: String, taps: Int): DataFrame = {
+    require(taps >= 1 && taps <= 16, s"taps must be in [1,16], got $taps")
+    val w = Window.partitionBy(keyCol).orderBy(col(orderCol), col(tiebreak))
+    val vDec = col(valueCol).cast("decimal(18,6)")
+    val num = (0 until taps).map { k =>
+      coalesce((lag(vDec, k).over(w) * lit(1 << (taps - 1 - k)))
+        .cast("decimal(22,6)"), lit(0).cast("decimal(22,6)"))
+    }.reduce(_ + _).cast("decimal(18,6)")
+    val den = (0 until taps).map { k =>
+      when(lag(vDec, k).over(w).isNull, 0).otherwise(1 << (taps - 1 - k))
+    }.reduce(_ + _)
+    df.withColumn("ewma",
+      (num / den).cast("decimal(38,6)").cast("double"))
+  }
+
+  /** Ordered funnel: per key, stage k+1's anchor is stage k's MIN(ts),
+    * strictly after it and within `windowHours`. Returns one row per key
+    * that completed stage 1, with nullable `t1..tN` stage timestamps —
+    * count non-nulls for conversion. Built as a LEFT-JOIN CHAIN so each
+    * stage's filtered scan runs exactly once, and every join/agg is keyed
+    * on `keyCol` (co-partitioned on a cluster). */
+  def funnel(df: DataFrame, keyCol: String, typeCol: String, tsCol: String,
+      stages: Seq[String], windowHours: Int): DataFrame = {
+    require(stages.nonEmpty)
+    val first = df.where(col(typeCol) === stages.head)
+      .groupBy(keyCol).agg(min(col(tsCol)).as("t1"))
+    stages.tail.zipWithIndex.foldLeft(first) { case (acc, (stage, i)) =>
+      val prevT = s"t${i + 1}"
+      val thisT = s"t${i + 2}"
+      val stageRows = df.where(col(typeCol) === stage)
+        .select(col(keyCol).as("__k"), col(tsCol).as("__ts"))
+      val carried = ("t1" +: (2 to i + 1).map("t" + _)).map(col)
+      acc.join(stageRows,
+          col(keyCol) === col("__k") && col("__ts") > col(prevT) &&
+            col("__ts") <= col(prevT) + expr(s"INTERVAL $windowHours HOURS"),
+          "left")
+        .groupBy((col(keyCol) +: carried): _*)
+        .agg(min(col("__ts")).as(thisT))
+    }
+  }
+
+  /** Cohort retention: keys grouped by first active period (day), cells
+    * count keys active again `day_offset` days later. ONE corpus scan —
+    * the cohort anchor is an unordered window min over the distinct
+    * (key, day) set, not a second scan + self-join. */
+  def retention(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val uw = df.select(col(keyCol), to_date(col(tsCol)).as("d")).distinct()
+    val w = Window.partitionBy(keyCol)
+    uw.withColumn("cohort_d", min(col("d")).over(w))
+      .groupBy(col("cohort_d"),
+        datediff(col("d"), col("cohort_d")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Winsorized statistics per group: clamp `valueCol` into the exact
+    * [pLo, pHi] percentiles (rounded to 2dp — the q58 cross-engine parity
+    * recipe) and report n, clip counts, and the winsorized decimal mean.
+    * At very large scale swap the exact percentile for approx_percentile;
+    * the clamp pass is unchanged. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    val q = df.groupBy(groupCol)
+      .agg(
+        round(expr(s"percentile($valueCol, $pLo)"), 2)
+          .cast("decimal(18,2)").as("p_lo"),
+        round(expr(s"percentile($valueCol, $pHi)"), 2)
+          .cast("decimal(18,2)").as("p_hi"))
+    val clamped = least(greatest(col(valueCol).cast("decimal(18,6)"),
+      col("p_lo").cast("decimal(18,6)")), col("p_hi").cast("decimal(18,6)"))
+      .cast("decimal(18,6)")
+    df.join(broadcast(q), Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(valueCol) < col("p_lo").cast("double"), 1).otherwise(0)).as("n_low"),
+        sum(when(col(valueCol) > col("p_hi").cast("double"), 1).otherwise(0)).as("n_high"),
+        (sum(clamped).cast("decimal(18,6)") / count(lit(1)))
+          .cast("decimal(38,6)").cast("double").as("mean_winsor"))
+  }
+}

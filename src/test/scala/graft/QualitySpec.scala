@@ -181,6 +181,60 @@ class QualitySpec extends SparkTestBase {
     assert(r.getAs[Long]("n_view_click_purchase") === t3.size.toLong)
   }
 
+  test("Quality.outliers boundary: the n=10 single-outlier case sits EXACTLY on the threshold") {
+    // n−1 identical values + 1 outlier gives score/bound = (n−1)/z² exactly
+    // — at n=10, z=3 the exact predicate is score > bound with EQUAL sides,
+    // so nothing is flagged; at n=11 the ratio is 10/9 and the outlier is.
+    // This pins both the strict inequality AND that the double sieve
+    // (margin 0.99) never decides near the boundary — the exact decimal
+    // test does.
+    import org.apache.spark.sql.functions.col
+    def frame(nBase: Int) = {
+      val rows = (1 to nBase).map(i => (i.toLong, "a", 10.0)) :+ (99L, "a", 1000.0)
+      spark.createDataFrame(rows).toDF("id", "grp", "reading")
+    }
+    val at10 = graft.operators.Quality
+      .outliers(spark, frame(9), "grp", "reading", z = 3).collect()
+    assert(at10.isEmpty, "n=10 equality case must NOT flag (strict >)")
+    val at11 = graft.operators.Quality
+      .outliers(spark, frame(10), "grp", "reading", z = 3)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(at11 === Set(99L))
+  }
+
+  test("Quality.funnel generalizes: 4 stages, arbitrary column names") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      // account 1 completes all four stages an hour apart
+      (1L, "open", "2024-03-01 00:00:00"),
+      (1L, "fund", "2024-03-01 01:00:00"),
+      (1L, "trade", "2024-03-01 02:00:00"),
+      (1L, "refer", "2024-03-01 03:00:00"),
+      // account 2 trades BEFORE funding — its only trade can't anchor on
+      // the later fund, so the funnel stops after stage 2 (t3 null)
+      (2L, "open", "2024-03-01 00:00:00"),
+      (2L, "trade", "2024-03-01 01:00:00"),
+      (2L, "fund", "2024-03-01 02:00:00"))
+      .map { case (a, s, t) => (a, s, Timestamp.valueOf(t)) }
+    val df = spark.createDataFrame(rows).toDF("account", "step", "at")
+    val out = graft.operators.Quality
+      .funnel(df, "account", "step", "at", Seq("open", "fund", "trade", "refer"), 24)
+      .collect().map(r => r.getAs[Long]("account") ->
+        (r.get(1) != null, r.get(2) != null, r.get(3) != null)).toMap
+    assert(out(1L) === ((true, true, true)))
+    assert(out(2L) === ((true, true, false)))
+  }
+
+  test("Quality.ewma generalizes: 4 taps over arbitrary columns") {
+    val rows = Seq((1L, 1L, 8.0), (1L, 2L, 16.0))
+    val df = spark.createDataFrame(rows).toDF("k", "seq", "x")
+    val got = graft.operators.Quality
+      .ewma(df, "k", "seq", "seq", "x", taps = 4)
+      .collect().map(r => r.getAs[Long]("seq") -> r.getAs[Double]("ewma")).toMap
+    assert(got(1L) === 8.0)            // 8·8 / 8
+    assert(got(2L) === 13.333333)      // (8·16 + 4·8) / 12
+  }
+
   test("q134 winsorized mean is between p05 and p95 and clips both tails") {
     val r = SparkEntry.queries("q134_winsorize")(spark, sfDir).collect()
     assert(r.length === 5)
