@@ -52,8 +52,8 @@ object StressQuality {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    println("| scale | events | docs | q129 outlier s | q131 ewma s | q132 novelty s | q133 funnel s |")
-    println("|---|---|---|---|---|---|---|")
+    println("| scale | events | docs | q129 outlier s | q130 tvd s | q131 ewma s | q132 novelty s | q133 funnel s | q134 winsor s | q135 retention s | q136 lift s |")
+    println("|---|---|---|---|---|---|---|---|---|---|---|")
     for (scale <- scales) {
       val nEv = eventsBase * scale
       val nDoc = docsBase * scale
@@ -84,16 +84,15 @@ object StressQuality {
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       def run(q: String): Double =
         timed(graft.SparkEntry.queries(q)(spark, dir).count())._2
+      val family = Seq("q129_outlier_zscore", "q130_drift_tvd",
+        "q131_ewma_smooth", "q132_ngram_novelty", "q133_event_funnel",
+        "q134_winsorize", "q135_cohort_retention", "q136_token_lift")
       if (scale == scales.head) {
         // warm each pipeline's codegen once — timed runs measure data work
-        Seq("q129_outlier_zscore", "q131_ewma_smooth",
-          "q132_ngram_novelty", "q133_event_funnel").foreach(run)
+        family.foreach(run)
       }
-      val outlier = run("q129_outlier_zscore")
-      val ewma = run("q131_ewma_smooth")
-      val novelty = run("q132_ngram_novelty")
-      val funnel = run("q133_event_funnel")
-      println(f"| ${scale}x | $nEv | $nDoc | $outlier%.1f | $ewma%.1f | $novelty%.1f | $funnel%.1f |")
+      val t = family.map(run)
+      println(f"| ${scale}x | $nEv | $nDoc | ${t.map(v => f"$v%.1f").mkString(" | ")} |")
     }
     spark.stop()
   }
