@@ -148,19 +148,7 @@ object QualityOps {
       |  CAST(CAST(CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) AS DECIMAL(18,6)) / COUNT(*) AS DECIMAL(38,6)) AS DOUBLE) AS novelty
       |FROM p JOIN f USING (g)
       |GROUP BY p.doc_id ORDER BY p.doc_id LIMIT 300""".stripMargin) { (s, dir) =>
-    import graft.functions.GraftFunctions
-    val p = Tables.table(s, dir, "documents")
-      .withColumn("l", split(col("text"), " "))
-      .where(size(col("l")) >= 3)
-      .select(col("doc_id"), explode(GraftFunctions.hashedShingles("l")).as("g"))
-    val f = p.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
-    p.join(f, Seq("g"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0)).as("n_novel"),
-        (sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0))
-          .cast("decimal(18,6)") / count(lit(1))).cast("decimal(38,6)")
-          .cast("double").as("novelty"))
+    Quality.novelty(Tables.table(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id").limit(300)
   }
 

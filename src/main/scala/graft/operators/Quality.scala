@@ -148,6 +148,56 @@ object Quality {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Per-document n-gram novelty: the fraction of a document's distinct
+    * 3-gram shingles whose FIRST corpus occurrence (min of `idCol`) is
+    * this document. `textCol` is whitespace-tokenized through the
+    * engine-portable polynomial shingle hash (GraftFunctions.hashedShingles)
+    * — the q46/q78 recipe, so ledgers built from it are reproducible
+    * across engines and runs. Explode → per-gram MIN agg (map-side
+    * combined) → postings join back; gram cardinality bounds the shuffle. */
+  def novelty(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.GraftFunctions
+    val p = df
+      .withColumn("__l", split(col(textCol), " "))
+      .where(size(col("__l")) >= 3)
+      .select(col(idCol), explode(GraftFunctions.hashedShingles("__l")).as("__g"))
+    val f = p.groupBy("__g").agg(min(col(idCol)).as("__first"))
+    p.join(f, Seq("__g"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col(idCol), 1).otherwise(0)).as("n_novel"),
+        (sum(when(col("__first") === col(idCol), 1).otherwise(0))
+          .cast("decimal(18,6)") / count(lit(1))).cast("decimal(38,6)")
+          .cast("double").as("novelty"))
+  }
+
+  /** Population-stability-index drift per group — the industry-standard
+    * monitor metric: PSI = Σ_bins (p2 − p1)·ln(p2/p1), with ε-smoothed
+    * ratios so empty bins don't blow up. ln() makes this ENGINE-INTERNAL
+    * (libm transcendentals are not bit-portable — the reason the
+    * oracle-carried drift query q130 uses TVD instead); use it for
+    * monitoring thresholds, not cross-engine comparison. Same one-scan
+    * collapse-to-bins shape as [[tvdDrift]]. Rule of thumb: PSI < 0.1
+    * stable, 0.1–0.25 moderate shift, > 0.25 significant. */
+  def psi(df: DataFrame, groupCol: String, valueCol: String,
+      earlyCond: Column, binWidth: Double, nBins: Int,
+      eps: Double = 1e-6): DataFrame = {
+    val binned = df.select(col(groupCol),
+      least(lit(nBins - 1), floor(col(valueCol) / binWidth).cast("int")).as("bin"),
+      when(earlyCond, 1).otherwise(0).as("early"))
+    val counts = binned.groupBy(groupCol, "bin")
+      .agg(sum(col("early")).as("n1"), sum(lit(1) - col("early")).as("n2"))
+    val w = Window.partitionBy(groupCol)
+    val withTot = counts
+      .withColumn("tot1", sum(col("n1")).over(w))
+      .withColumn("tot2", sum(col("n2")).over(w))
+    val p1 = col("n1") / col("tot1") + lit(eps)
+    val p2 = col("n2") / col("tot2") + lit(eps)
+    withTot.groupBy(groupCol)
+      .agg(max(col("tot1")).as("tot1"), max(col("tot2")).as("tot2"),
+        sum((p2 - p1) * log(p2 / p1)).as("psi"))
+  }
+
   /** Winsorized statistics per group: clamp `valueCol` into the exact
     * [pLo, pHi] percentiles (rounded to 2dp — the q58 cross-engine parity
     * recipe) and report n, clip counts, and the winsorized decimal mean.

@@ -235,6 +235,47 @@ class QualitySpec extends SparkTestBase {
     assert(got(2L) === 13.333333)      // (8·16 + 4·8) / 12
   }
 
+  test("Quality.psi matches a driver-side reference and orders drift sensibly") {
+    // PSI is library-only (ln is engine-internal — q130's TVD carries the
+    // oracle); check it against an independent reference computation and
+    // that a planted shift scores higher than the no-shift group.
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    // group "stable": same uniform[0,100) in both halves;
+    // group "shifted": early uniform[0,100), late uniform[100,200)
+    val rows =
+      (0 until 2000).map(i => ("stable", i % 2 == 0, rnd.nextDouble() * 100)) ++
+      (0 until 2000).map { i =>
+        val early = i % 2 == 0
+        ("shifted", early, (if (early) 0.0 else 100.0) + rnd.nextDouble() * 100)
+      }
+    val df = spark.createDataFrame(rows).toDF("grp", "early", "v")
+    val got = graft.operators.Quality
+      .psi(df, "grp", "v", col("early"), binWidth = 25.0, nBins = 8)
+      .collect().map(r => r.getAs[String]("grp") -> r.getAs[Double]("psi")).toMap
+    // independent reference
+    val eps = 1e-6
+    def ref(grp: String): Double = {
+      val g = rows.filter(_._1 == grp)
+      val bins = (v: Double) => math.min(7, (v / 25.0).toInt)
+      val e = g.filter(_._2).map(r => bins(r._3))
+      val l = g.filterNot(_._2).map(r => bins(r._3))
+      (0 to 7).flatMap { b =>
+        val n1 = e.count(_ == b); val n2 = l.count(_ == b)
+        if (n1 == 0 && n2 == 0) None
+        else {
+          val p1 = n1.toDouble / e.size + eps
+          val p2 = n2.toDouble / l.size + eps
+          Some((p2 - p1) * math.log(p2 / p1))
+        }
+      }.sum
+    }
+    assert(math.abs(got("stable") - ref("stable")) < 1e-9)
+    assert(math.abs(got("shifted") - ref("shifted")) < 1e-9)
+    assert(got("stable") < 0.1, s"stable group drifted: ${got("stable")}")
+    assert(got("shifted") > 0.25, s"planted shift not detected: ${got("shifted")}")
+  }
+
   test("q134 winsorized mean is between p05 and p95 and clips both tails") {
     val r = SparkEntry.queries("q134_winsorize")(spark, sfDir).collect()
     assert(r.length === 5)
