@@ -90,7 +90,19 @@ object Bench {
     // A throwing query must NOT silently deflate the total: it is recorded
     // as -1 in the per-query map AND listed under "failed", so a broken
     // query can never make the perf gate look better.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // A MID-RUN canary pair fires halfway through the timed loop (untimed
+    // w.r.t. the gate): the pre/post bracket has twice recorded clean
+    // endpoints around a contended MIDDLE (r06-late: one run's q100–q111
+    // block inflated 3–10× while both bracket canaries read clean). Three
+    // canary points make that failure shape visible in the JSON itself.
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    var canaryMid = -1.0
+    var canaryShuffleMid = -1.0
+    val results = sorted.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == sorted.size / 2) {
+        canaryMid = canaryOf("q28_topk_global")
+        canaryShuffleMid = canaryOf("q11_join_shuffle")
+      }
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
@@ -133,7 +145,7 @@ object Bench {
     val canaryShuffle = canaryOf("q11_join_shuffle")
     val exceeded = total > hardTotal
     val warmFailedJson = warmupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"warmup_failed":$warmFailedJson,"over_budget":$overBudget,"soft_budget_sec":$softTotal,"budget_exceeded":$exceeded,"canary_pre_sec":$canaryPre,"canary_shuffle_pre_sec":$canaryShufflePre,"canary_sec":$canary,"canary_shuffle_sec":$canaryShuffle,"sf":"$sfDir"}"""
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"warmup_failed":$warmFailedJson,"over_budget":$overBudget,"soft_budget_sec":$softTotal,"budget_exceeded":$exceeded,"canary_pre_sec":$canaryPre,"canary_shuffle_pre_sec":$canaryShufflePre,"canary_mid_sec":$canaryMid,"canary_shuffle_mid_sec":$canaryShuffleMid,"canary_sec":$canary,"canary_shuffle_sec":$canaryShuffle,"sf":"$sfDir"}"""
     println(jsonLine)
     // Full per-query artifact (r05, VERDICT r04 #4): the driver's
     // BENCH_r*.json keeps only the tail of stdout, so early-alphabet query
