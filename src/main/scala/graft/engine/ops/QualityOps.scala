@@ -226,5 +226,70 @@ object QualityOps {
       .orderBy("cohort_d", "day_offset")
   }
 
-  def defs: Seq[QueryDef] = Seq(q129, q130, q131, q132, q133, q134, q135)
+  // --- q137: robust (Tukey-fence / IQR) outliers ---------------------------
+  // The rank-based twin of q129's moment rule: rows outside
+  // [p25 − 1.5·IQR, p75 + 1.5·IQR] per event_type — immune to the tail
+  // inflating the spread estimate (q129's stddev is itself dragged up by
+  // the outliers it hunts; the quartiles are not). Fences at decimal
+  // scale 3 with NO downscale cast (the q129 lesson: DuckDB truncates a
+  // decimal downscale where Spark rounds). Scale: one percentile agg
+  // (q58's sort cost) + a 5-row broadcast fence pass.
+  private val q137 = QueryDef(
+    "q137_outlier_iqr",
+    """WITH q AS (
+      |  SELECT event_type,
+      |    CAST(ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY value), 2) AS DECIMAL(18,2)) AS p25,
+      |    CAST(ROUND(percentile_cont(0.75) WITHIN GROUP (ORDER BY value), 2) AS DECIMAL(18,2)) AS p75
+      |  FROM events GROUP BY event_type),
+      |f AS (
+      |  SELECT event_type,
+      |    CAST(p25 - CAST(1.5 AS DECIMAL(2,1)) * CAST(p75 - p25 AS DECIMAL(18,2)) AS DECIMAL(20,3)) AS lo,
+      |    CAST(p75 + CAST(1.5 AS DECIMAL(2,1)) * CAST(p75 - p25 AS DECIMAL(18,2)) AS DECIMAL(20,3)) AS hi
+      |  FROM q)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  CAST(f.lo AS DOUBLE) AS fence_lo, CAST(f.hi AS DOUBLE) AS fence_hi
+      |FROM events e JOIN f USING (event_type)
+      |WHERE CAST(e.value AS DECIMAL(18,6)) < f.lo
+      |   OR CAST(e.value AS DECIMAL(18,6)) > f.hi
+      |ORDER BY event_id LIMIT 500""".stripMargin) { (s, dir) =>
+    Quality.iqrOutliers(Tables.table(s, dir, "events"), "event_type", "value")
+      .select("event_id", "event_type", "value", "fence_lo", "fence_hi")
+      .orderBy("event_id").limit(500)
+  }
+
+  // --- q138: inter-event gap statistics ------------------------------------
+  // Median and max gap between consecutive events per user — the cadence
+  // profile feeding rate-anomaly alerts and the sessionization gap choice
+  // (q41's 10-minute threshold comes from exactly this distribution).
+  // One lag() window pass (shuffle on user_id) + the per-user percentile;
+  // gaps are exact integer microseconds, and the 0.5-percentile midpoint
+  // interpolation is the same (1−f)·lo + f·hi double both engines run.
+  private val q138 = QueryDef(
+    "q138_interevent_gap",
+    """WITH g AS (
+      |  SELECT user_id,
+      |    CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS gap_us
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+      |  CAST(ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_us), 0) AS BIGINT) AS median_gap_us,
+      |  CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id LIMIT 300""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.table(s, dir, "events")
+      .select(col("user_id"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+          .as("gap_us"))
+      .where(col("gap_us").isNotNull)
+      .groupBy("user_id")
+      .agg(count(col("gap_us")).as("n_gaps"),
+        round(expr("percentile(gap_us, 0.5)"), 0).cast("long").as("median_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .orderBy("user_id").limit(300)
+  }
+
+  def defs: Seq[QueryDef] =
+    Seq(q129, q130, q131, q132, q133, q134, q135, q137, q138)
 }

@@ -159,6 +159,34 @@ object Quality {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Rank-based (Tukey-fence) outliers — the robust twin of [[outliers]]:
+    * rows outside [p25 − 1.5·IQR, p75 + 1.5·IQR] of their group. Immune
+    * to the tail inflating the spread estimate (the moment-based rule's
+    * blind spot) at the cost of the per-group percentile sort. Fences are
+    * computed at decimal scale 3 with NO downscale cast (DuckDB's
+    * decimal downscale truncates where Spark's rounds); the exact decimal
+    * comparison decides membership. Appends `fence_lo`/`fence_hi`. */
+  def iqrOutliers(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val q = df.groupBy(groupCol)
+      .agg(
+        round(expr(s"percentile($valueCol, 0.25)"), 2)
+          .cast("decimal(18,2)").as("__p25"),
+        round(expr(s"percentile($valueCol, 0.75)"), 2)
+          .cast("decimal(18,2)").as("__p75"))
+    val iqr = (col("__p75") - col("__p25")).cast("decimal(18,2)")
+    val f = q.select(col(groupCol),
+      (col("__p25") - lit(1.5).cast("decimal(2,1)") * iqr)
+        .cast("decimal(20,3)").as("__lo"),
+      (col("__p75") + lit(1.5).cast("decimal(2,1)") * iqr)
+        .cast("decimal(20,3)").as("__hi"))
+    val vDec = col(valueCol).cast("decimal(18,6)")
+    df.join(broadcast(f), Seq(groupCol))
+      .where(vDec < col("__lo") || vDec > col("__hi"))
+      .withColumn("fence_lo", col("__lo").cast("double"))
+      .withColumn("fence_hi", col("__hi").cast("double"))
+      .drop("__lo", "__hi")
+  }
+
   /** Per-document n-gram novelty: the fraction of a document's distinct
     * 3-gram shingles whose FIRST corpus occurrence (min of `idCol`) is
     * this document. `textCol` is whitespace-tokenized through the

@@ -235,6 +235,19 @@ class QualitySpec extends SparkTestBase {
     assert(got(2L) === 13.333333)      // (8·16 + 4·8) / 12
   }
 
+  test("Quality.iqrOutliers: zero-IQR group flags exactly the non-modal value") {
+    // 20 identical values + 1 outlier: IQR = 0, both fences collapse onto
+    // the modal value — the outlier (and ONLY it) falls outside. The
+    // moment-based rule needs n ≥ 11 for the same catch (see the q129
+    // boundary test); the rank rule is insensitive to n here.
+    import org.apache.spark.sql.functions.col
+    val rows = (1 to 20).map(i => (i.toLong, "a", 42.0)) :+ (99L, "a", 43.5)
+    val df = spark.createDataFrame(rows).toDF("id", "grp", "v")
+    val flagged = graft.operators.Quality.iqrOutliers(df, "grp", "v")
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(flagged === Set(99L))
+  }
+
   test("Quality.psi matches a driver-side reference and orders drift sensibly") {
     // PSI is library-only (ln is engine-internal — q130's TVD carries the
     // oracle); check it against an independent reference computation and
