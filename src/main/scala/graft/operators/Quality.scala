@@ -125,7 +125,11 @@ object Quality {
     * that completed stage 1, with nullable `t1..tN` stage timestamps —
     * count non-nulls for conversion. Built as a LEFT-JOIN CHAIN so each
     * stage's filtered scan runs exactly once, and every join/agg is keyed
-    * on `keyCol` (co-partitioned on a cluster). */
+    * on `keyCol` (co-partitioned on a cluster). Skew note: a hot key (one
+    * user with millions of stage-k events) fans the join out before the
+    * MIN collapses it — the aggregate is partial-aggregatable and the
+    * equi-join rides AQE's skew-join splitting, so a hot key widens one
+    * stage, never a whole executor. */
   def funnel(df: DataFrame, keyCol: String, typeCol: String, tsCol: String,
       stages: Seq[String], windowHours: Int): DataFrame = {
     require(stages.nonEmpty)

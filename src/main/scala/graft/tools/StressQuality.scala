@@ -52,8 +52,8 @@ object StressQuality {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    println("| scale | events | docs | q129 outlier s | q130 tvd s | q131 ewma s | q132 novelty s | q133 funnel s | q134 winsor s | q135 retention s | q136 lift s |")
-    println("|---|---|---|---|---|---|---|---|---|---|---|")
+    println("| scale | events | docs | q129 outlier s | q130 tvd s | q131 ewma s | q132 novelty s | q133 funnel s | q134 winsor s | q135 retention s | q136 lift s | q137 iqr s | q138 gap s |")
+    println("|---|---|---|---|---|---|---|---|---|---|---|---|---|")
     for (scale <- scales) {
       val nEv = eventsBase * scale
       val nDoc = docsBase * scale
@@ -86,7 +86,8 @@ object StressQuality {
         timed(graft.SparkEntry.queries(q)(spark, dir).count())._2
       val family = Seq("q129_outlier_zscore", "q130_drift_tvd",
         "q131_ewma_smooth", "q132_ngram_novelty", "q133_event_funnel",
-        "q134_winsorize", "q135_cohort_retention", "q136_token_lift")
+        "q134_winsorize", "q135_cohort_retention", "q136_token_lift",
+        "q137_outlier_iqr", "q138_interevent_gap")
       if (scale == scales.head) {
         // warm each pipeline's codegen once — timed runs measure data work
         family.foreach(run)
