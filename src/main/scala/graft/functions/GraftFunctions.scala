@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 
 import graft.engine.expr.{ArrayEqCount, ArrayPairs, BigramGenerator,
   BucketPairDots, DotProduct, HashedShingles, LcgMin, RollingFingerprint,
-  SimHashPack, WindowHashes}
+  SimHashPack, Sum128, WindowHashes}
 
 /**
  * Column-level function facade (library API): the engine's reusable scalar
@@ -62,7 +62,17 @@ object GraftFunctions {
     "array_eq_count" -> {
       case Seq(a, b) => ArrayEqCount(a, b)
       case _ => throw new IllegalArgumentException(
-        "array_eq_count(array<bigint>, array<bigint>)") })
+        "array_eq_count(array<bigint>, array<bigint>)") },
+    "sum128" -> {
+      case Seq(e, s) => Sum128(e, litLong(s, "resultScale").toInt,
+        square = false).toAggregateExpression()
+      case _ => throw new IllegalArgumentException(
+        "sum128(unscaled_bigint, resultScale)") },
+    "square_sum128" -> {
+      case Seq(e, s) => Sum128(e, litLong(s, "resultScale").toInt,
+        square = true).toAggregateExpression()
+      case _ => throw new IllegalArgumentException(
+        "square_sum128(unscaled_bigint, resultScale)") })
 
   /** Register every graft SQL function on the session. */
   def registerAll(spark: SparkSession): Unit = {

@@ -36,6 +36,23 @@ class Sum128Spec extends SparkTestBase {
     assert(BigDecimal(got.unscaledValue()) === BigDecimal(want))
   }
 
+  test("SQL-registered sum128/square_sum128 equal the Column builders") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val xs = Seq(3L, -4L, 5L, 1000000L)
+    spark.createDataFrame(xs.map(Tuple1(_))).toDF("x")
+      .createOrReplaceTempView("sum128_t")
+    val viaSql = spark.sql(
+      "SELECT sum128(x, 6) AS s, square_sum128(x, 12) AS q FROM sum128_t")
+      .collect()(0)
+    val viaCol = spark.table("sum128_t")
+      .agg(Sum128.sum(col("x"), 6).as("s"), Sum128.squareSum(col("x"), 12).as("q"))
+      .collect()(0)
+    assert(viaSql.getDecimal(0).compareTo(viaCol.getDecimal(0)) === 0)
+    assert(viaSql.getDecimal(1).compareTo(viaCol.getDecimal(1)) === 0)
+    assert(viaSql.getDecimal(1).unscaledValue().longValueExact() ===
+      xs.map(x => x * x).sum)
+  }
+
   test("squareSum128 on grouped data equals SUM of the decimal squares") {
     // the exact q129 pass-2 shape: per-group Σdev² via the decimal chain
     // vs via unscaled + squareSum128 — bit-identical decimals
