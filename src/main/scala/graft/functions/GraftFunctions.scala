@@ -14,8 +14,8 @@ import graft.engine.expr.{ArrayEqCount, ArrayPairs, BigramGenerator,
  * / generator functions in one place. `registerAll` makes the SQL names
  * (`dot_product`, `bigrams`, `rolling_fingerprint`, `hashed_shingles`,
  * `lcg_min`, `window_hashes`, `simhash_pack`, `bucket_pair_dots`,
- * `array_pairs`, `array_eq_count`) available in a session; the Column
- * APIs work without registration.
+ * `array_pairs`, `array_eq_count`, `sum128`, `square_sum128`) available
+ * in a session; the Column APIs work without registration.
  */
 object GraftFunctions {
 
