@@ -21,6 +21,19 @@ import org.apache.spark.sql.expressions.Window
  */
 object Quality {
 
+  /** Percentile column for the robust-stats ops: exact sort-based by
+    * default (bit-portable cross-engine — the oracle-carried path), or
+    * the t-digest sketch (`approx_percentile`, accuracy 10⁴) when
+    * `approx` — the 100 TB path where a per-group sort of the full
+    * column is the dominating cost. Two semantic deltas in approx mode:
+    * the sketch returns an ACTUAL data value (nearest rank — exact
+    * percentile interpolates), and sketch results are engine-internal
+    * (like q23/q69) — so approx mode is for production thresholds, not
+    * oracle comparison. */
+  private def pct(valueCol: String, p: Double, approx: Boolean): Column =
+    if (approx) expr(s"approx_percentile($valueCol, ${p}d, 10000)")
+    else expr(s"percentile($valueCol, ${p}d)")
+
   /** Rows whose squared deviation from their group mean exceeds z² × the
     * population variance — the |z-score| > z outlier rule computed without
     * a float stddev. Appends exact `score` = dev²·n and `bound` = z²·Σdev²
@@ -170,12 +183,13 @@ object Quality {
     * computed at decimal scale 3 with NO downscale cast (DuckDB's
     * decimal downscale truncates where Spark's rounds); the exact decimal
     * comparison decides membership. Appends `fence_lo`/`fence_hi`. */
-  def iqrOutliers(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+  def iqrOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      approx: Boolean = false): DataFrame = {
     val q = df.groupBy(groupCol)
       .agg(
-        round(expr(s"percentile($valueCol, 0.25)"), 2)
+        round(pct(valueCol, 0.25, approx), 2)
           .cast("decimal(18,2)").as("__p25"),
-        round(expr(s"percentile($valueCol, 0.75)"), 2)
+        round(pct(valueCol, 0.75, approx), 2)
           .cast("decimal(18,2)").as("__p75"))
     val iqr = (col("__p75") - col("__p25")).cast("decimal(18,2)")
     val f = q.select(col(groupCol),
@@ -247,12 +261,12 @@ object Quality {
     * At very large scale swap the exact percentile for approx_percentile;
     * the clamp pass is unchanged. */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
-      pLo: Double, pHi: Double): DataFrame = {
+      pLo: Double, pHi: Double, approx: Boolean = false): DataFrame = {
     val q = df.groupBy(groupCol)
       .agg(
-        round(expr(s"percentile($valueCol, $pLo)"), 2)
+        round(pct(valueCol, pLo, approx), 2)
           .cast("decimal(18,2)").as("p_lo"),
-        round(expr(s"percentile($valueCol, $pHi)"), 2)
+        round(pct(valueCol, pHi, approx), 2)
           .cast("decimal(18,2)").as("p_hi"))
     val clamped = least(greatest(col(valueCol).cast("decimal(18,6)"),
       col("p_lo").cast("decimal(18,6)")), col("p_hi").cast("decimal(18,6)"))
