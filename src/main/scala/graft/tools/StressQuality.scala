@@ -95,6 +95,37 @@ object StressQuality {
       val t = family.map(run)
       println(f"| ${scale}x | $nEv | $nDoc | ${t.map(v => f"$v%.1f").mkString(" | ")} |")
     }
+
+    // Skew probe for the funnel's left-join chain (Quality.funnel skew
+    // note): plant ONE user owning ~a third of all events and compare
+    // against the uniform distribution at the same size — the partial-
+    // aggregatable MIN + AQE skew splitting should keep the hot key from
+    // serializing the stage (ratio ~1×, not rows-on-one-task blowup).
+    val nEv = 1000000L
+    def writeSkewed(dir: String, skewed: Boolean): Unit =
+      spark.range(0, nEv, 1, 32)
+        .select(col("id").as("event_id"),
+          timestamp_seconds(lit(1704067200L) + pmod(xxhash64(col("id"), lit(1)), lit(2592000L)))
+            .as("ts"),
+          (if (skewed)
+            when(pmod(xxhash64(col("id"), lit(9)), lit(3)) === 0, 0L)
+              .otherwise(pmod(xxhash64(col("id"), lit(2)), lit(15000L)))
+          else pmod(xxhash64(col("id"), lit(2)), lit(15000L))).as("user_id"),
+          element_at(array(lit("view"), lit("click"), lit("purchase"),
+            lit("signup"), lit("error")),
+            (pmod(xxhash64(col("id"), lit(3)), lit(5)) + 1).cast("int")).as("event_type"),
+          lit(1.0).as("value"), lit("""{"k": 1}""").as("props"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val uniDir = java.nio.file.Files.createTempDirectory("funnel_uni").toString
+    val skewDir = java.nio.file.Files.createTempDirectory("funnel_skew").toString
+    writeSkewed(uniDir, skewed = false)
+    writeSkewed(skewDir, skewed = true)
+    def funnelTime(dir: String): Double =
+      timed(graft.SparkEntry.queries("q133_event_funnel")(spark, dir).count())._2
+    funnelTime(uniDir) // warm
+    val uni = funnelTime(uniDir)
+    val skew = funnelTime(skewDir)
+    println(f"FUNNEL SKEW PROBE: uniform $uni%.1f s vs 1-user-owns-33%% $skew%.1f s (ratio ${skew / uni}%.2f)")
     spark.stop()
   }
 
