@@ -54,9 +54,9 @@ object Quality {
     // 128-bit accumulator produces the bit-identical decimal (equality
     // property-tested in Sum128Spec) with zero per-row allocation.
     val mAgg = df.groupBy(groupCol)
-      .agg(count(lit(1)).as("n"),
+      .agg(count(lit(1)).as("__n"),
         (Sum128.sum(Sum128.unscaled(vDec), 6).cast("decimal(18,6)") / count(lit(1)))
-          .cast("decimal(38,6)").as("mean"))
+          .cast("decimal(38,6)").as("__mean"))
     val mRows = mAgg.limit(maxGroups + 1).collect()
     require(mRows.length <= maxGroups,
       s"outliers: more than $maxGroups groups in $groupCol — raise maxGroups " +
@@ -65,26 +65,26 @@ object Quality {
     // mean narrowed to (12,6) BEFORE the subtract keeps the per-row
     // difference on Decimal's compact same-scale fast path (a (38,6)
     // operand would box); exact for in-contract values.
-    val dev = (vDec - col("mean").cast("decimal(12,6)")).cast("decimal(12,6)")
+    val dev = (vDec - col("__mean").cast("decimal(12,6)")).cast("decimal(12,6)")
     val dev2 = (dev * dev).cast("decimal(25,12)")
     val v = df.join(broadcast(m), Seq(groupCol))
-      .select(col(groupCol), Sum128.unscaled(dev).as("dev6"))
+      .select(col(groupCol), Sum128.unscaled(dev).as("__dev6"))
       .groupBy(groupCol)
-      .agg(Sum128.squareSum(col("dev6"), 12).cast("decimal(28,12)").as("var_sum"))
+      .agg(Sum128.squareSum(col("__dev6"), 12).cast("decimal(28,12)").as("__var_sum"))
     val stats = m.join(v, Seq(groupCol))
-      .select(col(groupCol), col("n"), col("mean"), col("var_sum"),
-        col("mean").cast("double").as("mean_d"),
-        col("var_sum").cast("double").as("var_sum_d"))
-    val score = (dev2 * col("n").cast("decimal(7,0)")).cast("decimal(38,12)")
-    val bound = (lit(z * z) * col("var_sum")).cast("decimal(30,12)")
-    val sieve = pow(col(valueCol) - col("mean_d"), 2) * col("n") >
-      lit(z * z * 0.99) * col("var_sum_d")
+      .select(col(groupCol), col("__n"), col("__mean"), col("__var_sum"),
+        col("__mean").cast("double").as("__mean_d"),
+        col("__var_sum").cast("double").as("__var_sum_d"))
+    val score = (dev2 * col("__n").cast("decimal(7,0)")).cast("decimal(38,12)")
+    val bound = (lit(z * z) * col("__var_sum")).cast("decimal(30,12)")
+    val sieve = pow(col(valueCol) - col("__mean_d"), 2) * col("__n") >
+      lit(z * z * 0.99) * col("__var_sum_d")
     df.join(broadcast(stats), Seq(groupCol))
       .where(sieve)
       .where(score > bound)
       .withColumn("score", score)
       .withColumn("bound", bound)
-      .drop("n", "mean", "var_sum", "mean_d", "var_sum_d")
+      .drop("__n", "__mean", "__var_sum", "__mean_d", "__var_sum_d")
   }
 
   /** Total-variation distance between the `valueCol` histograms of the two
@@ -94,10 +94,10 @@ object Quality {
   def tvdDrift(df: DataFrame, groupCol: String, valueCol: String,
       earlyCond: Column, binWidth: Double, nBins: Int): DataFrame = {
     val binned = df.select(col(groupCol),
-      least(lit(nBins - 1), floor(col(valueCol) / binWidth).cast("int")).as("bin"),
-      when(earlyCond, 1).otherwise(0).as("early"))
-    val counts = binned.groupBy(groupCol, "bin")
-      .agg(sum(col("early")).as("n1"), sum(lit(1) - col("early")).as("n2"))
+      least(lit(nBins - 1), floor(col(valueCol) / binWidth).cast("int")).as("__bin"),
+      when(earlyCond, 1).otherwise(0).as("__early"))
+    val counts = binned.groupBy(groupCol, "__bin")
+      .agg(sum(col("__early")).as("n1"), sum(lit(1) - col("__early")).as("n2"))
     val w = Window.partitionBy(groupCol)
     val withTot = counts
       .withColumn("tot1", sum(col("n1")).over(w))
@@ -240,10 +240,10 @@ object Quality {
       earlyCond: Column, binWidth: Double, nBins: Int,
       eps: Double = 1e-6): DataFrame = {
     val binned = df.select(col(groupCol),
-      least(lit(nBins - 1), floor(col(valueCol) / binWidth).cast("int")).as("bin"),
-      when(earlyCond, 1).otherwise(0).as("early"))
-    val counts = binned.groupBy(groupCol, "bin")
-      .agg(sum(col("early")).as("n1"), sum(lit(1) - col("early")).as("n2"))
+      least(lit(nBins - 1), floor(col(valueCol) / binWidth).cast("int")).as("__bin"),
+      when(earlyCond, 1).otherwise(0).as("__early"))
+    val counts = binned.groupBy(groupCol, "__bin")
+      .agg(sum(col("__early")).as("n1"), sum(lit(1) - col("__early")).as("n2"))
     val w = Window.partitionBy(groupCol)
     val withTot = counts
       .withColumn("tot1", sum(col("n1")).over(w))
@@ -265,17 +265,17 @@ object Quality {
     val q = df.groupBy(groupCol)
       .agg(
         round(pct(valueCol, pLo, approx), 2)
-          .cast("decimal(18,2)").as("p_lo"),
+          .cast("decimal(18,2)").as("__p_lo"),
         round(pct(valueCol, pHi, approx), 2)
-          .cast("decimal(18,2)").as("p_hi"))
+          .cast("decimal(18,2)").as("__p_hi"))
     val clamped = least(greatest(col(valueCol).cast("decimal(18,6)"),
-      col("p_lo").cast("decimal(18,6)")), col("p_hi").cast("decimal(18,6)"))
+      col("__p_lo").cast("decimal(18,6)")), col("__p_hi").cast("decimal(18,6)"))
       .cast("decimal(18,6)")
     df.join(broadcast(q), Seq(groupCol))
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n"),
-        sum(when(col(valueCol) < col("p_lo").cast("double"), 1).otherwise(0)).as("n_low"),
-        sum(when(col(valueCol) > col("p_hi").cast("double"), 1).otherwise(0)).as("n_high"),
+        sum(when(col(valueCol) < col("__p_lo").cast("double"), 1).otherwise(0)).as("n_low"),
+        sum(when(col(valueCol) > col("__p_hi").cast("double"), 1).otherwise(0)).as("n_high"),
         (sum(clamped).cast("decimal(18,6)") / count(lit(1)))
           .cast("decimal(38,6)").cast("double").as("mean_winsor"))
   }
