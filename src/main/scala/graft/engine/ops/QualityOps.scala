@@ -29,10 +29,15 @@ object QualityOps {
   // the flag compares dev²·n > 9·Σdev². Two map-side-combined aggregation
   // passes + broadcast joins; pass 1 (the ≤5-row event_type enum stats) is
   // collected once so neither consumer re-executes it (3 scans total,
-  // PlanSuite-pinned). Displayed score/bound are ROUND(·,6)-ed then
-  // narrowed before the double cast: a 19-significant-digit
-  // DECIMAL(38,12)→DOUBLE cast double-rounds differently across engines,
-  // and DuckDB's decimal DOWNSCALE cast truncates where Spark's rounds.
+  // PlanSuite-pinned). Displayed score/bound are ROUND(·,0)-ed to
+  // INTEGERS before the double cast: at full data range a 6dp score
+  // carries more significant digits than a double holds, and
+  // decimal→double conversion double-rounds differently across engines
+  // (found by RandomFixtureParitySpec on spiked fixtures); integers stay
+  // double-exact to 2^53. DuckDB's decimal DOWNSCALE cast also truncates
+  // where Spark's rounds, hence the explicit ROUND; and the dev multiply
+  // is widened to (19,6) operands because DuckDB executes a (12,6)²
+  // multiply in int64, which overflows past |dev| ≈ 3037 (same spec).
   private val q129 = QueryDef(
     "q129_outlier_zscore",
     """WITH m AS (
@@ -41,21 +46,21 @@ object QualityOps {
       |  FROM events GROUP BY event_type),
       |d AS (
       |  SELECT e.event_id, e.event_type, e.value,
-      |    CAST(CAST(CAST(e.value AS DECIMAL(18,6)) - m.mean AS DECIMAL(12,6)) *
-      |         CAST(CAST(e.value AS DECIMAL(18,6)) - m.mean AS DECIMAL(12,6)) AS DECIMAL(25,12)) AS dev2,
+      |    CAST(CAST(CAST(e.value AS DECIMAL(18,6)) - m.mean AS DECIMAL(19,6)) *
+      |         CAST(CAST(e.value AS DECIMAL(18,6)) - m.mean AS DECIMAL(19,6)) AS DECIMAL(25,12)) AS dev2,
       |    m.n FROM events e JOIN m USING (event_type)),
       |v AS (
       |  SELECT event_type, CAST(SUM(dev2) AS DECIMAL(28,12)) AS var_sum FROM d GROUP BY event_type)
       |SELECT d.event_id, d.event_type, d.value,
-      |  CAST(CAST(ROUND(CAST(d.dev2 * CAST(d.n AS DECIMAL(7,0)) AS DECIMAL(38,12)), 6) AS DECIMAL(24,6)) AS DOUBLE) AS score,
-      |  CAST(CAST(ROUND(CAST(9 * v.var_sum AS DECIMAL(30,12)), 6) AS DECIMAL(24,6)) AS DOUBLE) AS bound
+      |  CAST(CAST(ROUND(CAST(d.dev2 * CAST(d.n AS DECIMAL(7,0)) AS DECIMAL(38,12)), 0) AS DECIMAL(24,0)) AS DOUBLE) AS score,
+      |  CAST(CAST(ROUND(CAST(9 * v.var_sum AS DECIMAL(30,12)), 0) AS DECIMAL(24,0)) AS DOUBLE) AS bound
       |FROM d JOIN v USING (event_type)
       |WHERE CAST(d.dev2 * CAST(d.n AS DECIMAL(7,0)) AS DECIMAL(38,12)) > CAST(9 * v.var_sum AS DECIMAL(30,12))
       |ORDER BY event_id LIMIT 500""".stripMargin) { (s, dir) =>
     Quality.outliers(s, Tables.table(s, dir, "events"), "event_type", "value", z = 3)
       .select(col("event_id"), col("event_type"), col("value"),
-        round(col("score"), 6).cast("decimal(24,6)").cast("double").as("score"),
-        round(col("bound"), 6).cast("decimal(24,6)").cast("double").as("bound"))
+        round(col("score"), 0).cast("decimal(24,0)").cast("double").as("score"),
+        round(col("bound"), 0).cast("decimal(24,0)").cast("double").as("bound"))
       .orderBy("event_id").limit(500)
   }
 
