@@ -82,12 +82,17 @@ class RandomFixtureParitySpec extends SparkTestBase {
     } finally conn.close()
   }
 
+  // every events-only query in the quality family — the whole
+  // decimal/percentile/window surface gets the randomized treatment
+  private val eventsOnlyQueries = Seq(
+    "q129_outlier_zscore", "q130_drift_tvd", "q131_ewma_smooth",
+    "q133_event_funnel", "q134_winsorize", "q135_cohort_retention",
+    "q137_outlier_iqr", "q138_interevent_gap")
+
   for (seed <- Seq(1, 2, 3)) {
-    test(s"q129/q131/q134 match DuckDB on random fixture seed=$seed") {
+    test(s"quality family matches DuckDB on random fixture seed=$seed") {
       val dir = writeRandomEvents(seed)
-      parity("q129_outlier_zscore", dir)
-      parity("q131_ewma_smooth", dir)
-      parity("q134_winsorize", dir)
+      eventsOnlyQueries.foreach(q => parity(q, dir))
     }
   }
 }
