@@ -56,7 +56,8 @@ class RandomFixtureParitySpec extends SparkTestBase {
     dir.toString
   }
 
-  private def parity(name: String, dir: String): Unit = {
+  private def parity(name: String, dir: String,
+      tables: Seq[String] = Seq("events")): Unit = {
     val df = SparkEntry.queries(name)(spark, dir)
     val cols = df.columns.toSeq
     val order = cols.indices.sortBy(cols(_))
@@ -64,7 +65,8 @@ class RandomFixtureParitySpec extends SparkTestBase {
     val conn = DriverManager.getConnection("jdbc:duckdb:")
     try {
       val st = conn.createStatement()
-      st.execute(s"CREATE VIEW events AS SELECT * FROM read_parquet('$dir/events.parquet')")
+      tables.foreach(t =>
+        st.execute(s"CREATE VIEW $t AS SELECT * FROM read_parquet('$dir/$t.parquet')"))
       val rs = st.executeQuery(SparkEntry.oracleSql(name))
       val md = rs.getMetaData
       val n = md.getColumnCount
@@ -80,6 +82,58 @@ class RandomFixtureParitySpec extends SparkTestBase {
       }
       assert(srows.nonEmpty, s"$name produced no rows — fixture too tame")
     } finally conn.close()
+  }
+
+  private def writeRandomDocs(seed: Int): String = {
+    import scala.jdk.CollectionConverters._
+    val rnd = new scala.util.Random(seed)
+    val dir = java.nio.file.Files.createTempDirectory(s"rand_docs_$seed")
+    val langs = Vector("de", "en", "es", "fr", "zh")
+    // vocabulary mixing stopwords (q44's ratio paths), digits (q45's
+    // regex tokenizer), and skewed content words; token counts 3..60
+    val vocab = Vector("the", "a", "of", "and", "data", "spark", "query",
+      "scan", "x1", "42", "window", "join", "fast", "part", "zz9") ++
+      (0 until 40).map(i => s"w$i")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    val rows = (0 until 800).map { i =>
+      val n = 3 + rnd.nextInt(58)
+      // plant exact duplicates and near-duplicates for the dedup shapes
+      val text =
+        if (i % 50 == 49) "the a of and data spark query scan"
+        else {
+          val base = (0 until n).map(_ => vocab(rnd.nextInt(vocab.size)))
+          // ~5% of docs carry singleton tokens so OOV detection (q114)
+          // and the rare end of the tf-idf/BM25 spectrum have real rows
+          val spiked = if (rnd.nextInt(20) == 0) base :+ s"rare$i" else base
+          spiked.mkString(" ")
+        }
+      Row(i.toLong, text, langs(rnd.nextInt(langs.size)),
+        s"src${rnd.nextInt(20)}", text.length.toLong)
+    }
+    ParquetFixtures.writeSingleFile(
+      spark.createDataFrame(rows.asJava, schema), dir, "documents")
+    dir.toString
+  }
+
+  private val docsOnlyQueries = Seq(
+    "q36_text_tf", "q37_text_bigrams", "q38_text_stats", "q43_text_langid",
+    "q44_text_quality", "q45_text_tokencount", "q46_text_fingerprint",
+    "q100_repetition_filter", "q101_tfidf_topterms", "q114_oov_docs",
+    "q118_bm25_topk", "q120_bpe_pair_stats", "q132_ngram_novelty",
+    "q136_token_lift")
+
+  for (seed <- Seq(5, 6)) {
+    test(s"text family matches DuckDB on random docs fixture seed=$seed") {
+      val dir = writeRandomDocs(seed)
+      docsOnlyQueries.foreach { q =>
+        withClue(q) { parity(q, dir, Seq("documents")) }
+      }
+    }
   }
 
   // every events-only query in the quality family — the whole
