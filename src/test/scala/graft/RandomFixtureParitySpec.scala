@@ -125,13 +125,92 @@ class RandomFixtureParitySpec extends SparkTestBase {
     "q44_text_quality", "q45_text_tokencount", "q46_text_fingerprint",
     "q100_repetition_filter", "q101_tfidf_topterms", "q114_oov_docs",
     "q118_bm25_topk", "q120_bpe_pair_stats", "q132_ngram_novelty",
-    "q136_token_lift")
+    "q136_token_lift", "q107_curriculum_buckets", "q20_agg_rollup",
+    "q71_stratified_sample")
 
   for (seed <- Seq(5, 6)) {
     test(s"text family matches DuckDB on random docs fixture seed=$seed") {
       val dir = writeRandomDocs(seed)
       docsOnlyQueries.foreach { q =>
         withClue(q) { parity(q, dir, Seq("documents")) }
+      }
+    }
+  }
+
+  /** Random star-schema fixture with referential integrity but WIDER
+    * value ranges than the driver's generator (full-mantissa prices to
+    * 5e7, negative balances, fractional quantities, mixed-length
+    * strings) — the relational decimal chains get the same beyond-the-
+    * generated-distribution treatment as the quality family. */
+  private def writeRandomStar(seed: Int): String = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(seed)
+    val dir = java.nio.file.Files.createTempDirectory(s"rand_star_$seed")
+    def write(table: String, fields: Seq[(String, DataType)], rows: Seq[Row]): Unit =
+      ParquetFixtures.writeSingleFile(
+        spark.createDataFrame(rows.asJava,
+          StructType(fields.map { case (n, t) => StructField(n, t) })), dir, table)
+    // the generator's (TPC-H-era) date range — query predicates anchor on it
+    def day(off: Int) = java.time.LocalDateTime.of(1995, 1, 1, 0, 0)
+      .plusDays(off.toLong)
+    val segs = Vector("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val pris = Vector("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    write("region", graft.engine.Tables.canonical("region"),
+      (0 until 3).map(i => Row(i, s"REGION_$i")))
+    write("nation", graft.engine.Tables.canonical("nation"),
+      (0 until 8).map(i => Row(i, s"NATION_${"ABCDEFGH"(i)}", i % 3)))
+    write("customer", graft.engine.Tables.canonical("customer"),
+      (0 until 60).map(i => Row(i.toLong, s"Customer#${1000 + i}", i % 8,
+        rnd.nextDouble() * 20000 - 5000, segs(rnd.nextInt(5)))))
+    write("supplier", graft.engine.Tables.canonical("supplier"),
+      (0 until 15).map(i => Row(i.toLong, s"Supplier#${100 + i}", i % 8,
+        rnd.nextDouble() * 12000 - 2000)))
+    write("part", graft.engine.Tables.canonical("part"),
+      (0 until 40).map(i => Row(i.toLong, s"part name ${rnd.nextInt(1000)}",
+        s"Brand#${rnd.nextInt(5)}${rnd.nextInt(5)}",
+        Vector("ECONOMY", "STANDARD", "PROMO")(rnd.nextInt(3)) + " BRASS",
+        1 + rnd.nextInt(50), rnd.nextDouble() * 2000)))
+    write("orders", graft.engine.Tables.canonical("orders"),
+      (0 until 300).map(i => Row(i.toLong, rnd.nextInt(60).toLong,
+        Vector("F", "O", "P")(rnd.nextInt(3)),
+        // mostly the driver-like price band (keeps banded predicates like
+        // q04's BETWEEN populated), with 5% full-mantissa 5e7 spikes so
+        // decimal sums still see beyond-generator magnitudes
+        (if (rnd.nextInt(20) == 0) rnd.nextDouble() * 5e7
+         else rnd.nextDouble() * 200000),
+        day(rnd.nextInt(1400)), pris(rnd.nextInt(5)))))
+    write("lineitem", graft.engine.Tables.canonical("lineitem"),
+      (0 until 1200).map { i =>
+        Row(rnd.nextInt(300).toLong, rnd.nextInt(40).toLong,
+          rnd.nextInt(15).toLong, 1 + rnd.nextInt(7),
+          rnd.nextDouble() * 60, rnd.nextDouble() * 120000,
+          rnd.nextDouble() * 0.6, rnd.nextDouble() * 0.1,
+          Vector("A", "N", "R")(rnd.nextInt(3)),
+          Vector("F", "O")(rnd.nextInt(2)), day(rnd.nextInt(1400)))
+      })
+    dir.toString
+  }
+
+  private val starTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem")
+  private val starQueries = Seq(
+    "q01_scan_project_filter", "q04_filter_complex", "q05_string_funcs",
+    "q06_date_funcs", "q07_math_funcs", "q10_join_broadcast",
+    "q11_join_shuffle", "q12_join_multiway", "q13_join_semi",
+    "q14_join_anti", "q15_join_outer", "q16_join_range_theta",
+    "q18_agg_hash", "q22_grouping_sets",
+    "q25_window_rank", "q26_window_lag", "q27_window_frame",
+    "q28_topk_global", "q29_set_ops", "q57_tpch_q3_shape",
+    "q58_agg_percentile", "q65_window_ranks",
+    "q83_histogram", "q84_string_agg", "q91_profile_columns",
+    "q92_correlated_subquery")
+
+  for (seed <- Seq(8, 9)) {
+    test(s"relational core matches DuckDB on random star fixture seed=$seed") {
+      val dir = writeRandomStar(seed)
+      starQueries.foreach { q =>
+        withClue(q) { parity(q, dir, starTables) }
       }
     }
   }
