@@ -15,7 +15,7 @@ object SparkEntry {
   private def allDefs: Seq[QueryDef] =
     Relational.defs ++ LlmOps.defs ++ StreamingOps.defs ++ Formats.defs ++
       TextOps.defs ++ SimilarityOps.defs ++ Multimodal.defs ++
-      WarehouseOps.defs ++ QualityOps.defs
+      WarehouseOps.defs ++ QualityOps.defs ++ GraphOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q12: 6-table star join, revenue by nation — exercises the whole

@@ -295,6 +295,45 @@ object QualityOps {
       .orderBy("user_id").limit(300)
   }
 
+  // --- q141: exact correlation audit ---------------------------------------
+  // corr²·10⁶ between the event value and (a) the item key, (b) the
+  // hour-of-day, per event_type — the feature-association check run before
+  // a signal column is admitted to training. `Quality.corr2Micro` is the
+  // generic API: integer-exact sums in ONE map-side-combined pass, then a
+  // single fixed-shape double ratio (IEEE-deterministic on exact integer
+  // inputs — the float hazard is reduction ORDER, eliminated by summing
+  // integers). corr² keeps it sqrt-free; value is lifted to exact cents.
+  private val q141 = QueryDef(
+    "q141_corr_audit",
+    """WITH base AS (
+      |  SELECT event_type,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS x,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |    CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(k) AS BIGINT) AS sk, CAST(SUM(h) AS BIGINT) AS sh,
+      |    CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(k*k) AS BIGINT) AS skk, CAST(SUM(h*h) AS BIGINT) AS shh,
+      |    CAST(SUM(x*k) AS BIGINT) AS sxk, CAST(SUM(x*h) AS BIGINT) AS sxh
+      |  FROM base GROUP BY event_type)
+      |SELECT event_type, n,
+      |  CASE WHEN (n*sxx - sx*sx) = 0 OR (n*skk - sk*sk) = 0 THEN CAST(NULL AS BIGINT)
+      |    ELSE CAST(FLOOR((1000000.0 * CAST(n*sxk - sx*sk AS DOUBLE) * CAST(n*sxk - sx*sk AS DOUBLE)) /
+      |      (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*skk - sk*sk AS DOUBLE))) AS BIGINT) END AS corr2_k_micro,
+      |  CASE WHEN (n*sxx - sx*sx) = 0 OR (n*shh - sh*sh) = 0 THEN CAST(NULL AS BIGINT)
+      |    ELSE CAST(FLOOR((1000000.0 * CAST(n*sxh - sx*sh AS DOUBLE) * CAST(n*sxh - sx*sh AS DOUBLE)) /
+      |      (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*shh - sh*sh AS DOUBLE))) AS BIGINT) END AS corr2_h_micro
+      |FROM s ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val base = Tables.table(s, dir, "events")
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("x"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        hour(col("ts")).cast("long").as("h"))
+    Quality.corr2Micro(base, "event_type", "x", Seq("k", "h"))
+      .orderBy("event_type")
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(q129, q130, q131, q132, q133, q134, q135, q137, q138)
+    Seq(q129, q130, q131, q132, q133, q134, q135, q137, q138, q141)
 }

@@ -496,6 +496,82 @@ object TextOps {
       .orderBy(col("n_ab").desc, col("ta"), col("tb")).limit(100)
   }
 
+  // --- q140: chi-square token↔language feature selection -------------------
+  // For the top-100 tokens (q136's bounded vocabulary), the 2×2-contingency
+  // chi² statistic of token-presence vs language over per-doc distinct
+  // tokens — the classic supervised feature-selection score ranking which
+  // tokens are language-discriminative. Cross-engine exactness: the
+  // contingency cells (a, R, C, N) are exact integer counts; (a·d − b·c)
+  // stays in BIGINT (|·| ≤ N², exact to N ≈ 3e9); the statistic is ONE
+  // fixed-shape double expression over those exact integers, so both
+  // engines produce the identical double and the identical floor — the
+  // float hazard is reduction order, and nothing float is ever summed.
+  // Cells with R = N or C = N (token in every doc / single-language
+  // corpus) are excluded — chi² is undefined there (zero denominator).
+  // Scale: the vocabulary is collected once (≤ 100 rows BY CONSTRUCTION —
+  // the q136 precedent); one postings scan builds df, one semi-join-pruned
+  // scan builds the (token, lang) cells ≤ 100·|langs| rows; nothing
+  // pairwise, nothing unbounded on the driver.
+  private val q140 = QueryDef(
+    "q140_chi2_feature",
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      |df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS r FROM tok GROUP BY t),
+      |top AS (SELECT t, r FROM df ORDER BY r DESC, t LIMIT 100),
+      |langs AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY lang),
+      |a AS (
+      |  SELECT tok.t, d.lang, CAST(COUNT(*) AS BIGINT) AS a
+      |  FROM tok JOIN documents d USING (doc_id)
+      |  WHERE tok.t IN (SELECT t FROM top)
+      |  GROUP BY tok.t, d.lang),
+      |cells AS (
+      |  SELECT top.t, langs.lang, top.r, langs.c, COALESCE(a.a, 0) AS a, nn.n
+      |  FROM top CROSS JOIN langs LEFT JOIN a ON a.t = top.t AND a.lang = langs.lang, nn
+      |  WHERE top.r < nn.n AND langs.c < nn.n)
+      |SELECT t, lang, CAST(a AS BIGINT) AS n_t_lang,
+      |  CAST(FLOOR((1000000.0 * CAST(n AS DOUBLE) *
+      |       CAST(a * (n - r - c + a) - (r - a) * (c - a) AS DOUBLE) *
+      |       CAST(a * (n - r - c + a) - (r - a) * (c - a) AS DOUBLE)) /
+      |      (CAST(r AS DOUBLE) * CAST(n - r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(n - c AS DOUBLE)))
+      |    AS BIGINT) AS chi2_micro
+      |FROM cells
+      |ORDER BY chi2_micro DESC, t, lang LIMIT 50""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.table(s, dir, "documents")
+    // lang rides along through tokenization — the oracle joins tok back to
+    // documents on doc_id, but result-equivalence doesn't require the plan
+    // to: carrying the label avoids a corpus-size shuffle join entirely.
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(array_distinct(split(col("text"), " "))).as("t"))
+    // Bounded collect (q136 precedent): ≤ 100 rows by construction; one
+    // corpus scan serves both the semi-join prune and the cell row totals.
+    val topRows = tok.groupBy("t").agg(count(lit(1)).as("r"))
+      .orderBy(col("r").desc, col("t")).limit(100)
+      .as[(String, Long)].collect().toSeq
+    val top = topRows.toDF("t", "r")
+    val langs = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+    val nn = docs.agg(count(lit(1)).as("n"))
+    val aDf = tok.join(broadcast(top.select("t")), Seq("t"), "left_semi")
+      .groupBy("t", "lang").agg(count(lit(1)).as("a"))
+    // aDf is ≤ |top|·|langs| rows BY CONSTRUCTION (grouped on a semi-join
+    // against the 100-token vocab) — broadcast is safe at any corpus size.
+    broadcast(top).crossJoin(broadcast(langs))
+      .join(broadcast(aDf), Seq("t", "lang"), "left")
+      .crossJoin(broadcast(nn))
+      .select(col("t"), col("lang"), col("r"), col("c"),
+        coalesce(col("a"), lit(0L)).as("a"), col("n"))
+      .where(col("r") < col("n") && col("c") < col("n"))
+      .select(col("t"), col("lang"), col("a").cast("bigint").as("n_t_lang"),
+        expr(
+          """CAST(FLOOR((1000000.0 * CAST(n AS DOUBLE) *
+            |     CAST(a * (n - r - c + a) - (r - a) * (c - a) AS DOUBLE) *
+            |     CAST(a * (n - r - c + a) - (r - a) * (c - a) AS DOUBLE)) /
+            |    (CAST(r AS DOUBLE) * CAST(n - r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(n - c AS DOUBLE)))
+            |  AS BIGINT)""".stripMargin).as("chi2_micro"))
+      .orderBy(col("chi2_micro").desc, col("t"), col("lang")).limit(50)
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(q43, q44, q45, q46, q78, q79, q100, q114, q118, q119, q120, q136)
+    Seq(q43, q44, q45, q46, q78, q79, q100, q114, q118, q119, q120, q136, q140)
 }

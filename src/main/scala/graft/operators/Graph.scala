@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Graph analytics library (r06-late): iterative message-passing operators
+ * over an edge-list DataFrame — the shape GraphX/Pregel standardized, here
+ * expressed as plain Catalyst joins + aggregations so AQE, whole-stage
+ * codegen, and map-side combine all apply.
+ *
+ * Determinism discipline (SURVEY §2 rules): rank mass is carried as a
+ * SCALED BIGINT (1e12 units) and every division is INTEGER division
+ * (Spark `div` ≡ DuckDB `//` for the non-negative operands used here) —
+ * no float accumulates, so partition order and engine never change a
+ * result, and an unrolled SQL WITH-chain reproduces each iteration
+ * bit-for-bit.
+ *
+ * Scale shape (100 TB): the edge list is built once (one map-side-combined
+ * aggregation off the raw data), then persisted — every iteration shuffles
+ * ONLY the aggregated edge/rank tables, keyed on node id, exactly the
+ * co-partitioned join a real cluster runs; nothing is collected beyond the
+ * single node-count scalar. Headroom contract: rank ≤ 1e12 and edge weight
+ * w must satisfy rank·w < 2^63 — i.e. per-pair edge counts up to ~9e6 are
+ * exact; beyond that, pre-normalize weights (the rank math itself never
+ * grows, total mass is ≤ 1e12 by construction).
+ */
+object Graph {
+
+  /** 1e12 — rank mass carried in picorank units (integer). */
+  val Scale: Long = 1000000000000L
+
+  /**
+   * Weighted PageRank over a directed edge list, `iters` synchronous
+   * iterations from a uniform start, damping `d`/100 (integer percent —
+   * the classic 0.85 is `d = 85`).
+   *
+   * `edges` must have columns (src, dst, w: long). Returns (v, pr) with
+   * pr in Scale units. Dangling-node mass is dropped (both the oracle and
+   * this side apply the same convention — the relative ordering PageRank
+   * is used for is unaffected).
+   *
+   * new_pr(v) = (100−d)·Scale ∕∕ (100·N)  +  d · Σ_incoming (pr(u)·w ∕∕ outw(u)) ∕∕ 100
+   */
+  def pagerank(edges: DataFrame, iters: Int = 3, d: Int = 85): DataFrame = {
+    require(iters >= 1 && d >= 0 && d <= 100)
+    // Persist the iteration-invariant tables: without this every unrolled
+    // iteration would re-execute the full edge-build lineage (GraphX
+    // persists its edge RDD for exactly this reason). MEMORY_AND_DISK —
+    // the aggregated edge list is orders smaller than the raw data but
+    // need not fit a single executor's memory.
+    val outw = edges.groupBy("src").agg(sum("w").as("ow"))
+    val e = edges.join(outw, "src")
+      .select(col("src"), col("dst"), col("w"), col("ow"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // The ONE driver-side scalar (house precedent: the 1-row convergence
+    // aggregate in Dedup's connected components).
+    val n = nodes.count()
+    require(n > 0, "pagerank: empty graph")
+    val base = ((100L - d) * Scale) / (100L * n)
+    // Iterations carry ranks ONLY for nodes with in-edges: a node with no
+    // incoming edge holds EXACTLY `base` after any iteration (its contrib
+    // sum is empty), so the e⋈r join coalesces missing ranks to `base` —
+    // bit-identical to materializing the full rank vector, one join and
+    // one aggregation per iteration instead of two joins. Iteration 1's
+    // default is the uniform start Scale/n instead.
+    def step(r: Option[DataFrame], default: Long): DataFrame = {
+      val contribs = r match {
+        case None =>
+          e.select(col("dst"), expr(s"(${default}L * w) div ow").as("contrib"))
+        case Some(prev) =>
+          e.join(prev.withColumnRenamed("v", "src"), Seq("src"), "left")
+            .select(col("dst"),
+              expr(s"(coalesce(pr, ${default}L) * w) div ow").as("contrib"))
+      }
+      contribs.groupBy(col("dst").as("v"))
+        .agg((lit(base) + expr(s"($d * sum(contrib)) div 100")).as("pr"))
+    }
+    val rLast = (2 to iters).foldLeft(step(None, Scale / n)) { (r, _) =>
+      step(Some(r), base)
+    }
+    // Materialize the full vector once at the end (no-in-edge nodes = base).
+    nodes.join(rLast, Seq("v"), "left")
+      .select(col("v"), coalesce(col("pr"), lit(base)).as("pr"))
+  }
+}

@@ -279,4 +279,51 @@ object Quality {
         (sum(clamped).cast("decimal(18,6)") / count(lit(1)))
           .cast("decimal(38,6)").cast("double").as("mean_winsor"))
   }
+
+  /**
+   * Exact correlation audit: per group, corr²(x, y)·10⁶ (floored to
+   * BIGINT) for EACH y in `yCols`, all from one aggregation pass — the
+   * feature-association monitor that decides whether a signal column is
+   * worth keeping before a training run.
+   *
+   * Cross-engine exactness: the named columns must already be INTEGER
+   * (BIGINT) valued — then every aggregate sum is an exact associative
+   * integer sum (partition order cannot change it), and the final ratio
+   * is ONE fixed-shape double expression over exact integer inputs,
+   * which IEEE arithmetic evaluates bit-identically in any engine (the
+   * hazard with float statistics is the reduction ORDER of the sums, not
+   * the scalar math — so sum exactly, divide once). corr² (not corr)
+   * keeps the formula sqrt-free and hence rational→double exact.
+   *
+   * Headroom contract: n·Σx² must stay < 2^63 — holds to ~10⁹ rows/group
+   * of 5-digit values; past that, route the sums through Sum128 (the
+   * q129 precedent) before the ratio.
+   *
+   * Scale: one map-side-combined aggregation (9 + 3·|yCols| longs per
+   * group), no second pass, no window, nothing collected.
+   */
+  def corr2Micro(df: DataFrame, groupCol: String, xCol: String,
+      yCols: Seq[String]): DataFrame = {
+    require(yCols.nonEmpty)
+    val sums =
+      Seq(count(lit(1)).as("__n"), sum(col(xCol)).as("__sx"),
+        sum(expr(s"$xCol * $xCol")).as("__sxx")) ++
+      yCols.flatMap { y =>
+        Seq(sum(col(y)).as(s"__s_$y"),
+          sum(expr(s"$y * $y")).as(s"__ss_$y"),
+          sum(expr(s"$xCol * $y")).as(s"__sxy_$y"))
+      }
+    val agg = df.groupBy(groupCol).agg(sums.head, sums.tail: _*)
+    val outs = yCols.map { y =>
+      val dxy = s"(__n * __sxy_$y - __sx * __s_$y)"
+      val dxx = "(__n * __sxx - __sx * __sx)"
+      val dyy = s"(__n * __ss_$y - __s_$y * __s_$y)"
+      expr(
+        s"""CASE WHEN $dxx = 0 OR $dyy = 0 THEN CAST(NULL AS BIGINT)
+           |ELSE CAST(FLOOR((1000000.0 * CAST($dxy AS DOUBLE) * CAST($dxy AS DOUBLE)) /
+           |  (CAST($dxx AS DOUBLE) * CAST($dyy AS DOUBLE))) AS BIGINT) END""".stripMargin)
+        .as(s"corr2_${y}_micro")
+    }
+    agg.select(col(groupCol) +: col("__n").as("n") +: outs: _*)
+  }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/**
+ * Semantics of the graph library (q139 family). The oracle parity run
+ * proves Spark ≡ DuckDB on the engine binding; these prove the MATH is
+ * the intended PageRank — via an independent plain-Scala reimplementation
+ * of the integer-scaled iteration on a seeded random graph (the q127
+ * pattern: guards against the engine and the oracle sharing a misreading),
+ * plus structural sanity (mass conservation bound, in-link dominance).
+ */
+class GraphSpec extends SparkTestBase {
+
+  private def edgesDf(edges: Seq[(Int, Int, Long)]) = {
+    import spark.implicits._
+    edges.toDF("src", "dst", "w")
+  }
+
+  /** Plain-Scala twin of Graph.pagerank's integer arithmetic. */
+  private def referencePagerank(edges: Seq[(Int, Int, Long)], iters: Int,
+      d: Int): Map[Int, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length.toLong
+    val outw = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val base = ((100L - d) * Graph.Scale) / (100L * n)
+    var r: Map[Int, Long] = nodes.map(_ -> Graph.Scale / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .map { case (s, t, w) => t -> (r(s) * w) / outw(s) }
+        .groupBy(_._1).map { case (t, cs) => t -> cs.map(_._2).sum }
+      r = nodes.map(v => v -> (base + (d * contrib.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pagerank matches an independent reimplementation on a random graph") {
+    val rnd = new scala.util.Random(4242)
+    val raw = Seq.fill(60)((rnd.nextInt(12), rnd.nextInt(12), (rnd.nextInt(5) + 1).toLong))
+      .filter { case (s, t, _) => s != t }
+    // collapse duplicate (src,dst) pairs the way the engine's edge agg would
+    val edges = raw.groupBy(e => (e._1, e._2))
+      .map { case ((s, t), es) => (s, t, es.map(_._3).sum) }.toSeq
+    val got = Graph.pagerank(edgesDf(edges), iters = 3, d = 85)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = referencePagerank(edges, iters = 3, d = 85)
+    assert(got === want)
+  }
+
+  test("a chain concentrates rank downstream; total mass stays bounded") {
+    val edges = Seq((1, 2, 1L), (2, 3, 1L))
+    val r = Graph.pagerank(edgesDf(edges), iters = 3, d = 85)
+      .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(r(3) > r(2) && r(2) > r(1))
+    // Dangling mass (node 3 has no out-edges) leaks, so total ≤ Scale.
+    assert(r.values.sum <= Graph.Scale)
+  }
+
+  test("an extra in-link raises rank, all else equal") {
+    // 1 and 2 are symmetric targets of 3; adding 4 -> 1 must rank 1 above 2.
+    val edges = Seq((3, 1, 1L), (3, 2, 1L), (4, 1, 1L))
+    val r = Graph.pagerank(edgesDf(edges), iters = 3, d = 85)
+      .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(r(1) > r(2))
+  }
+}

@@ -436,4 +436,35 @@ class PlanSuite extends SparkTestBase {
     assert("(\\d+)\\) BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q139 pagerank iterations read the persisted edge cache, never re-scan") {
+    // The edge/node tables are persisted (the GraphX discipline): the
+    // unrolled iterations must reference InMemoryTableScan, and the raw
+    // events lineage (window + edge agg) may appear only INSIDE the cached
+    // plans — ≤ 2 parquet scans in the whole tree, regardless of how many
+    // iterations unroll on top.
+    val p = plan("q139_pagerank")
+    assert(p.contains("InMemoryTableScan"), p)
+    assert("(\\d+)\\) Scan parquet".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q140 chi2 carries lang through tokenization: broadcast-only, no sort-merge") {
+    // The oracle joins postings back to documents on doc_id; the plan must
+    // NOT — lang rides with the explode, the vocab arrives collected
+    // (LocalTableScan), and every join is broadcast (the only allowed
+    // pre-presentation shuffle is the (token, lang) cell aggregation).
+    val p = plan("q140_chi2_feature")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("(\\d+)\\) Scan parquet".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("q141 correlation audit is one aggregation pass — single scan, no joins") {
+    val p = plan("q141_corr_audit")
+    assert("(\\d+)\\) Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+    // one partial+final agg exchange and the presentation sort only
+    assert("(\\d+)\\) Exchange".r.findAllIn(p).size <= 2, p)
+  }
 }

@@ -333,4 +333,46 @@ class QualitySpec extends SparkTestBase {
       assert(m > 0.0 && m < 500.0)
     }
   }
+
+  test("Quality.corr2Micro: exact 1e6 on a perfect linear fit, NULL on a constant") {
+    import spark.implicits._
+    // y = 2x + 3 exactly; all integer products < 2^53, so the double ratio
+    // is exact and corr²·1e6 must be EXACTLY 1000000 (not ≈).
+    val df = Seq((1L, 5L, 7L), (2L, 7L, 7L), (3L, 9L, 7L), (4L, 11L, 7L), (5L, 13L, 7L))
+      .toDF("x", "y", "c")
+      .withColumn("g", org.apache.spark.sql.functions.lit("a"))
+    val r = graft.operators.Quality.corr2Micro(df, "g", "x", Seq("y", "c")).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("corr2_y_micro") === 1000000L)
+    assert(r(0).isNullAt(r(0).fieldIndex("corr2_c_micro"))) // zero variance
+    assert(r(0).getAs[Long]("n") === 5L)
+  }
+
+  test("Quality.corr2Micro matches a driver-side double reference within 1 micro") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val rows = Seq.tabulate(400) { i =>
+      val x = rnd.nextInt(1000).toLong
+      // correlated + noise, and a second near-independent column
+      (x, x / 2 + rnd.nextInt(100).toLong, rnd.nextInt(50).toLong, s"g${i % 3}")
+    }
+    val df = rows.toDF("x", "y", "z", "g")
+    val got = graft.operators.Quality.corr2Micro(df, "g", "x", Seq("y", "z"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("corr2_y_micro"), r.getAs[Long]("corr2_z_micro"))).toMap
+    rows.groupBy(_._4).foreach { case (g, rs) =>
+      def corr2(sel: ((Long, Long, Long, String)) => Long): Double = {
+        val xs = rs.map(_._1.toDouble); val ys = rs.map(r => sel(r).toDouble)
+        val n = rs.length.toDouble
+        val dxy = n * xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum
+        val dxx = n * xs.map(a => a * a).sum - xs.sum * xs.sum
+        val dyy = n * ys.map(a => a * a).sum - ys.sum * ys.sum
+        dxy * dxy / (dxx * dyy)
+      }
+      val (gy, gz) = got(g)
+      assert(math.abs(gy - math.floor(1e6 * corr2(_._2))) <= 1.0, s"y corr in $g")
+      assert(math.abs(gz - math.floor(1e6 * corr2(_._3))) <= 1.0, s"z corr in $g")
+      assert(gy > gz, s"correlated column must outscore noise in $g")
+    }
+  }
 }

@@ -49,7 +49,8 @@ class RandomFixtureParitySpec extends SparkTestBase {
       val v = if (rnd.nextInt(40) == 0) base * 20.0 else base
       Row(i.toLong,
         new Timestamp(1704067200000L + math.abs(rnd.nextLong() % (30L * 86400 * 1000))),
-        rnd.nextInt(50).toLong, types(rnd.nextInt(types.size)), v, """{"k": 1}""")
+        rnd.nextInt(50).toLong, types(rnd.nextInt(types.size)), v,
+        s"""{"k": ${1 + rnd.nextInt(60)}}""")
     }
     ParquetFixtures.writeSingleFile(
       spark.createDataFrame(rows.asJava, schema), dir, "events")
@@ -126,7 +127,7 @@ class RandomFixtureParitySpec extends SparkTestBase {
     "q100_repetition_filter", "q101_tfidf_topterms", "q114_oov_docs",
     "q118_bm25_topk", "q120_bpe_pair_stats", "q132_ngram_novelty",
     "q136_token_lift", "q107_curriculum_buckets", "q20_agg_rollup",
-    "q71_stratified_sample")
+    "q71_stratified_sample", "q140_chi2_feature")
 
   for (seed <- Seq(5, 6)) {
     test(s"text family matches DuckDB on random docs fixture seed=$seed") {
@@ -220,7 +221,8 @@ class RandomFixtureParitySpec extends SparkTestBase {
   private val eventsOnlyQueries = Seq(
     "q129_outlier_zscore", "q130_drift_tvd", "q131_ewma_smooth",
     "q133_event_funnel", "q134_winsorize", "q135_cohort_retention",
-    "q137_outlier_iqr", "q138_interevent_gap")
+    "q137_outlier_iqr", "q138_interevent_gap", "q139_pagerank",
+    "q141_corr_audit")
 
   for (seed <- Seq(1, 2, 3)) {
     test(s"quality family matches DuckDB on random fixture seed=$seed") {
