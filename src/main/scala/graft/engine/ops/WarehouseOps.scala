@@ -346,5 +346,45 @@ object WarehouseOps {
           .cast("double").as("sum_qty"))
   }
 
-  def defs: Seq[QueryDef] = Seq(q89, q90, q91, q92, q103, q109, q117, q121, q122)
+  // --- q142: join-key skew profile -----------------------------------------
+  // The statistic that DECIDES the q55 salting / AQE-skew-join question
+  // before a 100 TB join is planned: per candidate join key, the key-
+  // frequency distribution (n_keys, max, p99) and skew_micro =
+  // max_freq/mean_freq · 10⁶ — 1.0e6 means perfectly uniform, ≫ means one
+  // key serializes a task. One scan via stack() (the per-key frequency agg
+  // is map-side combined BEFORE the (col_name, key) shuffle, so the wire
+  // volume is |distinct keys|, not rows); p99 uses the q58/q138 exact-
+  // percentile parity recipe; skew_micro is one fixed-shape double over
+  // exact integer aggregates (nothing float is summed).
+  private val q142 = QueryDef(
+    "q142_skew_profile",
+    """WITH keys AS (
+      |  SELECT 'l_orderkey' AS col_name, l_orderkey AS k FROM lineitem
+      |  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+      |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem),
+      |freq AS (
+      |  SELECT col_name, k, CAST(COUNT(*) AS BIGINT) AS f
+      |  FROM keys GROUP BY col_name, k)
+      |SELECT col_name,
+      |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(SUM(f) AS BIGINT) AS n_rows,
+      |  CAST(MAX(f) AS BIGINT) AS max_freq,
+      |  CAST(ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY f), 0) AS BIGINT) AS p99_freq,
+      |  CAST(FLOOR((1000000.0 * CAST(MAX(f) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)) / CAST(SUM(f) AS DOUBLE)) AS BIGINT) AS skew_micro
+      |FROM freq GROUP BY col_name ORDER BY col_name""".stripMargin) { (s, dir) =>
+    Tables.table(s, dir, "lineitem")
+      .select(expr(
+        "stack(3, 'l_orderkey', l_orderkey, 'l_partkey', l_partkey, " +
+          "'l_suppkey', l_suppkey) AS (col_name, k)"))
+      .groupBy("col_name", "k").agg(count(lit(1)).as("f"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_keys"), sum("f").as("n_rows"),
+        max("f").as("max_freq"),
+        round(expr("percentile(f, 0.99)"), 0).cast("long").as("p99_freq"),
+        expr("CAST(FLOOR((1000000.0 * CAST(MAX(f) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)) / CAST(SUM(f) AS DOUBLE)) AS BIGINT)").as("skew_micro"))
+      .orderBy("col_name")
+  }
+
+  def defs: Seq[QueryDef] =
+    Seq(q89, q90, q91, q92, q103, q109, q117, q121, q122, q142)
 }
