@@ -21,6 +21,24 @@ import graft.operators.Graph
  */
 object GraphOps {
 
+  /** The item-transition edge list shared by the graph family: nodes =
+    * items (props.$.k), a directed edge src→dst with weight w = "users
+    * moved from item src to item dst w times" (per-user ts,event_id
+    * order; self-loops dropped). One user_id window pass (q138's exact
+    * shape) + one map-side-combined count — |item pairs| rows out,
+    * independent of event count. */
+  private def itemEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.table(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .where(col("k").isNotNull)
+      .withColumn("pk", lag(col("k"), 1).over(w))
+      .where(col("pk").isNotNull && col("pk") =!= col("k"))
+      .groupBy(col("pk").as("src"), col("k").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
   // --- q139: PageRank over the item-transition graph -----------------------
   // Nodes = items (props.$.k); a directed edge src→dst with weight w means
   // "users moved from item src to item dst w times" (per-user ts,event_id
@@ -73,19 +91,155 @@ object GraphOps {
       |    FROM e JOIN r2 ON r2.v = e.src GROUP BY e.dst) c ON c.v = nodes.v, nn)
       |SELECT v AS item, CAST(pr AS BIGINT) AS pr_scaled FROM r3
       |ORDER BY pr_scaled DESC, item LIMIT 25""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val edges = Tables.table(s, dir, "events")
-      .select(col("user_id"), col("ts"), col("event_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"))
-      .where(col("k").isNotNull)
-      .withColumn("pk", lag(col("k"), 1).over(w))
-      .where(col("pk").isNotNull && col("pk") =!= col("k"))
-      .groupBy(col("pk").as("src"), col("k").as("dst"))
-      .agg(count(lit(1)).as("w"))
-    Graph.pagerank(edges, iters = 3, d = 85)
+    Graph.pagerank(itemEdges(s, dir), iters = 3, d = 85)
       .select(col("v").as("item"), col("pr").cast("bigint").as("pr_scaled"))
       .orderBy(col("pr_scaled").desc, col("item")).limit(25)
   }
 
-  def defs: Seq[QueryDef] = Seq(q139)
+  // --- q143: personalized PageRank from the top-purchase seed set ----------
+  // "Related items for the items people BUY": the (100−d) restart mass
+  // lands only on the top-5 purchase items (content-derived, deterministic
+  // tiebreak), so rank concentrates in their transition neighborhoods —
+  // the recommendation-candidate ranking raw co-occurrence can't give
+  // (mass flows transitively). Same integer arithmetic as q139; nodes
+  // unreachable from the seeds hold 0 and are filtered.
+  private val q143 = QueryDef(
+    "q143_personalized_pagerank",
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |  FROM events),
+      |seq AS (
+      |  SELECT user_id, k,
+      |    LAG(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pk
+      |  FROM ev WHERE k IS NOT NULL),
+      |edges AS (
+      |  SELECT pk AS src, k AS dst, CAST(COUNT(*) AS BIGINT) AS w
+      |  FROM seq WHERE pk IS NOT NULL AND pk <> k GROUP BY 1, 2),
+      |nodes AS (SELECT DISTINCT src AS v FROM edges UNION SELECT DISTINCT dst FROM edges),
+      |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+      |e AS (SELECT edges.src, edges.dst, edges.w, outw.ow
+      |      FROM edges JOIN outw USING (src)),
+      |seeds AS (SELECT k AS v FROM ev WHERE event_type = 'purchase' AND k IS NOT NULL
+      |          GROUP BY k ORDER BY COUNT(*) DESC, k LIMIT 5),
+      |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM seeds),
+      |bases AS (SELECT nodes.v,
+      |            CASE WHEN nodes.v IN (SELECT v FROM seeds)
+      |                 THEN 150000000000 // ns.n ELSE 0 END AS b,
+      |            CASE WHEN nodes.v IN (SELECT v FROM seeds)
+      |                 THEN 1000000000000 // ns.n ELSE 0 END AS r0
+      |          FROM nodes, ns),
+      |eb AS (SELECT e.src, e.dst, e.w, e.ow, bases.b AS src_b, bases.r0 AS src_r0
+      |       FROM e JOIN bases ON bases.v = e.src),
+      |r1 AS (SELECT bases.v, bases.b + (85 * COALESCE(c.c, 0)) // 100 AS pr
+      |       FROM bases LEFT JOIN (
+      |         SELECT eb.dst AS v, SUM((eb.src_r0 * eb.w) // eb.ow) AS c
+      |         FROM eb GROUP BY eb.dst) c ON c.v = bases.v),
+      |r2 AS (SELECT bases.v, bases.b + (85 * COALESCE(c.c, 0)) // 100 AS pr
+      |       FROM bases LEFT JOIN (
+      |         SELECT eb.dst AS v, SUM((r1.pr * eb.w) // eb.ow) AS c
+      |         FROM eb JOIN r1 ON r1.v = eb.src GROUP BY eb.dst) c ON c.v = bases.v),
+      |r3 AS (SELECT bases.v, bases.b + (85 * COALESCE(c.c, 0)) // 100 AS pr
+      |       FROM bases LEFT JOIN (
+      |         SELECT eb.dst AS v, SUM((r2.pr * eb.w) // eb.ow) AS c
+      |         FROM eb JOIN r2 ON r2.v = eb.src GROUP BY eb.dst) c ON c.v = bases.v)
+      |SELECT v AS item, CAST(pr AS BIGINT) AS pr_scaled FROM r3
+      |WHERE pr > 0 ORDER BY pr_scaled DESC, item LIMIT 25""".stripMargin) { (s, dir) =>
+    val ev = Tables.table(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .where(col("k").isNotNull)
+    val seeds = ev.where(col("event_type") === "purchase")
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("k")).limit(5)
+      .select(col("k").as("v"))
+    Graph.personalizedPagerank(itemEdges(s, dir), seeds, iters = 3, d = 85)
+      .where(col("pr") > 0)
+      .select(col("v").as("item"), col("pr").cast("bigint").as("pr_scaled"))
+      .orderBy(col("pr_scaled").desc, col("item")).limit(25)
+  }
+
+  // --- q144: Markov transition matrix over event types ---------------------
+  // The behavioral model q139's edge build specializes: per (src, dst)
+  // event-type transition, the count and the transition probability
+  // P·10⁶ = n·10⁶ ∕∕ out_n — integer division so the 25-cell matrix is
+  // bit-exact cross-engine. One user_id window pass + two map-side-
+  // combined aggs; output is |types|² rows at any corpus size.
+  private val q144 = QueryDef(
+    "q144_markov_transitions",
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS dst,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+      |  FROM events),
+      |e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM seq WHERE src IS NOT NULL GROUP BY 1, 2),
+      |o AS (SELECT src, CAST(SUM(n) AS BIGINT) AS out_n FROM e GROUP BY src)
+      |SELECT e.src, e.dst, e.n, CAST((e.n * 1000000) // o.out_n AS BIGINT) AS p_micro
+      |FROM e JOIN o USING (src) ORDER BY src, dst""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val e = Tables.table(s, dir, "events")
+      .select(col("user_id"), col("event_type").as("dst"),
+        lag(col("event_type"), 1).over(w).as("src"))
+      .where(col("src").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    // out_n as a window over the |types|² aggregate — the oracle joins a
+    // second aggregate; the plan must not re-execute the corpus subtree.
+    e.withColumn("out_n",
+        sum("n").over(Window.partitionBy("src")))
+      .select(col("src"), col("dst"), col("n"),
+        expr("(n * 1000000) div out_n").as("p_micro"))
+      .orderBy("src", "dst")
+  }
+
+  // --- q145: degree / reciprocity profile of the item graph ----------------
+  // The structural diagnostic read before an iterative algorithm is run:
+  // per item, in/out degree and weight, plus the count of RECIPROCATED
+  // out-edges (dst also links back) — high reciprocity says the graph is
+  // effectively undirected and a cheaper symmetric algorithm applies.
+  // The reciprocity self-join runs on the EDGE AGGREGATE (|item pairs|
+  // rows, keyed both sides) — never on raw events.
+  private val q145 = QueryDef(
+    "q145_graph_degrees",
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |  FROM events),
+      |seq AS (SELECT user_id, k, LAG(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pk
+      |        FROM ev WHERE k IS NOT NULL),
+      |e AS (SELECT pk AS src, k AS dst, CAST(COUNT(*) AS BIGINT) AS w
+      |      FROM seq WHERE pk IS NOT NULL AND pk <> k GROUP BY 1, 2),
+      |outd AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS out_deg, CAST(SUM(w) AS BIGINT) AS out_w FROM e GROUP BY src),
+      |ind  AS (SELECT dst AS v, CAST(COUNT(*) AS BIGINT) AS in_deg, CAST(SUM(w) AS BIGINT) AS in_w FROM e GROUP BY dst),
+      |recip AS (SELECT a.src AS v, CAST(COUNT(*) AS BIGINT) AS n_recip
+      |          FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src GROUP BY a.src)
+      |SELECT COALESCE(outd.v, ind.v) AS item,
+      |  COALESCE(out_deg, 0) AS out_deg, COALESCE(in_deg, 0) AS in_deg,
+      |  COALESCE(out_w, 0) AS out_w, COALESCE(in_w, 0) AS in_w,
+      |  COALESCE(n_recip, 0) AS n_recip
+      |FROM outd FULL OUTER JOIN ind ON outd.v = ind.v
+      |LEFT JOIN recip ON recip.v = COALESCE(outd.v, ind.v)
+      |ORDER BY out_w + in_w DESC, item LIMIT 20""".stripMargin) { (s, dir) =>
+    // The edge aggregate feeds five plan references (out/in/recip a+b) —
+    // persist it once (the Graph.prep discipline) so the events window
+    // pass runs once, not five times.
+    val e = itemEdges(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outd = e.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("out_deg"), sum("w").as("out_w"))
+    val ind = e.groupBy(col("dst").as("v"))
+      .agg(count(lit(1)).as("in_deg"), sum("w").as("in_w"))
+    val recip = e.as("a").join(e.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+      .groupBy(col("a.src").as("v")).agg(count(lit(1)).as("n_recip"))
+    outd.join(ind, Seq("v"), "full_outer")
+      .join(recip, Seq("v"), "left")
+      .select(col("v").as("item"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("out_w"), lit(0L)).as("out_w"),
+        coalesce(col("in_w"), lit(0L)).as("in_w"),
+        coalesce(col("n_recip"), lit(0L)).as("n_recip"))
+      .orderBy((col("out_w") + col("in_w")).desc, col("item")).limit(20)
+  }
+
+  def defs: Seq[QueryDef] = Seq(q139, q143, q144, q145)
 }

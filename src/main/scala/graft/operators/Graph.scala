@@ -43,13 +43,13 @@ object Graph {
    *
    * new_pr(v) = (100−d)·Scale ∕∕ (100·N)  +  d · Σ_incoming (pr(u)·w ∕∕ outw(u)) ∕∕ 100
    */
-  def pagerank(edges: DataFrame, iters: Int = 3, d: Int = 85): DataFrame = {
-    require(iters >= 1 && d >= 0 && d <= 100)
-    // Persist the iteration-invariant tables: without this every unrolled
-    // iteration would re-execute the full edge-build lineage (GraphX
-    // persists its edge RDD for exactly this reason). MEMORY_AND_DISK —
-    // the aggregated edge list is orders smaller than the raw data but
-    // need not fit a single executor's memory.
+  /** Persist the iteration-invariant tables: without this every unrolled
+    * iteration would re-execute the full edge-build lineage (GraphX
+    * persists its edge RDD for exactly this reason). MEMORY_AND_DISK —
+    * the aggregated edge list is orders smaller than the raw data but
+    * need not fit a single executor's memory. Returns (edges+outweight,
+    * distinct nodes). */
+  private def prep(edges: DataFrame): (DataFrame, DataFrame) = {
     val outw = edges.groupBy("src").agg(sum("w").as("ow"))
     val e = edges.join(outw, "src")
       .select(col("src"), col("dst"), col("w"), col("ow"))
@@ -57,6 +57,12 @@ object Graph {
     val nodes = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    (e, nodes)
+  }
+
+  def pagerank(edges: DataFrame, iters: Int = 3, d: Int = 85): DataFrame = {
+    require(iters >= 1 && d >= 0 && d <= 100)
+    val (e, nodes) = prep(edges)
     // The ONE driver-side scalar (house precedent: the 1-row convergence
     // aggregate in Dedup's connected components).
     val n = nodes.count()
@@ -86,5 +92,54 @@ object Graph {
     // Materialize the full vector once at the end (no-in-edge nodes = base).
     nodes.join(rLast, Seq("v"), "left")
       .select(col("v"), coalesce(col("pr"), lit(base)).as("pr"))
+  }
+
+  /**
+   * Personalized PageRank: identical arithmetic to [[pagerank]], but the
+   * (100−d) restart mass lands ONLY on the `seeds` node set (uniformly)
+   * — the "related items for THESE items" ranking. `seeds` must be a
+   * (v) DataFrame and SMALL (its cardinality is collected as a scalar;
+   * the per-node seed membership itself stays distributed). Nodes
+   * unreachable from the seed set hold rank 0.
+   *
+   * Per-node restart means the iteration default is node-DEPENDENT
+   * (b(v) = restart share for seeds, 0 otherwise), so the edge table
+   * carries its source's base and start values — still one join + one
+   * aggregation per iteration.
+   */
+  def personalizedPagerank(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 3, d: Int = 85): DataFrame = {
+    require(iters >= 1 && d >= 0 && d <= 100)
+    val (e, nodes) = prep(edges)
+    val nSeeds = seeds.select(col("v")).distinct().count()
+    require(nSeeds > 0, "personalizedPagerank: empty seed set")
+    val bSeed = ((100L - d) * Scale) / (100L * nSeeds)
+    val r0Seed = Scale / nSeeds
+    val bases = nodes.join(seeds.select(col("v"), lit(true).as("__s")),
+        Seq("v"), "left")
+      .select(col("v"),
+        when(col("__s"), lit(bSeed)).otherwise(lit(0L)).as("b"),
+        when(col("__s"), lit(r0Seed)).otherwise(lit(0L)).as("r0"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eb = e.join(bases.select(col("v").as("src"), col("b").as("src_b"),
+      col("r0").as("src_r0")), Seq("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def step(r: Option[DataFrame]): DataFrame = {
+      val contribs = r match {
+        case None =>
+          eb.select(col("dst"), expr("(src_r0 * w) div ow").as("contrib"))
+        case Some(prev) =>
+          eb.join(prev.withColumnRenamed("v", "src"), Seq("src"), "left")
+            .select(col("dst"),
+              expr("(coalesce(pr, src_b) * w) div ow").as("contrib"))
+      }
+      contribs.groupBy(col("dst").as("v"))
+        .agg(expr(s"($d * sum(contrib)) div 100").as("c"))
+        .join(bases, Seq("v"))
+        .select(col("v"), (col("b") + col("c")).as("pr"))
+    }
+    val rLast = (2 to iters).foldLeft(step(None))((r, _) => step(Some(r)))
+    bases.join(rLast, Seq("v"), "left")
+      .select(col("v"), coalesce(col("pr"), col("b")).as("pr"))
   }
 }

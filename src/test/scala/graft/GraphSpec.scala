@@ -65,4 +65,48 @@ class GraphSpec extends SparkTestBase {
       .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
     assert(r(1) > r(2))
   }
+
+  /** Plain-Scala twin of Graph.personalizedPagerank's integer arithmetic. */
+  private def referencePpr(edges: Seq[(Int, Int, Long)], seeds: Set[Int],
+      iters: Int, d: Int): Map[Int, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val outw = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val bSeed = ((100L - d) * Graph.Scale) / (100L * seeds.size)
+    def b(v: Int) = if (seeds(v)) bSeed else 0L
+    var r: Map[Int, Long] =
+      nodes.map(v => v -> (if (seeds(v)) Graph.Scale / seeds.size else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .map { case (s, t, w) => t -> (r(s) * w) / outw(s) }
+        .groupBy(_._1).map { case (t, cs) => t -> cs.map(_._2).sum }
+      r = nodes.map(v => v -> (b(v) + (d * contrib.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    r
+  }
+
+  test("personalized pagerank matches an independent reimplementation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1717)
+    val raw = Seq.fill(70)((rnd.nextInt(14), rnd.nextInt(14), (rnd.nextInt(4) + 1).toLong))
+      .filter { case (s, t, _) => s != t }
+    val edges = raw.groupBy(e => (e._1, e._2))
+      .map { case ((s, t), es) => (s, t, es.map(_._3).sum) }.toSeq
+    val seedSet = Set(2, 5, 11)
+    val got = Graph.personalizedPagerank(edgesDf(edges),
+        seedSet.toSeq.toDF("v"), iters = 3, d = 85)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = referencePpr(edges, seedSet, iters = 3, d = 85)
+    assert(got === want)
+  }
+
+  test("personalized pagerank: rank mass stays in the seeds' reach") {
+    // two disconnected components; seeding in one must leave the other at 0
+    val edges = Seq((1, 2, 1L), (2, 1, 1L), (10, 11, 1L), (11, 10, 1L))
+    import spark.implicits._
+    val r = Graph.personalizedPagerank(edgesDf(edges), Seq(1).toDF("v"),
+        iters = 3, d = 85)
+      .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(r(1) > 0 && r(2) > 0)
+    assert(r(10) === 0L && r(11) === 0L)
+  }
 }

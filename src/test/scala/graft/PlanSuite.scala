@@ -460,6 +460,24 @@ class PlanSuite extends SparkTestBase {
     assert("(\\d+)\\) Scan parquet".r.findAllIn(p).size <= 3, p)
   }
 
+  test("q144 markov transitions: single corpus scan; out_n rides a tiny window") {
+    // The oracle joins a second aggregate subtree; the plan must not —
+    // one raw-events scan + one corpus window (lag), with the out_n
+    // normalization as a window over the |types|² aggregate, no join.
+    val p = plan("q144_markov_transitions")
+    assert("(\\d+)\\) Scan parquet".r.findAllIn(p).size == 1, p)
+    assert("(\\d+)\\) Window".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q145 degree profile joins run on the persisted edge aggregate") {
+    // Five plan references to the edge subtree must read the cache — one
+    // raw events scan in the whole tree, not five window passes.
+    val p = plan("q145_graph_degrees")
+    assert(p.contains("InMemoryTableScan"), p)
+    assert("(\\d+)\\) Scan parquet".r.findAllIn(p).size <= 1, p)
+  }
+
   test("q141 correlation audit is one aggregation pass — single scan, no joins") {
     val p = plan("q141_corr_audit")
     assert("(\\d+)\\) Scan parquet".r.findAllIn(p).size == 1, p)
