@@ -53,12 +53,13 @@ object Bench {
       // first run vs 2.0 s steady on the regenerated data). Warm it like
       // q66/q111 — the timed run then measures the join, not javac.
       "q124_jaccard_postings",
-      // r06 (late): q139 is the only iterative-cached-join shape in the
-      // suite — its first run pays the InMemoryRelation materialization
-      // machinery + the integer-div join/agg codegen that nothing earlier
-      // in the ASCII order compiles (measured: 2.2 s first run vs 1.2 s
-      // steady). Warm the shape once, same treatment as q66/q111/q124.
-      "q139_pagerank")
+      // r06 (late): the graph family's iterative-cached-join shapes are
+      // unique in the suite — their first runs pay the InMemoryRelation
+      // materialization machinery + integer-div join/agg codegen that
+      // nothing earlier in the ASCII order compiles (measured: q139 2.2 s
+      // first vs 1.2 steady; q143 3.7 vs 1.4; q145 1.4 vs 0.2). Warm each
+      // distinct shape once, same treatment as q66/q111/q124.
+      "q139_pagerank", "q143_personalized_pagerank", "q145_graph_degrees")
       .foreach { q =>
         try SparkEntry.queries(q)(spark, warmSf).count()
         catch { case e: Throwable =>
