@@ -185,6 +185,43 @@ object WarehouseOps {
     s"$tmp/clustered"
   }
 
+  // --- q146: partitioned (Hive-style) layout + partition pruning -----------
+  // The third leg of the layout family: q52 buckets (shuffle-free joins),
+  // q109/q122 cluster within files (row-group skipping), q146 PARTITIONS
+  // BY DIRECTORY — the coarsest and cheapest pruning a lake has, and the
+  // one every 100 TB events table uses first (scan only the partitions
+  // the predicate names; the others are never listed into the plan). The
+  // write is part of the op (the q90/q122 convention); the read-back
+  // filter must prune at the DIRECTORY level — PlanSuite pins
+  // PartitionFilters on the scan and 0 pushed data filters doing the
+  // partition work.
+  private val q146 = QueryDef(
+    "q146_partitioned_layout",
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY day""".stripMargin) { (s, dir) =>
+    s.read.parquet(partitionedWrite(s, dir))
+      .where(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .cast("double").as("sum_value"))
+      .orderBy("day")
+  }
+
+  /** The q146 layout rewrite (library API + test hook): Hive-style
+    * event_type=... partition directories; returns the output dir. The
+    * spec asserts the directory layout, q146's plan pin asserts the
+    * pruned read. */
+  def partitionedWrite(s: SparkSession, dir: String): String = {
+    val tmp = Files.createTempDirectory("q146_layout").toString
+    Tables.table(s, dir, "events")
+      .write.mode("overwrite").partitionBy("event_type")
+      .parquet(s"$tmp/partitioned")
+    s"$tmp/partitioned"
+  }
+
   // --- q117: snapshot diff (CDC classification) ----------------------------
   // The dataset-versioning primitive: given two snapshots of a keyed
   // table, classify every key as added / deleted / changed / unchanged —
@@ -386,5 +423,5 @@ object WarehouseOps {
   }
 
   def defs: Seq[QueryDef] =
-    Seq(q89, q90, q91, q92, q103, q109, q117, q121, q122, q142)
+    Seq(q89, q90, q91, q92, q103, q109, q117, q121, q122, q142, q146)
 }

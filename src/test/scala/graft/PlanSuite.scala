@@ -478,6 +478,15 @@ class PlanSuite extends SparkTestBase {
     assert("(\\d+)\\) Scan parquet".r.findAllIn(p).size <= 1, p)
   }
 
+  test("q146 partition pruning reaches the scan as PartitionFilters") {
+    // The event_type predicate must prune DIRECTORIES (PartitionFilters),
+    // not rows (PushedFilters) — the whole point of the Hive layout.
+    val p = plan("q146_partitioned_layout")
+    val scanBlock = p.split("\n").dropWhile(!_.contains("PartitionFilters")).take(3).mkString("\n")
+    assert(p.contains("PartitionFilters"), p)
+    assert(scanBlock.contains("event_type"), p)
+  }
+
   test("q141 correlation audit is one aggregation pass — single scan, no joins") {
     val p = plan("q141_corr_audit")
     assert("(\\d+)\\) Scan parquet".r.findAllIn(p).size == 1, p)

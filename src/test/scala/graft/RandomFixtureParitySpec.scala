@@ -230,7 +230,7 @@ class RandomFixtureParitySpec extends SparkTestBase {
     "q133_event_funnel", "q134_winsorize", "q135_cohort_retention",
     "q137_outlier_iqr", "q138_interevent_gap", "q139_pagerank",
     "q141_corr_audit", "q143_personalized_pagerank", "q144_markov_transitions",
-    "q145_graph_degrees")
+    "q145_graph_degrees", "q146_partitioned_layout")
 
   for (seed <- Seq(1, 2, 3)) {
     test(s"quality family matches DuckDB on random fixture seed=$seed") {

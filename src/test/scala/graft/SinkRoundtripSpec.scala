@@ -116,4 +116,24 @@ class SinkRoundtripSpec extends SparkTestBase {
     assert(octant < full,
       s"z-range probe did not narrow the part-key span ($octant vs $full)")
   }
+
+  test("q146 partitioned layout writes Hive-style dirs; a filter reads one") {
+    import org.apache.spark.sql.functions._
+    val out = graft.engine.ops.WarehouseOps.partitionedWrite(spark, sfDir)
+    val dirs = Option(new java.io.File(out).listFiles()).get
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.length == 5 && dirs.forall(_.startsWith("event_type=")),
+      s"expected 5 event_type=... partition dirs, got: ${dirs.mkString(", ")}")
+    // the pruned read touches exactly the one partition's files
+    val df = spark.read.parquet(out).where(col("event_type") === "purchase")
+    val scanned = df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }.sum
+    assert(scanned == 1, s"expected 1 selected partition, got $scanned")
+    // and the result equals the unpartitioned filter
+    val expected = graft.engine.Tables.table(spark, sfDir, "events")
+      .where(col("event_type") === "purchase").count()
+    assert(df.count() == expected)
+  }
 }
