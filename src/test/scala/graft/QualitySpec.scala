@@ -334,6 +334,35 @@ class QualitySpec extends SparkTestBase {
     }
   }
 
+  test("q140 chi2: everywhere-tokens are excluded; a planted marker tops its language") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("chi2_docs")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    // "common" appears in EVERY doc (R = N ⇒ chi² undefined ⇒ excluded);
+    // "marker" appears in exactly the de docs and nowhere else.
+    val rows = (0 until 40).map { i =>
+      val lang = if (i % 4 == 0) "de" else "en"
+      val text = if (lang == "de") s"common marker w$i" else s"common w$i x${i % 7}"
+      Row(i.toLong, text, lang, "s", text.length.toLong)
+    }
+    ParquetFixtures.writeSingleFile(
+      spark.createDataFrame(rows.asJava, schema), dir, "documents")
+    val r = SparkEntry.queries("q140_chi2_feature")(spark, dir.toString).collect()
+    assert(!r.exists(_.getString(0) == "common"), "R=N token must be excluded")
+    val topRow = r.head
+    assert(topRow.getString(0) == "marker" && topRow.getString(1) == "de",
+      s"perfectly discriminative token must rank first, got $topRow")
+    // and its (marker, en) cell must carry a = 0 but still score > 0
+    val markerEn = r.find(x => x.getString(0) == "marker" && x.getString(1) == "en")
+    assert(markerEn.exists(x => x.getAs[Long]("n_t_lang") == 0L
+      && x.getAs[Long]("chi2_micro") > 0L), s"a=0 cell missing: $markerEn")
+  }
+
   test("Quality.corr2Micro: exact 1e6 on a perfect linear fit, NULL on a constant") {
     import spark.implicits._
     // y = 2x + 3 exactly; all integer products < 2^53, so the double ratio
