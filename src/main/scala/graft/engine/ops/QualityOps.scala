@@ -334,6 +334,55 @@ object QualityOps {
       .orderBy("event_type")
   }
 
+  // --- q148: A/B conversion lift on the hash split --------------------------
+  // The experimentation readout: users split into variants by the
+  // deterministic key split (user_id % 2 — the q80 admission idea at its
+  // simplest), conversion = any high-value purchase (value > 150 ≈ p93 of
+  // the purchase distribution, so the rate is non-degenerate), lift =
+  // variant conversion vs control in exact ppm (integer division; NULL if
+  // control converts nobody). Two map-side-combined aggregation levels
+  // (user, then variant) — the per-user MAX collapses before the wire.
+  private val q148 = QueryDef(
+    "q148_ab_lift",
+    """WITH u AS (
+      |  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
+      |    MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS converted,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY user_id),
+      |v AS (
+      |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(SUM(converted) AS BIGINT) AS n_converted,
+      |    CAST(SUM(n_events) AS BIGINT) AS n_events
+      |  FROM u GROUP BY variant),
+      |w AS (
+      |  SELECT variant, n_users, n_converted, n_events,
+      |    (n_converted * 1000000) // n_users AS conv_ppm,
+      |    FIRST_VALUE((n_converted * 1000000) // n_users) OVER (ORDER BY variant) AS ctrl_ppm
+      |  FROM v)
+      |SELECT variant, n_users, n_converted, n_events, CAST(conv_ppm AS BIGINT) AS conv_ppm,
+      |  CASE WHEN ctrl_ppm = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST((conv_ppm * 1000000) // ctrl_ppm AS BIGINT) END AS lift_vs_control_ppm
+      |FROM w ORDER BY variant""".stripMargin) { (s, dir) =>
+    val u = Tables.table(s, dir, "events")
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 150, 1)
+        .otherwise(0)).as("converted"),
+        count(lit(1)).as("n_events"))
+      .withColumn("variant", expr("CAST(user_id % 2 AS INT)"))
+    val v = u.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"), sum("converted").as("n_converted"),
+        sum("n_events").as("n_events"))
+      .withColumn("conv_ppm", expr("(n_converted * 1000000) div n_users"))
+    v.withColumn("ctrl_ppm", expr(
+        "first_value(conv_ppm) over (order by variant)"))
+      .select(col("variant"), col("n_users"), col("n_converted"),
+        col("n_events"), col("conv_ppm"),
+        expr("""CASE WHEN ctrl_ppm = 0 THEN CAST(NULL AS BIGINT)
+               |ELSE (conv_ppm * 1000000) div ctrl_ppm END""".stripMargin)
+          .as("lift_vs_control_ppm"))
+      .orderBy("variant")
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(q129, q130, q131, q132, q133, q134, q135, q137, q138, q141)
+    Seq(q129, q130, q131, q132, q133, q134, q135, q137, q138, q141, q148)
 }

@@ -127,7 +127,8 @@ class RandomFixtureParitySpec extends SparkTestBase {
     "q100_repetition_filter", "q101_tfidf_topterms", "q114_oov_docs",
     "q118_bm25_topk", "q120_bpe_pair_stats", "q132_ngram_novelty",
     "q136_token_lift", "q107_curriculum_buckets", "q20_agg_rollup",
-    "q71_stratified_sample", "q140_chi2_feature", "q68_array_predicates")
+    "q71_stratified_sample", "q140_chi2_feature", "q68_array_predicates",
+    "q147_padding_audit")
 
   for (seed <- Seq(5, 6)) {
     test(s"text family matches DuckDB on random docs fixture seed=$seed") {
@@ -230,7 +231,7 @@ class RandomFixtureParitySpec extends SparkTestBase {
     "q133_event_funnel", "q134_winsorize", "q135_cohort_retention",
     "q137_outlier_iqr", "q138_interevent_gap", "q139_pagerank",
     "q141_corr_audit", "q143_personalized_pagerank", "q144_markov_transitions",
-    "q145_graph_degrees", "q146_partitioned_layout")
+    "q145_graph_degrees", "q146_partitioned_layout", "q148_ab_lift")
 
   for (seed <- Seq(1, 2, 3)) {
     test(s"quality family matches DuckDB on random fixture seed=$seed") {
