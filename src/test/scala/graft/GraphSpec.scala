@@ -99,6 +99,17 @@ class GraphSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("the library is node-type generic: string ids rank identically to ints") {
+    import spark.implicits._
+    val intEdges = Seq((1, 2, 3L), (2, 3, 1L), (3, 1, 2L), (1, 3, 1L))
+    val strEdges = intEdges.map { case (s, t, w) => (s"n$s", s"n$t", w) }
+    val ri = Graph.pagerank(intEdges.toDF("src", "dst", "w"))
+      .collect().map(r => s"n${r.getInt(0)}" -> r.getLong(1)).toMap
+    val rs = Graph.pagerank(strEdges.toDF("src", "dst", "w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ri === rs)
+  }
+
   test("personalized pagerank: rank mass stays in the seeds' reach") {
     // two disconnected components; seeding in one must leave the other at 0
     val edges = Seq((1, 2, 1L), (2, 1, 1L), (10, 11, 1L), (11, 10, 1L))
