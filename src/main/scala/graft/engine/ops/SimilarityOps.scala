@@ -902,7 +902,80 @@ object SimilarityOps {
     }
   }
 
+  // --- q149: entity resolution capstone (fuzzy match → cluster → canonical) -
+  // The MDM pipeline end to end: q66's blocked fuzzy candidate machinery
+  // (PassJoin segment keys over the DISTINCT name vocabulary + the
+  // (brand, type) natural block) feeds q75's connected components, and
+  // each cluster elects its canonical record (min key — the CC label by
+  // the min-label convention) with its name. Everything stays blocked and
+  // vocabulary-scale: no all-pairs on rows, the name-pair set is
+  // broadcast, CC shuffles the pair aggregate only. Singleton records
+  // (no fuzzy neighbor) are not clusters and don't appear — the q75
+  // convention, mirrored by the oracle's edge-derived node set.
+  private val q149 = QueryDef(
+    "q149_entity_resolution",
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.p_partkey AS u, b.p_partkey AS v
+      |  FROM part a JOIN part b
+      |    ON a.p_brand = b.p_brand AND a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+      |  WHERE levenshtein(a.p_name, b.p_name) <= 3),
+      |edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+      |nodes AS (SELECT DISTINCT u AS node FROM edges),
+      |reach AS (
+      |  SELECT node AS src, node AS dst FROM nodes
+      |  UNION
+      |  SELECT r.src, e.v AS dst FROM reach r JOIN edges e ON r.dst = e.u),
+      |comp AS (SELECT src, CAST(MIN(dst) AS BIGINT) AS component FROM reach GROUP BY src),
+      |cl AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members FROM comp GROUP BY component)
+      |SELECT cl.component, cl.n_members, p.p_name AS canonical_name
+      |FROM cl JOIN part p ON p.p_partkey = cl.component
+      |ORDER BY cl.n_members DESC, cl.component LIMIT 100""".stripMargin) { (s, dir) =>
+    val p = Tables.table(s, dir, "part")
+      .select("p_partkey", "p_brand", "p_type", "p_name")
+    // ATOM-LEVEL resolution — the 100 TB-correct altitude: all records
+    // sharing (name, brand, type) are trivially one entity, so the CC
+    // atom is the GROUP (node id = its min record key, the same min-label
+    // the row formulation converges to), never the row. The row-level
+    // pair set here is 84k pairs over 64 distinct names at sf0.1; the
+    // atom edge set is vocabulary×blocks-sized — orders smaller, and the
+    // gap widens with row count. Bit-identical to the oracle's row-level
+    // recursive closure.
+    val g = p.groupBy("p_name", "p_brand", "p_type")
+      .agg(min("p_partkey").as("node"), count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nn = graft.operators.FuzzyJoin
+      .similarStringPairs(p.select("p_name"), "p_name", 3)
+    val sym = nn.select(explode(array(
+        struct(col("str_a"), col("str_b")),
+        struct(col("str_b").as("str_a"), col("str_a").as("str_b")))).as("pr"))
+      .select(col("pr.str_a").as("str_a"), col("pr.str_b").as("str_b"))
+    val edges = g.select(col("p_name").as("str_a"), col("p_brand"),
+        col("p_type"), col("node").as("u"))
+      .join(broadcast(sym), "str_a") // vocabulary-scale
+      .join(g.select(col("p_name").as("str_b"), col("p_brand"),
+        col("p_type"), col("node").as("v")), Seq("str_b", "p_brand", "p_type"))
+      .where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val comp = graft.operators.Dedup.connectedComponents(
+      edges, "u", "v", shufflePartitions = Some(2))
+    // groups with a fuzzy neighbor take their CC label; edge-less groups
+    // are entities only if they hold ≥ 2 records (the row formulation's
+    // exact pairs) — lone records are not clusters (q75 convention).
+    val labeled = g.join(comp, Seq("node"), "left")
+      .where(col("label").isNotNull || col("cnt") >= 2)
+      .select(coalesce(col("label"), col("node")).as("component"), col("cnt"))
+    labeled.groupBy("component")
+      .agg(sum("cnt").as("n_members"))
+      .join(p.select(col("p_partkey").as("component"),
+        col("p_name").as("canonical_name")), "component")
+      .select(col("component").cast("bigint").as("component"),
+        col("n_members"), col("canonical_name"))
+      .orderBy(col("n_members").desc, col("component")).limit(100)
+  }
+
   def defs: Seq[QueryDef] =
     Seq(q47, q48, q49, q50, q63, q66, q75, q88, q97, q102, q111, q112, q124,
-      q125, q126, q127, q128)
+      q125, q126, q127, q128, q149)
 }

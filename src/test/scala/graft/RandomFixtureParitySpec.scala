@@ -213,7 +213,7 @@ class RandomFixtureParitySpec extends SparkTestBase {
     "q24_udaf_second_max", "q60_sample", "q64_merge_upsert",
     "q90_compact_small_files", "q95_higher_order_funcs", "q96_map_funcs",
     "q103_bloom_semi_join", "q117_snapshot_diff", "q121_incremental_agg",
-    "q122_zorder_layout", "q142_skew_profile")
+    "q122_zorder_layout", "q142_skew_profile", "q149_entity_resolution")
 
   for (seed <- Seq(8, 9)) {
     test(s"relational core matches DuckDB on random star fixture seed=$seed") {
