@@ -241,5 +241,48 @@ object GraphOps {
       .orderBy((col("out_w") + col("in_w")).desc, col("item")).limit(20)
   }
 
-  def defs: Seq[QueryDef] = Seq(q139, q143, q144, q145)
+  // --- q150: bounded-hop BFS from the top purchase item --------------------
+  // "What can a user reach in ≤ 3 transitions from the item people buy
+  // most" — the navigation-structure primitive PageRank doesn't give
+  // (distance, not mass). Synchronous frontier relaxation on the
+  // persisted edge aggregate: d_{k+1}(v) = min(d_k(v), 1 + min d_k(src))
+  // — pure integer hops, so the unrolled UNION/MIN oracle is bit-exact.
+  private val q150 = QueryDef(
+    "q150_shortest_paths",
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |  FROM events),
+      |seq AS (SELECT user_id, k,
+      |    LAG(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pk
+      |  FROM ev WHERE k IS NOT NULL),
+      |edges AS (SELECT pk AS src, k AS dst FROM seq
+      |          WHERE pk IS NOT NULL AND pk <> k GROUP BY 1, 2),
+      |root AS (SELECT k AS v FROM ev WHERE event_type = 'purchase' AND k IS NOT NULL
+      |         GROUP BY k ORDER BY COUNT(*) DESC, k LIMIT 1),
+      |d0 AS (SELECT v, 0 AS dist FROM root),
+      |d1 AS (SELECT v, MIN(dist) AS dist FROM (
+      |         SELECT * FROM d0 UNION ALL
+      |         SELECT e.dst AS v, d0.dist + 1 FROM d0 JOIN edges e ON e.src = d0.v) GROUP BY v),
+      |d2 AS (SELECT v, MIN(dist) AS dist FROM (
+      |         SELECT * FROM d1 UNION ALL
+      |         SELECT e.dst AS v, d1.dist + 1 FROM d1 JOIN edges e ON e.src = d1.v) GROUP BY v),
+      |d3 AS (SELECT v, MIN(dist) AS dist FROM (
+      |         SELECT * FROM d2 UNION ALL
+      |         SELECT e.dst AS v, d2.dist + 1 FROM d2 JOIN edges e ON e.src = d2.v) GROUP BY v)
+      |SELECT CAST(v AS INTEGER) AS item, CAST(dist AS BIGINT) AS hops
+      |FROM d3 ORDER BY hops, item LIMIT 200""".stripMargin) { (s, dir) =>
+    val root = Tables.table(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .where(col("k").isNotNull && col("event_type") === "purchase")
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("k")).limit(1)
+      .select(col("k").as("v"))
+    Graph.shortestPaths(itemEdges(s, dir), root, maxHops = 3)
+      .select(col("v").cast("int").as("item"), col("dist").as("hops"))
+      .orderBy("hops", "item").limit(200)
+  }
+
+  def defs: Seq[QueryDef] = Seq(q139, q143, q144, q145, q150)
 }

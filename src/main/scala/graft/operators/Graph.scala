@@ -142,4 +142,27 @@ object Graph {
     bases.join(rLast, Seq("v"), "left")
       .select(col("v"), coalesce(col("pr"), col("b")).as("pr"))
   }
+
+  /**
+   * Bounded-hop BFS shortest paths: minimum hop count from the `sources`
+   * node set (a (v) DataFrame) to every node reachable within `maxHops`,
+   * by synchronous frontier relaxation — d_{k+1}(v) = min(d_k(v),
+   * 1 + min over in-edges of d_k(src)). Pure integer arithmetic; each
+   * round is one node-keyed join + one map-side-combined MIN aggregation
+   * over the persisted edge list (the [[pagerank]] scale shape).
+   * Unreached nodes are absent from the result.
+   */
+  def shortestPaths(edges: DataFrame, sources: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val d0 = sources.select(col("v"), lit(0L).as("dist"))
+    (1 to maxHops).foldLeft(d0) { (d, _) =>
+      d.unionByName(
+          e.join(d.withColumnRenamed("v", "src"), "src")
+            .select(col("dst").as("v"), (col("dist") + 1).as("dist")))
+        .groupBy("v").agg(min("dist").as("dist"))
+    }
+  }
 }

@@ -110,6 +110,30 @@ class GraphSpec extends SparkTestBase {
     assert(ri === rs)
   }
 
+  test("shortestPaths matches an independent BFS on a random graph; bounds hold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(909)
+    val edges = Seq.fill(40)((rnd.nextInt(15), rnd.nextInt(15)))
+      .filter { case (s, t) => s != t }.distinct.map { case (s, t) => (s, t, 1L) }
+    val sources = Set(0, 7)
+    val got = Graph.shortestPaths(edges.toDF("src", "dst", "w"),
+        sources.toSeq.toDF("v"), maxHops = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // reference BFS, capped at 3 hops
+    var dist = sources.map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val next = edges.flatMap { case (s, t, _) =>
+        dist.get(s).map(d => t -> (d + 1)) }
+        .groupBy(_._1).map { case (t, ds) => t -> ds.map(_._2).min }
+      dist = (dist.keySet ++ next.keySet)
+        .map(v => v -> math.min(dist.getOrElse(v, Long.MaxValue),
+          next.getOrElse(v, Long.MaxValue))).toMap
+    }
+    assert(got === dist)
+    assert(got.values.forall(d => d >= 0 && d <= 3))
+    assert(sources.forall(s => !got.contains(s) || got(s) == 0L))
+  }
+
   test("personalized pagerank: rank mass stays in the seeds' reach") {
     // two disconnected components; seeding in one must leave the other at 0
     val edges = Seq((1, 2, 1L), (2, 1, 1L), (10, 11, 1L), (11, 10, 1L))

@@ -231,7 +231,8 @@ class RandomFixtureParitySpec extends SparkTestBase {
     "q133_event_funnel", "q134_winsorize", "q135_cohort_retention",
     "q137_outlier_iqr", "q138_interevent_gap", "q139_pagerank",
     "q141_corr_audit", "q143_personalized_pagerank", "q144_markov_transitions",
-    "q145_graph_degrees", "q146_partitioned_layout", "q148_ab_lift")
+    "q145_graph_degrees", "q146_partitioned_layout", "q148_ab_lift",
+    "q150_shortest_paths")
 
   for (seed <- Seq(1, 2, 3)) {
     test(s"quality family matches DuckDB on random fixture seed=$seed") {
