@@ -59,7 +59,14 @@ object Bench {
       // nothing earlier in the ASCII order compiles (measured: q139 2.2 s
       // first vs 1.2 steady; q143 3.7 vs 1.4; q145 1.4 vs 0.2). Warm each
       // distinct shape once, same treatment as q66/q111/q124.
-      "q139_pagerank", "q143_personalized_pagerank", "q145_graph_degrees")
+      "q139_pagerank", "q143_personalized_pagerank", "q145_graph_degrees",
+      // r07 (VERDICT r06 #1c): the remaining iterative-cached shapes —
+      // q150's per-hop materialized BFS frontier and q149's PassJoin →
+      // CC → election pipeline — get the same warm-session treatment as
+      // their q139/q143/q145 siblings (their sf0.1 first-run
+      // InMemoryRelation cost is what the driver-window spikes amplified
+      // to 3.7 s in the r06 recorded run).
+      "q150_shortest_paths", "q149_entity_resolution", "q152_pagerank_states")
       .foreach { q =>
         try SparkEntry.queries(q)(spark, warmSf).count()
         catch { case e: Throwable =>
@@ -133,9 +140,23 @@ object Bench {
     // to ignore it. The HARD gate stays absolute — it is the contract.
     val softTotal = math.min(0.67 * SparkEntry.queries.size, 85.0)
     val hardTotal = 90.0
-    val overBudget = results.collect {
-      case (k, v, true) if v > perQueryBudget => "\"" + k + "\""
-    }.mkString("[", ",", "]")
+    val overBudgetKeys = results.collect {
+      case (k, v, true) if v > perQueryBudget => k
+    }
+    val overBudget = overBudgetKeys.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Over-budget re-time (r07, VERDICT r06 #4): a query over the per-query
+    // budget is re-timed ONCE after the suite (untimed w.r.t. the gate and
+    // the total). A structural regression reproduces its slow time here; a
+    // host-window spike recovers — the JSON self-adjudicates the ambiguity
+    // that made r06's q12 5.18-vs-1.58 call require bench_runs archaeology.
+    val retimed = overBudgetKeys.map { k =>
+      val t = try {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(k)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+      "\"" + k + "\":" + t
+    }.mkString("{", ",", "}")
     // Host-mode canary (SCALING.md §variance): this host is bimodal, and a
     // stalled run inflates EVERY query ~uniformly. Re-time a trivial query
     // (global top-10 over 150k rows; ~0.2 s clean, ≥3× that stalled) three
@@ -152,7 +173,7 @@ object Bench {
     val canaryShuffle = canaryOf("q11_join_shuffle")
     val exceeded = total > hardTotal
     val warmFailedJson = warmupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"warmup_failed":$warmFailedJson,"over_budget":$overBudget,"soft_budget_sec":$softTotal,"budget_exceeded":$exceeded,"canary_pre_sec":$canaryPre,"canary_shuffle_pre_sec":$canaryShufflePre,"canary_mid_sec":$canaryMid,"canary_shuffle_mid_sec":$canaryShuffleMid,"canary_sec":$canary,"canary_shuffle_sec":$canaryShuffle,"sf":"$sfDir"}"""
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"warmup_failed":$warmFailedJson,"over_budget":$overBudget,"retimed":$retimed,"soft_budget_sec":$softTotal,"budget_exceeded":$exceeded,"canary_pre_sec":$canaryPre,"canary_shuffle_pre_sec":$canaryShufflePre,"canary_mid_sec":$canaryMid,"canary_shuffle_mid_sec":$canaryShuffleMid,"canary_sec":$canary,"canary_shuffle_sec":$canaryShuffle,"sf":"$sfDir"}"""
     println(jsonLine)
     // Full per-query artifact (r05, VERDICT r04 #4): the driver's
     // BENCH_r*.json keeps only the tail of stdout, so early-alphabet query
@@ -162,7 +183,7 @@ object Bench {
     // cwd must not fail the capture.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full_r6.json")),
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full_r7.json")),
       jsonLine + "\n")
     catch { case _: Throwable => () }
     // Append-only run history (r06, ADVICE r05 #1): the driver's post-round
@@ -180,6 +201,10 @@ object Bench {
       System.err.println(f"BENCH BUDGET FAILURE: total $total%.1f s exceeds the $hardTotal%.0f s gate (canary $canary%.2f s)")
     else if (total > softTotal)
       System.err.println(f"BENCH BUDGET WARNING: total $total%.1f s exceeds the $softTotal%.0f s soft budget (gate $hardTotal%.0f s, canary $canary%.2f s)")
+    // Session-end release of the library's long-lived caches (r07, ADVICE
+    // r06 #1): the cross-query reuse (the graph family shares one edge
+    // cache) is deliberate DURING the run; the bound is this hook.
+    graft.engine.CacheReaper.release()
     spark.stop()
   }
 }

@@ -49,6 +49,9 @@ object Verify {
       .filter { case (k, _) => keep(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Session-end release of the library's long-lived caches (r07, ADVICE
+    // r06 #1) — every query result is fully written by here.
+    graft.engine.CacheReaper.release()
     spark.stop()
   }
 }

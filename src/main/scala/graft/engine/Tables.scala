@@ -152,12 +152,32 @@ object Tables {
         }
     }
 
+  /** Session-lifetime cache of the INFERRED physical parquet schema per
+    * (path, mtime, size). Every query builder calls [[table]] 1–6× and a
+    * bench/verify run makes 151+ of those calls — without this, each one
+    * re-reads parquet footers at analysis time, pure constant driver-path
+    * latency (r07, VERDICT r06 #5). Invalidation is by file mtime+size
+    * (the q121 incremental-agg precedent): a regenerated input re-infers;
+    * an unchanged one passes the cached schema to `spark.read.schema(...)`,
+    * which skips footer-based inference entirely. The cached schema is the
+    * PHYSICAL one — [[normalize]] still runs per load, so drift handling
+    * is unchanged. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), StructType]()
+
+  private def physicalSchema(spark: SparkSession, path: String): StructType = {
+    val f = new java.io.File(path)
+    schemaCache.computeIfAbsent((path, f.lastModified(), f.length()),
+      _ => spark.read.parquet(path).schema)
+  }
+
   /** Read one table, normalized to its canonical schema. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Keep setting the legacy flag: inert on µs files, required for ns
     // files — so pre-regeneration data still loads through the same path.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalize(name, spark.read.parquet(s"$sfDir/$name.parquet"))
+    val path = s"$sfDir/$name.parquet"
+    normalize(name, spark.read.schema(physicalSchema(spark, path)).parquet(path))
   }
 
   /** Streaming read of one table file with the SAME normalization as the
@@ -166,7 +186,7 @@ object Tables {
     * sources need a directory: point at the sf dir and glob-filter. */
   def tableStream(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/$name.parquet").schema
+    val schema = physicalSchema(s, s"$dir/$name.parquet")
     normalize(name, s.readStream.schema(schema)
       .option("pathGlobFilter", s"$name.parquet").parquet(dir))
   }

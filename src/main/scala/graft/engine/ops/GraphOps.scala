@@ -221,8 +221,8 @@ object GraphOps {
     // The edge aggregate feeds five plan references (out/in/recip a+b) —
     // persist it once (the Graph.prep discipline) so the events window
     // pass runs once, not five times.
-    val e = itemEdges(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = graft.engine.CacheReaper.track(itemEdges(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val outd = e.groupBy(col("src").as("v"))
       .agg(count(lit(1)).as("out_deg"), sum("w").as("out_w"))
     val ind = e.groupBy(col("dst").as("v"))
@@ -284,5 +284,60 @@ object GraphOps {
       .orderBy("hops", "item").limit(200)
   }
 
-  def defs: Seq[QueryDef] = Seq(q139, q143, q144, q145, q150)
+  // --- q152: PageRank over the event-type transition graph (string keys) ---
+  // The library is node-type generic (GraphSpec proves string ids rank
+  // bit-identically to ints); this key exercises that genericity
+  // END-TO-END with a full oracle (r07, VERDICT r06 #6): nodes = event
+  // TYPES (strings), edges = the per-user transition counts q144's Markov
+  // matrix is built from (self-loops dropped, as in q139). "Which
+  // behavioral state does user traffic structurally concentrate in" —
+  // same integer picorank arithmetic, so the unrolled WITH-chain oracle
+  // is bit-exact over string node ids too.
+  private val q152 = QueryDef(
+    "q152_pagerank_states",
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS dst,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+      |  FROM events),
+      |edges AS (
+      |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+      |  FROM seq WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+      |nodes AS (SELECT DISTINCT src AS v FROM edges UNION SELECT DISTINCT dst FROM edges),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+      |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+      |e AS (SELECT edges.src, edges.dst, edges.w, outw.ow
+      |      FROM edges JOIN outw USING (src)),
+      |r1 AS (
+      |  SELECT nodes.v,
+      |    (15000000000000 // (100 * nn.n)) + (85 * COALESCE(c.c, 0)) // 100 AS pr
+      |  FROM nodes LEFT JOIN (
+      |    SELECT e.dst AS v, SUM(((1000000000000 // nn.n) * e.w) // e.ow) AS c
+      |    FROM e, nn GROUP BY e.dst) c ON c.v = nodes.v, nn),
+      |r2 AS (
+      |  SELECT nodes.v,
+      |    (15000000000000 // (100 * nn.n)) + (85 * COALESCE(c.c, 0)) // 100 AS pr
+      |  FROM nodes LEFT JOIN (
+      |    SELECT e.dst AS v, SUM((r1.pr * e.w) // e.ow) AS c
+      |    FROM e JOIN r1 ON r1.v = e.src GROUP BY e.dst) c ON c.v = nodes.v, nn),
+      |r3 AS (
+      |  SELECT nodes.v,
+      |    (15000000000000 // (100 * nn.n)) + (85 * COALESCE(c.c, 0)) // 100 AS pr
+      |  FROM nodes LEFT JOIN (
+      |    SELECT e.dst AS v, SUM((r2.pr * e.w) // e.ow) AS c
+      |    FROM e JOIN r2 ON r2.v = e.src GROUP BY e.dst) c ON c.v = nodes.v, nn)
+      |SELECT v AS event_type, CAST(pr AS BIGINT) AS pr_scaled FROM r3
+      |ORDER BY pr_scaled DESC, event_type""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val edges = Tables.table(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("dst"))
+      .withColumn("src", lag(col("dst"), 1).over(w))
+      .where(col("src").isNotNull && col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    Graph.pagerank(edges, iters = 3, d = 85)
+      .select(col("v").as("event_type"), col("pr").cast("bigint").as("pr_scaled"))
+      .orderBy(col("pr_scaled").desc, col("event_type"))
+  }
+
+  def defs: Seq[QueryDef] = Seq(q139, q143, q144, q145, q150, q152)
 }

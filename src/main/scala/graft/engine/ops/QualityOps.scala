@@ -357,10 +357,10 @@ object QualityOps {
       |w AS (
       |  SELECT variant, n_users, n_converted, n_events,
       |    (n_converted * 1000000) // n_users AS conv_ppm,
-      |    FIRST_VALUE((n_converted * 1000000) // n_users) OVER (ORDER BY variant) AS ctrl_ppm
+      |    MAX(CASE WHEN variant = 0 THEN (n_converted * 1000000) // n_users END) OVER () AS ctrl_ppm
       |  FROM v)
       |SELECT variant, n_users, n_converted, n_events, CAST(conv_ppm AS BIGINT) AS conv_ppm,
-      |  CASE WHEN ctrl_ppm = 0 THEN CAST(NULL AS BIGINT)
+      |  CASE WHEN ctrl_ppm IS NULL OR ctrl_ppm = 0 THEN CAST(NULL AS BIGINT)
       |       ELSE CAST((conv_ppm * 1000000) // ctrl_ppm AS BIGINT) END AS lift_vs_control_ppm
       |FROM w ORDER BY variant""".stripMargin) { (s, dir) =>
     val u = Tables.table(s, dir, "events")
@@ -373,11 +373,15 @@ object QualityOps {
       .agg(count(lit(1)).as("n_users"), sum("converted").as("n_converted"),
         sum("n_events").as("n_events"))
       .withColumn("conv_ppm", expr("(n_converted * 1000000) div n_users"))
+    // Control is EXPLICITLY variant 0 (r07, ADVICE r06 #4): the previous
+    // FIRST_VALUE(... ORDER BY variant) silently promoted variant 1 to its
+    // own control when variant 0 had no users (lift ≡ 1e6); the MAX-over-
+    // CASE lookup makes a missing control arm surface as NULL lift instead.
     v.withColumn("ctrl_ppm", expr(
-        "first_value(conv_ppm) over (order by variant)"))
+        "max(CASE WHEN variant = 0 THEN conv_ppm END) over ()"))
       .select(col("variant"), col("n_users"), col("n_converted"),
         col("n_events"), col("conv_ppm"),
-        expr("""CASE WHEN ctrl_ppm = 0 THEN CAST(NULL AS BIGINT)
+        expr("""CASE WHEN ctrl_ppm IS NULL OR ctrl_ppm = 0 THEN CAST(NULL AS BIGINT)
                |ELSE (conv_ppm * 1000000) div ctrl_ppm END""".stripMargin)
           .as("lift_vs_control_ppm"))
       .orderBy("variant")

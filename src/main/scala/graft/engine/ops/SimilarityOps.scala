@@ -940,9 +940,10 @@ object SimilarityOps {
     // atom edge set is vocabulary×blocks-sized — orders smaller, and the
     // gap widens with row count. Bit-identical to the oracle's row-level
     // recursive closure.
-    val g = p.groupBy("p_name", "p_brand", "p_type")
-      .agg(min("p_partkey").as("node"), count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = graft.engine.CacheReaper.track(
+      p.groupBy("p_name", "p_brand", "p_type")
+        .agg(min("p_partkey").as("node"), count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nn = graft.operators.FuzzyJoin
       .similarStringPairs(p.select("p_name"), "p_name", 3)
     val sym = nn.select(explode(array(

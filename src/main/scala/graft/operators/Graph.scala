@@ -31,6 +31,25 @@ object Graph {
   /** 1e12 — rank mass carried in picorank units (integer). */
   val Scale: Long = 1000000000000L
 
+  /** Largest per-edge weight the integer rank math carries exactly:
+    * per-node rank is ≤ Scale by construction, so rank·w stays below 2^63
+    * iff w ≤ this (~9.2e6). Enforced in [[pagerank]] /
+    * [[personalizedPagerank]] (r07, ADVICE r06 #3 — previously a doc
+    * comment only, so an oversized weight silently overflowed Long and
+    * corrupted every rank). */
+  val MaxEdgeWeight: Long = Long.MaxValue / Scale
+
+  /** One cheap aggregate on the (persisted, already-materialized) edge
+    * table: fail loudly when the overflow-headroom contract is violated
+    * instead of returning meaningless ranks. */
+  private def requireWeightHeadroom(e: DataFrame): Unit = {
+    val maxW = e.agg(max(col("w"))).first().getLong(0)
+    require(maxW <= MaxEdgeWeight,
+      s"pagerank: max edge weight $maxW exceeds the exact-arithmetic " +
+        s"headroom $MaxEdgeWeight (rank*w must stay below 2^63) — " +
+        "pre-normalize edge weights")
+  }
+
   /**
    * Weighted PageRank over a directed edge list, `iters` synchronous
    * iterations from a uniform start, damping `d`/100 (integer percent —
@@ -51,12 +70,14 @@ object Graph {
     * distinct nodes). */
   private def prep(edges: DataFrame): (DataFrame, DataFrame) = {
     val outw = edges.groupBy("src").agg(sum("w").as("ow"))
-    val e = edges.join(outw, "src")
-      .select(col("src"), col("dst"), col("w"), col("ow"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("v"))
-      .union(e.select(col("dst").as("v"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = graft.engine.CacheReaper.track(
+      edges.join(outw, "src")
+        .select(col("src"), col("dst"), col("w"), col("ow"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val nodes = graft.engine.CacheReaper.track(
+      e.select(col("src").as("v"))
+        .union(e.select(col("dst").as("v"))).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
     (e, nodes)
   }
 
@@ -67,6 +88,7 @@ object Graph {
     // aggregate in Dedup's connected components).
     val n = nodes.count()
     require(n > 0, "pagerank: empty graph")
+    requireWeightHeadroom(e)
     val base = ((100L - d) * Scale) / (100L * n)
     // Iterations carry ranks ONLY for nodes with in-edges: a node with no
     // incoming edge holds EXACTLY `base` after any iteration (its contrib
@@ -113,17 +135,20 @@ object Graph {
     val (e, nodes) = prep(edges)
     val nSeeds = seeds.select(col("v")).distinct().count()
     require(nSeeds > 0, "personalizedPagerank: empty seed set")
+    requireWeightHeadroom(e)
     val bSeed = ((100L - d) * Scale) / (100L * nSeeds)
     val r0Seed = Scale / nSeeds
-    val bases = nodes.join(seeds.select(col("v"), lit(true).as("__s")),
-        Seq("v"), "left")
-      .select(col("v"),
-        when(col("__s"), lit(bSeed)).otherwise(lit(0L)).as("b"),
-        when(col("__s"), lit(r0Seed)).otherwise(lit(0L)).as("r0"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val eb = e.join(bases.select(col("v").as("src"), col("b").as("src_b"),
-      col("r0").as("src_r0")), Seq("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bases = graft.engine.CacheReaper.track(
+      nodes.join(seeds.select(col("v"), lit(true).as("__s")),
+          Seq("v"), "left")
+        .select(col("v"),
+          when(col("__s"), lit(bSeed)).otherwise(lit(0L)).as("b"),
+          when(col("__s"), lit(r0Seed)).otherwise(lit(0L)).as("r0"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val eb = graft.engine.CacheReaper.track(
+      e.join(bases.select(col("v").as("src"), col("b").as("src_b"),
+        col("r0").as("src_r0")), Seq("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     def step(r: Option[DataFrame]): DataFrame = {
       val contribs = r match {
         case None =>
@@ -151,18 +176,38 @@ object Graph {
    * round is one node-keyed join + one map-side-combined MIN aggregation
    * over the persisted edge list (the [[pagerank]] scale shape).
    * Unreached nodes are absent from the result.
+   *
+   * Each round's frontier is persisted and MATERIALIZED before the prior
+   * round's is unpersisted (r07, VERDICT r06 #1): the round plan
+   * references the previous frontier twice (the union arm and the join
+   * arm), and Spark does not dedupe shared subtrees unless they are
+   * materialized — the previous lazy fold re-executed the frontier
+   * lineage 2^k times at hop k. Now every hop is exactly one join + one
+   * MIN aggregation executed once, the synchronous-superstep discipline
+   * GraphX/Pregel standardized (one small job per hop — the per-round
+   * count is the materialization barrier, same as [[pagerank]]'s node
+   * count). The returned frontier is left in the cache (registered with
+   * [[graft.engine.CacheReaper]]) so the caller's presentation pass reads
+   * materialized rows, not lineage.
    */
   def shortestPaths(edges: DataFrame, sources: DataFrame,
       maxHops: Int): DataFrame = {
     require(maxHops >= 0)
-    val e = edges.select(col("src"), col("dst"))
+    val e = graft.engine.CacheReaper.track(
+      edges.select(col("src"), col("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    var d = sources.select(col("v"), lit(0L).as("dist"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val d0 = sources.select(col("v"), lit(0L).as("dist"))
-    (1 to maxHops).foldLeft(d0) { (d, _) =>
-      d.unionByName(
+    for (_ <- 1 to maxHops) {
+      val next = d.unionByName(
           e.join(d.withColumnRenamed("v", "src"), "src")
             .select(col("dst").as("v"), (col("dist") + 1).as("dist")))
         .groupBy("v").agg(min("dist").as("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize BEFORE freeing the frontier it reads
+      d.unpersist(false)
+      d = next
     }
+    graft.engine.CacheReaper.track(d)
   }
 }

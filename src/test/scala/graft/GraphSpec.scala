@@ -134,6 +134,20 @@ class GraphSpec extends SparkTestBase {
     assert(sources.forall(s => !got.contains(s) || got(s) == 0L))
   }
 
+  test("oversized edge weights fail loudly instead of silently overflowing ranks") {
+    // r07 (ADVICE r06 #3): rank·w < 2^63 was a doc-comment contract only;
+    // an oversized weight silently overflowed Long and corrupted every
+    // rank on BOTH engines (the oracle shares the arithmetic, so parity
+    // held while the results were meaningless). Now it's enforced.
+    import spark.implicits._
+    val edges = Seq((1, 2, Graph.MaxEdgeWeight + 1), (2, 1, 1L)).toDF("src", "dst", "w")
+    val ex = intercept[IllegalArgumentException](Graph.pagerank(edges))
+    assert(ex.getMessage.contains("headroom"))
+    val ex2 = intercept[IllegalArgumentException](
+      Graph.personalizedPagerank(edges, Seq(1).toDF("v")))
+    assert(ex2.getMessage.contains("headroom"))
+  }
+
   test("personalized pagerank: rank mass stays in the seeds' reach") {
     // two disconnected components; seeding in one must leave the other at 0
     val edges = Seq((1, 2, 1L), (2, 1, 1L), (10, 11, 1L), (11, 10, 1L))

