@@ -177,18 +177,27 @@ object Graph {
    * over the persisted edge list (the [[pagerank]] scale shape).
    * Unreached nodes are absent from the result.
    *
-   * Each round's frontier is persisted and MATERIALIZED before the prior
-   * round's is unpersisted (r07, VERDICT r06 #1): the round plan
-   * references the previous frontier twice (the union arm and the join
-   * arm), and Spark does not dedupe shared subtrees unless they are
-   * materialized — the previous lazy fold re-executed the frontier
-   * lineage 2^k times at hop k. Now every hop is exactly one join + one
-   * MIN aggregation executed once, the synchronous-superstep discipline
-   * GraphX/Pregel standardized (one small job per hop — the per-round
-   * count is the materialization barrier, same as [[pagerank]]'s node
-   * count). The returned frontier is left in the cache (registered with
-   * [[graft.engine.CacheReaper]]) so the caller's presentation pass reads
-   * materialized rows, not lineage.
+   * Each round's frontier is MATERIALIZED with its lineage TRUNCATED
+   * (`localCheckpoint`, the Dedup-CC house discipline) before the next
+   * round builds on it (r07, VERDICT r06 #1 + the deeper defect found
+   * fixing it): the round plan references the previous frontier twice
+   * (the union arm and the join arm), so
+   *
+   *   - unmaterialized, Spark RE-EXECUTED the shared subtree — 2^k
+   *     duplicate execution at hop k (the r06 verdict's finding); and
+   *   - even persisted-and-counted, the LOGICAL tree still doubles per
+   *     hop — cached-plan substitution happens after analysis/
+   *     optimization, so Catalyst walked a 2^k-node tree: measured 241 s
+   *     of pure planning at 9 hops and a driver OOM at 12 (StressGraph).
+   *
+   * `localCheckpoint` cuts both: every hop is exactly one join + one
+   * map-side-combined MIN executed once (the synchronous-superstep
+   * discipline GraphX/Pregel standardized), and the frontier plan stays
+   * O(1) size at any hop count — measured linear to 12+ hops
+   * (SCALING.md §Graph). Checkpoint blocks are MEMORY_AND_DISK and freed
+   * by the ContextCleaner once a round's frontier is unreferenced; the
+   * trade (re-execution impossible after executor loss) is the same one
+   * Dedup's connected components already makes.
    */
   def shortestPaths(edges: DataFrame, sources: DataFrame,
       maxHops: Int): DataFrame = {
@@ -196,18 +205,14 @@ object Graph {
     val e = graft.engine.CacheReaper.track(
       edges.select(col("src"), col("dst"))
         .persist(StorageLevel.MEMORY_AND_DISK))
-    var d = sources.select(col("v"), lit(0L).as("dist"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var d = sources.select(col("v"), lit(0L).as("dist")).localCheckpoint()
     for (_ <- 1 to maxHops) {
-      val next = d.unionByName(
+      d = d.unionByName(
           e.join(d.withColumnRenamed("v", "src"), "src")
             .select(col("dst").as("v"), (col("dist") + 1).as("dist")))
         .groupBy("v").agg(min("dist").as("dist"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize BEFORE freeing the frontier it reads
-      d.unpersist(false)
-      d = next
+        .localCheckpoint()
     }
-    graft.engine.CacheReaper.track(d)
+    d
   }
 }

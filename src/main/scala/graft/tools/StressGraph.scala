@@ -82,6 +82,33 @@ object StressGraph {
         println(f"| ${scale}x | $nEv | $regime | $nItems | $t139%.1f | $t141%.1f |")
       }
     }
+
+    // BFS hop-linearity (r07, after the frontier localCheckpoint fix):
+    // each round is one materialized join+MIN job over O(1)-size plans,
+    // so wall time must grow ~linearly in maxHops. The lazy fold was 2^k
+    // in EXECUTION; the intermediate persist+count variant still OOMed
+    // at 12 hops because the logical tree (walked by Catalyst before
+    // cached-plan substitution) doubled per hop — 241 s of planning at
+    // h=9. CacheReaper.release() between configs so every run pays its
+    // own edge materialization.
+    import spark.implicits._
+    val nNodes = 200000L
+    val bfsEdges = spark.range(0, nNodes * 3, 1, 32)
+      .select(pmod(xxhash64(col("id"), lit(11)), lit(nNodes)).as("src"),
+        pmod(xxhash64(col("id"), lit(12)), lit(nNodes)).as("dst"))
+      .where(col("src") =!= col("dst"))
+    val bfsSources = Seq(0L).toDF("v")
+    graft.operators.Graph.shortestPaths(bfsEdges, bfsSources, 2).count() // warm
+    graft.engine.CacheReaper.release()
+    println()
+    println(s"| maxHops | reached | wall s (200k nodes / 600k edges) |")
+    println("|---|---|---|")
+    for (h <- Seq(3, 6, 9, 12)) {
+      val (n, t) = timed(
+        graft.operators.Graph.shortestPaths(bfsEdges, bfsSources, h).count())
+      graft.engine.CacheReaper.release()
+      println(f"| $h | $n | $t%.1f |")
+    }
     spark.stop()
   }
 }
