@@ -165,10 +165,16 @@ object Tables {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), StructType]()
 
+  /** Count of actual footer inferences performed (test observability:
+    * SchemaDriftSpec asserts a repeat load does NOT increment this). */
+  private[graft] val schemaInfersTotal = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def physicalSchema(spark: SparkSession, path: String): StructType = {
     val f = new java.io.File(path)
-    schemaCache.computeIfAbsent((path, f.lastModified(), f.length()),
-      _ => spark.read.parquet(path).schema)
+    schemaCache.computeIfAbsent((path, f.lastModified(), f.length()), { _ =>
+      schemaInfersTotal.incrementAndGet()
+      spark.read.parquet(path).schema
+    })
   }
 
   /** Read one table, normalized to its canonical schema. */
