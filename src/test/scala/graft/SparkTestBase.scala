@@ -9,6 +9,17 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkTestBase.session
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Release the library's tracked long-lived caches after each suite
+    * (r07, ADVICE r06 #1): the shared session outlives every suite, so
+    * without this the graph/ER caches registered by executed queries
+    * would accumulate for the whole `sbt test` JVM. Unpersist is always
+    * safe — a later suite that needs the same cache re-registers and
+    * re-materializes it. */
+  override def afterAll(): Unit = {
+    graft.engine.CacheReaper.release()
+    super.afterAll()
+  }
 }
 
 object SparkTestBase {
