@@ -174,21 +174,27 @@ object Dedup {
     *
     * Iterative min-label propagation: every node repeatedly adopts the
     * minimum label among itself and its neighbors until fixpoint. Each
-    * iteration is one shuffle of the edge list — the GraphX-style
+    * round is one shuffle of the edge list — the GraphX-style
     * distributed shape (large-star/small-star is the constant-factor
     * refinement at extreme skew). Near-dup clusters have tiny diameter, so
-    * convergence takes a handful of iterations; the loop checks a
-    * converged flag per round (a driver action on a bounded count, the
-    * standard coordination pattern for iterative algorithms) and THROWS if
-    * `maxIter` is hit unconverged rather than returning partial labels.
+    * convergence takes a handful of rounds. TWO propagation rounds are
+    * fused per materialized step (r07): the shuffle count is unchanged,
+    * but the job/driver-collect count halves — on the small edge
+    * aggregates CC runs over, per-job fixed cost (scheduling, stage
+    * barriers; on a real cluster, stage launch latency) dominates the
+    * actual shuffle work. The loop checks convergence per step (a driver
+    * action on a bounded scalar) and THROWS if `maxIter` propagation
+    * rounds are exhausted unconverged rather than returning partial
+    * labels.
     *
-    * Lineage: each round's plan would otherwise chain on every previous
-    * round, so planning time (and recovery replay) grows linearly with
-    * iterations — on a real cluster with high-diameter graphs that is the
-    * dominant driver cost. Every `checkpointEvery` rounds the label frame
-    * is `localCheckpoint`ed (eager, reuses the blocks the convergence
-    * check just materialized) which truncates the logical plan to a scan
-    * of the cached blocks.
+    * Lineage: each propagation references the label frame TWICE (the
+    * join arm and the union arm), so a fused step holds four references
+    * — any multi-step truncation window would grow the Catalyst tree
+    * 4^k (the q150 BFS lesson, SCALING.md §Graph: the tree is walked
+    * before cached-plan substitution, so caching alone does not bound
+    * planning). Every step is therefore `localCheckpoint`ed lazily; the
+    * convergence aggregate right below is the materializing action, so
+    * no extra job runs.
     *
     * Output: (node, component) with component = min node id reachable.
     *
@@ -200,7 +206,7 @@ object Dedup {
     * partitions); at 100 TB with billions of candidate edges it goes UP.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20, checkpointEvery: Int = 3,
+      maxIter: Int = 20,
       shufflePartitions: Option[Int] = None): DataFrame = {
     val spark = pairs.sparkSession
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -215,49 +221,54 @@ object Dedup {
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct().persist()
     // seed with min(self ∪ neighbors) straight off the edge aggregation —
-    // equivalent to (trivial init + one propagation round) for one shuffle
+    // equivalent to (trivial init + one propagation round) for one
+    // shuffle. Lazily checkpointed so the first fused step's four
+    // references read materialized blocks (the convergence aggregate
+    // below materializes), not four re-executions of the seed.
     var labels = edges.groupBy(col("u")).agg(min(col("v")).as("__mv"))
       .select(col("u").as("node"), least(col("u"), col("__mv")).as("label"))
+      .localCheckpoint(false)
     // Convergence via the monotone label-sum invariant: labels only ever
     // DECREASE (per-node min), so the sum strictly drops on any change and
-    // is stable exactly at the fixpoint — one scalar aggregate per round
-    // (a bounded driver action) instead of a changed-rows scan, and the
-    // round itself is join → union-self → single min groupBy: two shuffle
-    // boundaries, not three.
+    // is stable exactly at the fixpoint — one scalar aggregate per step
+    // (a bounded driver action) instead of a changed-rows scan. A stable
+    // sum across a FUSED step implies neither of its two rounds changed
+    // anything (monotonicity: a change in either strictly drops the sum).
     def labelSum(df: DataFrame): java.math.BigDecimal = df
       .agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    // One propagation round: join → union-self → single min groupBy —
+    // two shuffle boundaries, not three.
+    def propagate(l: DataFrame): DataFrame = edges
+      .join(l.select(col("node").as("__vn"), col("label").as("__vl")),
+        col("v") === col("__vn"))
+      .select(col("u").as("node"), col("__vl").as("label"))
+      .unionByName(l)
+      .groupBy("node").agg(min("label").as("label"))
     var prevCached: Option[DataFrame] = None
     var prevSum = labelSum(labels)
     var converged = false
-    var i = 0
-    while (i < maxIter && !converged) {
-      val propagated = edges
-        .join(labels.select(col("node").as("__vn"), col("label").as("__vl")),
-          col("v") === col("__vn"))
-        .select(col("u").as("node"), col("__vl").as("label"))
-        .unionByName(labels)
-        .groupBy("node").agg(min("label").as("label"))
-      // Periodic localCheckpoint truncates the plan (it chains one join per
-      // round otherwise); persist covers the rounds in between. LAZY
-      // checkpoint on purpose: the convergence aggregate right below is the
-      // materializing action either way, so no extra job is run.
-      val next =
-        if ((i + 1) % checkpointEvery == 0) propagated.localCheckpoint(false)
-        else propagated.persist()
+    var rounds = 0
+    while (rounds + 2 <= maxIter && !converged) {
+      // Two rounds fused per materialized step (r07): same shuffles, half
+      // the jobs/collects. LAZY checkpoint on purpose — the convergence
+      // aggregate right below is the materializing action either way, so
+      // no extra job is run; truncating EVERY step keeps the Catalyst
+      // tree O(1) despite the four label references per step.
+      val next = propagate(propagate(labels)).localCheckpoint(false)
       val s = labelSum(next) // materializes `next`
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       prevCached.foreach(_.unpersist())
       prevCached = Some(next)
       labels = next
-      i += 1
+      rounds += 2
     }
     edges.unpersist()
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter iterations")
-    // the final round's frame stays persisted on purpose: it was already
-    // materialized by the convergence check, so downstream consumers read
-    // the cache instead of replaying the whole iteration lineage
+      s"connectedComponents did not converge within $maxIter propagation rounds")
+    // the final step's frame stays materialized (checkpoint blocks) on
+    // purpose: the convergence check already paid for it, so downstream
+    // consumers read blocks instead of replaying the iteration
     labels
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }

@@ -213,14 +213,14 @@ class SimilaritySpec extends SparkTestBase {
 
   test("connectedComponents converges on a diameter-10 chain and truncates lineage") {
     // Path graph 0-1-2-…-10: min-label propagation moves label 0 one hop
-    // per round, so this needs the full iteration budget AND crosses
-    // several localCheckpoint boundaries (checkpointEvery=2) — verifying
-    // the truncated-lineage path computes the same fixpoint and the plan
-    // does not accumulate one join per round.
+    // per round, so this needs most of the round budget AND crosses many
+    // per-step localCheckpoint truncations — verifying the
+    // truncated-lineage path computes the same fixpoint and the plan
+    // does not accumulate joins across rounds.
     import spark.implicits._
     val chain = (0L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val labels = graft.operators.Dedup.connectedComponents(
-      chain, "doc_a", "doc_b", maxIter = 15, checkpointEvery = 2)
+      chain, "doc_a", "doc_b", maxIter = 15)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0L to 10L).map(_ -> 0L).toMap)
     // truncated lineage: the result's logical plan must NOT contain the
