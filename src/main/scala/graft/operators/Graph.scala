@@ -43,7 +43,8 @@ object Graph {
     * table: fail loudly when the overflow-headroom contract is violated
     * instead of returning meaningless ranks. */
   private def requireWeightHeadroom(e: DataFrame): Unit = {
-    val maxW = e.agg(max(col("w"))).first().getLong(0)
+    val row = e.agg(max(col("w"))).first()
+    val maxW = if (row.isNullAt(0)) 0L else row.getLong(0) // null = no edges
     require(maxW <= MaxEdgeWeight,
       s"pagerank: max edge weight $maxW exceeds the exact-arithmetic " +
         s"headroom $MaxEdgeWeight (rank*w must stay below 2^63) — " +
