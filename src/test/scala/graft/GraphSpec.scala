@@ -134,6 +134,27 @@ class GraphSpec extends SparkTestBase {
     assert(sources.forall(s => !got.contains(s) || got(s) == 0L))
   }
 
+  test("shortestPaths edge cases: zero hops returns the sources; empty sources reach nothing") {
+    import spark.implicits._
+    val edges = Seq((1, 2, 1L), (2, 3, 1L)).toDF("src", "dst", "w")
+    val zero = Graph.shortestPaths(edges, Seq(1, 7).toDF("v"), maxHops = 0)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(zero === Map(1 -> 0L, 7 -> 0L))
+    val none = Graph.shortestPaths(edges, Seq.empty[Int].toDF("v"), maxHops = 3)
+    assert(none.count() === 0L)
+  }
+
+  test("pagerank is partitioning-invariant (integer arithmetic, no float accumulation)") {
+    // The determinism contract: scaled-BIGINT ranks with integer division
+    // must be bit-identical regardless of how the edge list is split.
+    val edges = Seq((1, 2, 3L), (2, 3, 1L), (3, 1, 2L), (1, 3, 1L), (4, 1, 5L))
+    val one = Graph.pagerank(edgesDf(edges).repartition(1))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val many = Graph.pagerank(edgesDf(edges).repartition(7))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(one === many)
+  }
+
   test("oversized edge weights fail loudly instead of silently overflowing ranks") {
     // r07 (ADVICE r06 #3): rank·w < 2^63 was a doc-comment contract only;
     // an oversized weight silently overflowed Long and corrupted every
