@@ -173,7 +173,11 @@ object Bench {
     val canaryShuffle = canaryOf("q11_join_shuffle")
     val exceeded = total > hardTotal
     val warmFailedJson = warmupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"warmup_failed":$warmFailedJson,"over_budget":$overBudget,"retimed":$retimed,"soft_budget_sec":$softTotal,"budget_exceeded":$exceeded,"canary_pre_sec":$canaryPre,"canary_shuffle_pre_sec":$canaryShufflePre,"canary_mid_sec":$canaryMid,"canary_shuffle_mid_sec":$canaryShuffleMid,"canary_sec":$canary,"canary_shuffle_sec":$canaryShuffle,"sf":"$sfDir"}"""
+    // cpus/heap in the record (r07): a local[4]-vs-local[32] run is a 2x
+    // total difference that canaries cannot flag — the run must carry its
+    // own execution mode for post-hoc forensics.
+    val heapGb = Runtime.getRuntime.maxMemory() / (1 << 30)
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"heap_gb":$heapGb,"queries":$qs,"failed":$failed,"warmup_failed":$warmFailedJson,"over_budget":$overBudget,"retimed":$retimed,"soft_budget_sec":$softTotal,"budget_exceeded":$exceeded,"canary_pre_sec":$canaryPre,"canary_shuffle_pre_sec":$canaryShufflePre,"canary_mid_sec":$canaryMid,"canary_shuffle_mid_sec":$canaryShuffleMid,"canary_sec":$canary,"canary_shuffle_sec":$canaryShuffle,"sf":"$sfDir"}"""
     println(jsonLine)
     // Full per-query artifact (r05, VERDICT r04 #4): the driver's
     // BENCH_r*.json keeps only the tail of stdout, so early-alphabet query
