@@ -340,7 +340,8 @@ object QualityOps {
   // simplest), conversion = any high-value purchase (value > 150 ≈ p93 of
   // the purchase distribution, so the rate is non-degenerate), lift =
   // variant conversion vs control in exact ppm (integer division; NULL if
-  // control converts nobody). Two map-side-combined aggregation levels
+  // the control arm is absent or converts nobody — control is explicitly
+  // variant 0, r07). Two map-side-combined aggregation levels
   // (user, then variant) — the per-user MAX collapses before the wire.
   private val q148 = QueryDef(
     "q148_ab_lift",

@@ -31,6 +31,13 @@ object StreamingOps {
     * once at checkpoint creation. r06 re-measurement (StreamProbe, q85
     * shape at sf0.1, warm): 8 parts 2.7 s, 4 parts 1.9 s, 2 parts 1.8 s
     * — 4 takes the 2× win without flooring local parallelism. */
+  /** Run `body` with the state-store/shuffle partition count sized to the
+    * STATE volume, not the corpus (the CC shufflePartitions principle —
+    * empty state-store tasks cost scheduling and commit overhead per
+    * micro-batch). Retuned by StreamProbe measurement each time the data
+    * or host shifts: 8→4 in r06, 4→2 in r07 (per-query wall 2.2→2.0 s on
+    * the q85 shape; state at sf0.1 is a few thousand rows). At 100 TB
+    * state volume this knob goes UP with the state, like any shuffle. */
   private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
@@ -133,7 +140,7 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("wstart"), col("event_type"), col("n"))
     val target = java.nio.file.Files.createTempDirectory("q42_sink").toString
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, 2) {
       val query = stream.writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -178,7 +185,7 @@ object StreamingOps {
     // per batch — at 100 TB the driver never materializes the result; here
     // the single static batch yields exactly one row per user.
     val target = java.nio.file.Files.createTempDirectory("q53_sink").toString
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, 2) {
       val query = perUser.toDF("user_id", "n_events", "last_us")
         .writeStream
         .outputMode("update")
@@ -223,7 +230,7 @@ object StreamingOps {
         && col("v_ts") < col("p_ts"))
       .select(col("p_event_id").as("purchase_id"), col("v_event_id").as("view_id"))
     val target = java.nio.file.Files.createTempDirectory("q56_sink").toString
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, 2) {
       val query = joined.writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -257,7 +264,7 @@ object StreamingOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("wstart"), col("event_type"), col("n"))
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, 2) {
       val query = agg.writeStream
         .outputMode("complete")
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -301,7 +308,7 @@ object StreamingOps {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), min(col("profile_n")).as("profile_n"))
     val target = java.nio.file.Files.createTempDirectory("q73_sink").toString + "/out"
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, 2) {
       val query = enriched.writeStream
         .outputMode("update")
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -358,7 +365,7 @@ object StreamingOps {
       .select(col("p_event_id").as("purchase_id"),
         coalesce(col("v_event_id"), lit(-1L)).as("view_id"))
     val target = java.nio.file.Files.createTempDirectory("q93_sink").toString
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, 2) {
       val query = joined.writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -447,7 +454,7 @@ object StreamingOps {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
     val target = java.nio.file.Files.createTempDirectory("q85_sink").toString
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, 2) {
       val query = sessions.writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -588,7 +595,7 @@ object StreamingOps {
           }
       }
     val target = java.nio.file.Files.createTempDirectory("q104_sink").toString
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, 2) {
       val query = deduped.toDF("doc_id", "fingerprint", "n_claims")
         .writeStream
         .outputMode("update")
@@ -626,7 +633,7 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("wstart"), col("event_type"), col("n"))
     val target = java.nio.file.Files.createTempDirectory("q105_sink").toString
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, 2) {
       val query = windows.writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
