@@ -149,6 +149,14 @@ object Bench {
     // the total). A structural regression reproduces its slow time here; a
     // host-window spike recovers — the JSON self-adjudicates the ambiguity
     // that made r06's q12 5.18-vs-1.58 call require bench_runs archaeology.
+    // Known bias (ADVICE r07): the re-time runs with every long-lived cache
+    // warm (graph edge caches, schema cache, JIT), so it measures STEADY
+    // cost, not first-run cost — it can exonerate a window spike but cannot
+    // distinguish "structurally slow first run" from one; a genuine
+    // cache-materialization cost re-times fast. That is the intended
+    // contract (steady state is what the per-query budget models; the
+    // warmup list exists precisely to keep one-time costs out of timed
+    // slots), but read `retimed` as steady-state evidence only.
     val retimed = overBudgetKeys.map { k =>
       val t = try {
         val t0 = System.nanoTime()
@@ -177,7 +185,21 @@ object Bench {
     // total difference that canaries cannot flag — the run must carry its
     // own execution mode for post-hoc forensics.
     val heapGb = Runtime.getRuntime.maxMemory() / (1 << 30)
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"heap_gb":$heapGb,"queries":$qs,"failed":$failed,"warmup_failed":$warmFailedJson,"over_budget":$overBudget,"retimed":$retimed,"soft_budget_sec":$softTotal,"budget_exceeded":$exceeded,"canary_pre_sec":$canaryPre,"canary_shuffle_pre_sec":$canaryShufflePre,"canary_mid_sec":$canaryMid,"canary_shuffle_mid_sec":$canaryShuffleMid,"canary_sec":$canary,"canary_shuffle_sec":$canaryShuffle,"sf":"$sfDir"}"""
+    // Heap-divergence flag (r08, VERDICT r07 #1a): the measured-optimal
+    // config is a 16 GiB ParallelGC heap (reads ~15 via maxMemory; the
+    // build.sbt clamp allows up to 32g → reads ~29-31). Anything above
+    // that means the clamp was bypassed (a direct -Xmx launch); anything
+    // under 10 starves the 32-thread local executor. Either way the run
+    // is not comparable to the committed record config, and r07 showed an
+    // 86 GiB heap co-occurring with a failed gate whose every spike
+    // retimed clean — so the divergence is stamped into the JSON and
+    // warned on stderr instead of being archaeology.
+    val heapDivergent = heapGb > 33 || heapGb < 10
+    if (heapDivergent)
+      System.err.println(s"BENCH HEAP DIVERGENCE: JVM heap ${heapGb} GiB vs the " +
+        "measured-optimal 16g (clamp ceiling 32g) — timings are not comparable " +
+        "to the committed record config; see build.sbt clampHeap and SCALING.md")
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"heap_gb":$heapGb,"heap_divergent":$heapDivergent,"queries":$qs,"failed":$failed,"warmup_failed":$warmFailedJson,"over_budget":$overBudget,"retimed":$retimed,"soft_budget_sec":$softTotal,"budget_exceeded":$exceeded,"canary_pre_sec":$canaryPre,"canary_shuffle_pre_sec":$canaryShufflePre,"canary_mid_sec":$canaryMid,"canary_shuffle_mid_sec":$canaryShuffleMid,"canary_sec":$canary,"canary_shuffle_sec":$canaryShuffle,"sf":"$sfDir"}"""
     println(jsonLine)
     // Full per-query artifact (r05, VERDICT r04 #4): the driver's
     // BENCH_r*.json keeps only the tail of stdout, so early-alphabet query
@@ -187,7 +209,7 @@ object Bench {
     // cwd must not fail the capture.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full_r7.json")),
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full_r8.json")),
       jsonLine + "\n")
     catch { case _: Throwable => () }
     // Append-only run history (r06, ADVICE r05 #1): the driver's post-round

@@ -23,8 +23,40 @@ import org.apache.spark.sql.DataFrame
 object CacheReaper {
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** Register a persisted DataFrame for session-end release; returns it. */
-  def track(df: DataFrame): DataFrame = { tracked.add(df); df }
+  /** Registry capacity (r08, VERDICT r07 #4). The bench/verify surface
+    * registers ~6 long-lived caches per full pass, so 64 is an order of
+    * magnitude of headroom — but a long INTERACTIVE session mixing many
+    * operators without ever calling [[release]] would previously grow the
+    * registry (and hold strong refs pinning every cached plan) without
+    * bound. Past capacity the OLDEST entry is unpersisted and dropped,
+    * with a stderr warning: evicting a cache is always safe (Spark
+    * recomputes on next use), growing without bound is not. Overridable
+    * per-JVM via -Dgraft.cacheReaper.max for tests and tuning; read per
+    * call so a test can flip it without re-initializing the object. */
+  private def maxTracked: Int =
+    sys.props.get("graft.cacheReaper.max").flatMap(_.toIntOption).getOrElse(64)
+
+  /** Number of currently tracked caches (test observability). */
+  private[graft] def trackedCount: Int = tracked.size()
+
+  /** Register a persisted DataFrame for session-end release; returns it.
+    * Evicts (unpersists) oldest-first past [[maxTracked]]. */
+  def track(df: DataFrame): DataFrame = {
+    tracked.add(df)
+    // ConcurrentLinkedQueue.size is O(n), but n is capped at maxTracked+1
+    // right here, so the scan is bounded by construction.
+    while (tracked.size() > maxTracked) {
+      val old = tracked.poll()
+      if (old != null) {
+        System.err.println(s"CacheReaper: capacity $maxTracked exceeded — " +
+          "unpersisting the oldest tracked cache (it recomputes on next " +
+          "use). A session tracking this many live caches should call " +
+          "CacheReaper.release() between workloads.")
+        try old.unpersist(false) catch { case _: Throwable => () }
+      }
+    }
+    df
+  }
 
   /** Unpersist every tracked DataFrame. Call only at a point where no
     * still-unmaterialized plan depends on the caches (end of a bench /

@@ -161,9 +161,31 @@ object Tables {
     * an unchanged one passes the cached schema to `spark.read.schema(...)`,
     * which skips footer-based inference entirely. The cached schema is the
     * PHYSICAL one — [[normalize]] still runs per load, so drift handling
-    * is unchanged. */
+    * is unchanged.
+    *
+    * Known blind spot (ADVICE r07): a file rewritten with the SAME byte
+    * length inside the filesystem's mtime granularity is indistinguishable
+    * from the original under this key and would be served the stale schema
+    * (SchemaDriftSpec sleeps 1100 ms around its rewrite for exactly this
+    * reason). Folding a content token into the key would mean reading file
+    * bytes per lookup — the cost the cache exists to avoid — so the limit
+    * is documented instead: a same-size same-instant rewrite requires
+    * [[clearSchemaCache]] (or any mtime/size change) to be picked up.
+    *
+    * Cross-session safety: the cache is JVM-global, but the key is purely
+    * physical (path, mtime, size) and the VALUE is the file's physical
+    * schema — which session inferred it cannot matter because [[table]] /
+    * [[tableStream]] pin `nanosAsLong=true` on the session right before
+    * every read, so two concurrent sessions (even ones created with
+    * different initial configs) always load through identical inference
+    * settings and identical normalization (SchemaDriftSpec r08 proves the
+    * two-session case end-to-end). */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), StructType]()
+
+  /** Manual invalidation hook for the documented same-size same-instant
+    * rewrite blind spot above (and for tests). */
+  private[graft] def clearSchemaCache(): Unit = schemaCache.clear()
 
   /** Count of actual footer inferences performed (test observability:
     * SchemaDriftSpec asserts a repeat load does NOT increment this). */

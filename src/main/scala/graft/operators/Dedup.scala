@@ -178,12 +178,16 @@ object Dedup {
     * distributed shape (large-star/small-star is the constant-factor
     * refinement at extreme skew). Near-dup clusters have tiny diameter, so
     * convergence takes a handful of rounds. TWO propagation rounds are
-    * fused per materialized step (r07): the shuffle count is unchanged,
-    * but the job/driver-collect count halves — on the small edge
-    * aggregates CC runs over, per-job fixed cost (scheduling, stage
-    * barriers; on a real cluster, stage launch latency) dominates the
-    * actual shuffle work. The loop checks convergence per step (a driver
-    * action on a bounded scalar) and THROWS if `maxIter` propagation
+    * fused per materialized step where the round budget allows (r07): the
+    * shuffle count is unchanged, but the job/driver-collect count halves
+    * — on the small edge aggregates CC runs over, per-job fixed cost
+    * (scheduling, stage barriers; on a real cluster, stage launch
+    * latency) dominates the actual shuffle work. An odd `maxIter` spends
+    * its last round as a SINGLE un-fused step (r08, ADVICE r07: the r07
+    * loop silently dropped the odd round and made maxIter=1 always
+    * throw), so the documented contract — maxIter bounds propagation
+    * ROUNDS — holds for every value ≥ 1. The loop checks convergence per
+    * step (a driver action on a bounded scalar) and THROWS if `maxIter`
     * rounds are exhausted unconverged rather than returning partial
     * labels.
     *
@@ -192,9 +196,18 @@ object Dedup {
     * — any multi-step truncation window would grow the Catalyst tree
     * 4^k (the q150 BFS lesson, SCALING.md §Graph: the tree is walked
     * before cached-plan substitution, so caching alone does not bound
-    * planning). Every step is therefore `localCheckpoint`ed lazily; the
-    * convergence aggregate right below is the materializing action, so
-    * no extra job runs.
+    * planning). Every step is therefore `localCheckpoint`ed lazily — and
+    * so is the INNER round of a fused step (r08, ADVICE r07: previously
+    * only the inner round's exchange was reused across the outer round's
+    * two arms, so its reduce-side aggregation executed once per arm); the
+    * convergence aggregate right below is the materializing action for
+    * the whole chain, so no extra job runs. Dead checkpoint blocks are
+    * released EAGERLY at the RDD level once the successor step is
+    * materialized: `Dataset.unpersist` is a no-op for localCheckpoint'ed
+    * frames (they persist below the CacheManager's radar), so the
+    * operator keeps each step's `LogicalRDD` handle and unpersists that
+    * directly — at 100 TB label-frame sizes, waiting for GC + the
+    * ContextCleaner is real memory pressure (r08, ADVICE r07).
     *
     * Output: (node, component) with component = min node id reachable.
     *
@@ -244,24 +257,40 @@ object Dedup {
       .select(col("u").as("node"), col("__vl").as("label"))
       .unionByName(l)
       .groupBy("node").agg(min("label").as("label"))
-    var prevCached: Option[DataFrame] = None
+    // The RDD behind a localCheckpoint'ed frame — the handle eager block
+    // release needs (`Dataset.unpersist` can't see it). None-safe so a
+    // future Spark that stops exposing LogicalRDD degrades to
+    // ContextCleaner reclamation instead of breaking.
+    def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+        case _ => None
+      }
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    while (rounds + 2 <= maxIter && !converged) {
-      // Two rounds fused per materialized step (r07): same shuffles, half
-      // the jobs/collects. LAZY checkpoint on purpose — the convergence
-      // aggregate right below is the materializing action either way, so
-      // no extra job is run; truncating EVERY step keeps the Catalyst
-      // tree O(1) despite the four label references per step.
-      val next = propagate(propagate(labels)).localCheckpoint(false)
-      val s = labelSum(next) // materializes `next`
+    while (!converged && rounds < maxIter) {
+      // Two rounds fused per materialized step when the budget allows
+      // (r07); an odd maxIter spends its final round un-fused (r08). LAZY
+      // checkpoints on purpose — the convergence aggregate right below is
+      // the materializing action for inner and outer alike, so no extra
+      // job is run; truncating EVERY step keeps the Catalyst tree O(1)
+      // despite the four label references per fused step.
+      val fused = rounds + 2 <= maxIter
+      val inner =
+        if (fused) Some(propagate(labels).localCheckpoint(false)) else None
+      val next = propagate(inner.getOrElse(labels)).localCheckpoint(false)
+      val s = labelSum(next) // materializes inner (when fused) and `next`
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      prevCached.foreach(_.unpersist())
-      prevCached = Some(next)
+      // `next` is self-contained blocks now — the prior step's and the
+      // fused inner round's blocks are dead. Release them at the RDD
+      // level (see scaladoc); best-effort, correctness never depends on it.
+      (ckptRdd(labels) ++ inner.flatMap(ckptRdd)).foreach { r =>
+        try r.unpersist(false) catch { case _: Throwable => () }
+      }
       labels = next
-      rounds += 2
+      rounds += (if (fused) 2 else 1)
     }
     edges.unpersist()
     if (!converged) throw new IllegalStateException(

@@ -21,6 +21,32 @@ class CacheReaperSpec extends SparkTestBase {
     assert(tracked.count() === 1000L, "released frame must still compute from lineage")
   }
 
+  test("a capped reaper evicts oldest-first instead of growing unboundedly") {
+    // r08, VERDICT r07 #4: release-at-end bounds the JVM lifetime but not
+    // a long interactive session that never calls release(); past capacity
+    // the registry must unpersist-and-drop the OLDEST entry (always safe —
+    // the frame recomputes on next use), not accumulate strong refs.
+    CacheReaper.release() // clean slate — other suites share the registry
+    System.setProperty("graft.cacheReaper.max", "4")
+    try {
+      val dfs = (0 until 6).map { i =>
+        val df = spark.range(i * 100, i * 100 + 50).toDF().persist()
+        df.count() // materialize so eviction visibly unpersists blocks
+        CacheReaper.track(df)
+        df
+      }
+      assert(CacheReaper.trackedCount === 4,
+        "registry must hold exactly the cap after overflow")
+      assert(!dfs(0).storageLevel.useMemory && !dfs(1).storageLevel.useMemory,
+        "the two oldest caches must have been evicted (unpersisted)")
+      (2 until 6).foreach(i => assert(dfs(i).storageLevel.useMemory,
+        s"cache $i is within capacity and must still be persisted"))
+      assert(dfs(0).count() === 50L, "an evicted frame must recompute fine")
+      CacheReaper.release()
+      dfs.foreach(d => assert(!d.storageLevel.useMemory))
+    } finally System.clearProperty("graft.cacheReaper.max")
+  }
+
   test("release only touches tracked frames") {
     val tracked = spark.range(0, 10).toDF().persist()
     val untracked = spark.range(100, 200).toDF().persist()

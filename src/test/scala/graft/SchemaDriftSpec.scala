@@ -199,4 +199,33 @@ class SchemaDriftSpec extends SparkTestBase {
       "stale cached schema served for a rewritten file")
     assert(Tables.schemaInfersTotal.get() > after1)
   }
+
+  test("two sessions with different nanosAsLong configs share the cache safely") {
+    // r08 (VERDICT r07 #5): the schema cache is JVM-global but the loader
+    // pins nanosAsLong=true on the session right before EVERY read, so a
+    // second session created with the opposite setting still loads
+    // through identical inference + normalization — the cached physical
+    // schema can never be interpreted under a different flag. Proven on
+    // the ns-long encoding, where the flag is exactly what decides how a
+    // timestamp column materializes.
+    val dir = fixtureDir()
+    writeSingleFile(
+      baseEvents.withColumn("ts", expr("unix_micros(ts) * 1000")), dir, "events")
+    val sessionA = spark.newSession()
+    val sessionB = spark.newSession()
+    sessionB.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val a = Tables.table(sessionA, dir.toString, "events")
+    val infersAfterA = Tables.schemaInfersTotal.get()
+    val b = Tables.table(sessionB, dir.toString, "events")
+    assert(Tables.schemaInfersTotal.get() === infersAfterA,
+      "the second session must hit the shared cache, not re-infer")
+    assert(a.schema("ts").dataType === TimestampType)
+    assert(b.schema("ts").dataType === TimestampType)
+    val va = a.select("event_id", "ts").collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    val vb = b.select("event_id", "ts").collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    assert(va === vb, "sessions with different initial configs diverged on the same file")
+    assert(sessionB.conf.get("spark.sql.legacy.parquet.nanosAsLong") === "true",
+      "the loader must have pinned the flag on the divergent session — " +
+        "that pin is WHY the global cache is session-safe")
+  }
 }
