@@ -144,7 +144,14 @@ object StreamingOps {
       val query = stream.writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) batch.write.mode("append").parquet(s"$target/out")
+          // Unconditional write (r08): `isEmpty` executed the batch plan
+          // once and the guarded write re-executed it — inside foreachBatch
+          // each action re-runs the micro-batch plan (state reads
+          // included), so the EMITTING batch paid its state flush twice
+          // (StreamProbe: no-data finalization batch ~2x). An empty append
+          // write costs one empty part file and also guarantees the sink
+          // dir exists even when nothing is emitted.
+          batch.write.mode("append").parquet(s"$target/out")
         }
         .trigger(Trigger.AvailableNow())
         .start()
@@ -190,7 +197,14 @@ object StreamingOps {
         .writeStream
         .outputMode("update")
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) batch.write.mode("append").parquet(s"$target/out")
+          // Unconditional write (r08): `isEmpty` executed the batch plan
+          // once and the guarded write re-executed it — inside foreachBatch
+          // each action re-runs the micro-batch plan (state reads
+          // included), so the EMITTING batch paid its state flush twice
+          // (StreamProbe: no-data finalization batch ~2x). An empty append
+          // write costs one empty part file and also guarantees the sink
+          // dir exists even when nothing is emitted.
+          batch.write.mode("append").parquet(s"$target/out")
         }
         .trigger(Trigger.AvailableNow())
         .start()
@@ -234,7 +248,14 @@ object StreamingOps {
       val query = joined.writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) batch.write.mode("append").parquet(s"$target/out")
+          // Unconditional write (r08): `isEmpty` executed the batch plan
+          // once and the guarded write re-executed it — inside foreachBatch
+          // each action re-runs the micro-batch plan (state reads
+          // included), so the EMITTING batch paid its state flush twice
+          // (StreamProbe: no-data finalization batch ~2x). An empty append
+          // write costs one empty part file and also guarantees the sink
+          // dir exists even when nothing is emitted.
+          batch.write.mode("append").parquet(s"$target/out")
         }
         .trigger(Trigger.AvailableNow())
         .start()
@@ -312,9 +333,17 @@ object StreamingOps {
       val query = enriched.writeStream
         .outputMode("update")
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty)
-            graft.operators.MergeUpsert.upsertBatch(
-              batch.sparkSession, target, batch, Seq("user_id"), numBuckets = 16)
+          // Here the empty-batch guard must stay (an empty upsert would
+          // still rewrite every touched bucket), so persist the batch to
+          // keep the guard + upsert at ONE plan execution (r08; inside
+          // foreachBatch each action otherwise re-runs the micro-batch
+          // plan, state reads included).
+          batch.persist()
+          try {
+            if (!batch.isEmpty)
+              graft.operators.MergeUpsert.upsertBatch(
+                batch.sparkSession, target, batch, Seq("user_id"), numBuckets = 16)
+          } finally batch.unpersist()
           ()
         }
         .trigger(Trigger.AvailableNow())
@@ -369,7 +398,14 @@ object StreamingOps {
       val query = joined.writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) batch.write.mode("append").parquet(s"$target/out")
+          // Unconditional write (r08): `isEmpty` executed the batch plan
+          // once and the guarded write re-executed it — inside foreachBatch
+          // each action re-runs the micro-batch plan (state reads
+          // included), so the EMITTING batch paid its state flush twice
+          // (StreamProbe: no-data finalization batch ~2x). An empty append
+          // write costs one empty part file and also guarantees the sink
+          // dir exists even when nothing is emitted.
+          batch.write.mode("append").parquet(s"$target/out")
         }
         .trigger(Trigger.AvailableNow())
         .start()
@@ -458,7 +494,14 @@ object StreamingOps {
       val query = sessions.writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) batch.write.mode("append").parquet(s"$target/out")
+          // Unconditional write (r08): `isEmpty` executed the batch plan
+          // once and the guarded write re-executed it — inside foreachBatch
+          // each action re-runs the micro-batch plan (state reads
+          // included), so the EMITTING batch paid its state flush twice
+          // (StreamProbe: no-data finalization batch ~2x). An empty append
+          // write costs one empty part file and also guarantees the sink
+          // dir exists even when nothing is emitted.
+          batch.write.mode("append").parquet(s"$target/out")
         }
         .trigger(Trigger.AvailableNow())
         .start()
@@ -600,7 +643,14 @@ object StreamingOps {
         .writeStream
         .outputMode("update")
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) batch.write.mode("append").parquet(s"$target/out")
+          // Unconditional write (r08): `isEmpty` executed the batch plan
+          // once and the guarded write re-executed it — inside foreachBatch
+          // each action re-runs the micro-batch plan (state reads
+          // included), so the EMITTING batch paid its state flush twice
+          // (StreamProbe: no-data finalization batch ~2x). An empty append
+          // write costs one empty part file and also guarantees the sink
+          // dir exists even when nothing is emitted.
+          batch.write.mode("append").parquet(s"$target/out")
         }
         .trigger(Trigger.AvailableNow())
         .start()
@@ -637,7 +687,14 @@ object StreamingOps {
       val query = windows.writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) batch.write.mode("append").parquet(s"$target/out")
+          // Unconditional write (r08): `isEmpty` executed the batch plan
+          // once and the guarded write re-executed it — inside foreachBatch
+          // each action re-runs the micro-batch plan (state reads
+          // included), so the EMITTING batch paid its state flush twice
+          // (StreamProbe: no-data finalization batch ~2x). An empty append
+          // write costs one empty part file and also guarantees the sink
+          // dir exists even when nothing is emitted.
+          batch.write.mode("append").parquet(s"$target/out")
         }
         .trigger(Trigger.AvailableNow())
         .start()
