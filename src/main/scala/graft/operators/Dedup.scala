@@ -257,15 +257,6 @@ object Dedup {
       .select(col("u").as("node"), col("__vl").as("label"))
       .unionByName(l)
       .groupBy("node").agg(min("label").as("label"))
-    // The RDD behind a localCheckpoint'ed frame — the handle eager block
-    // release needs (`Dataset.unpersist` can't see it). None-safe so a
-    // future Spark that stops exposing LogicalRDD degrades to
-    // ContextCleaner reclamation instead of breaking.
-    def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.analyzed match {
-        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
-        case _ => None
-      }
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
@@ -286,9 +277,8 @@ object Dedup {
       // `next` is self-contained blocks now — the prior step's and the
       // fused inner round's blocks are dead. Release them at the RDD
       // level (see scaladoc); best-effort, correctness never depends on it.
-      (ckptRdd(labels) ++ inner.flatMap(ckptRdd)).foreach { r =>
-        try r.unpersist(false) catch { case _: Throwable => () }
-      }
+      graft.engine.Lineage.releaseCheckpoint(labels)
+      inner.foreach(graft.engine.Lineage.releaseCheckpoint)
       labels = next
       rounds += (if (fused) 2 else 1)
     }

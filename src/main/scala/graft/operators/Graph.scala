@@ -195,10 +195,13 @@ object Graph {
    * map-side-combined MIN executed once (the synchronous-superstep
    * discipline GraphX/Pregel standardized), and the frontier plan stays
    * O(1) size at any hop count — measured linear to 12+ hops
-   * (SCALING.md §Graph). Checkpoint blocks are MEMORY_AND_DISK and freed
-   * by the ContextCleaner once a round's frontier is unreferenced; the
-   * trade (re-execution impossible after executor loss) is the same one
-   * Dedup's connected components already makes.
+   * (SCALING.md §Graph). Checkpoint blocks are MEMORY_AND_DISK; a DEAD
+   * round's frontier is released eagerly at the RDD level once its
+   * successor is materialized (r08 — `Dataset.unpersist` cannot see a
+   * localCheckpoint's RDD-level persistence, see [[graft.engine.Lineage]];
+   * at 100 TB frontier sizes waiting for GC + ContextCleaner is real
+   * memory pressure). The trade (re-execution impossible after executor
+   * loss) is the same one Dedup's connected components already makes.
    */
   def shortestPaths(edges: DataFrame, sources: DataFrame,
       maxHops: Int): DataFrame = {
@@ -208,11 +211,13 @@ object Graph {
         .persist(StorageLevel.MEMORY_AND_DISK))
     var d = sources.select(col("v"), lit(0L).as("dist")).localCheckpoint()
     for (_ <- 1 to maxHops) {
-      d = d.unionByName(
+      val next = d.unionByName(
           e.join(d.withColumnRenamed("v", "src"), "src")
             .select(col("dst").as("v"), (col("dist") + 1).as("dist")))
         .groupBy("v").agg(min("dist").as("dist"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materialized here, prior round now dead
+      graft.engine.Lineage.releaseCheckpoint(d)
+      d = next
     }
     d
   }

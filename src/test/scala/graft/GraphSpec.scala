@@ -179,4 +179,26 @@ class GraphSpec extends SparkTestBase {
     assert(r(1) > 0 && r(2) > 0)
     assert(r(10) === 0L && r(11) === 0L)
   }
+
+  test("shortestPaths releases dead frontier blocks eagerly (r08)") {
+    // Each hop localCheckpoints a frontier; without eager RDD-level
+    // release those blocks linger until GC + ContextCleaner (which in a
+    // short-lived test — and in a memory-pressured production round —
+    // has not run). After an 8-hop run only the FINAL frontier's
+    // checkpoint plus the tracked edge cache may remain registered.
+    import spark.implicits._
+    val sc = spark.sparkContext
+    graft.engine.CacheReaper.release()
+    val before = sc.getPersistentRDDs.keySet
+    val edges = (0L until 8L).map(i => (i, i + 1, 1L)).toDF("src", "dst", "w")
+    val d = graft.operators.Graph.shortestPaths(
+      edges.select("src", "dst"), Seq(0L).toDF("v"), maxHops = 8)
+    assert(d.count() === 9)
+    val added = sc.getPersistentRDDs.keySet -- before
+    // unreleased would leave ≥ 9 frontier RDDs; released leaves the final
+    // frontier + the edge cache (≤ 3 allows for an internal split)
+    assert(added.size <= 3,
+      s"dead frontiers not released: ${added.size} new persistent RDDs")
+    graft.engine.CacheReaper.release()
+  }
 }
