@@ -25,22 +25,27 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-// Heap clamp (r08, VERDICT r07 #1a): the r07 driver bench ran an 86 GiB
-// heap through this env override (heap_gb:86 in BENCH_r07.json vs 15 in
-// every clean capture) and failed the gate with six spikes that all
-// retimed clean. On a 125 GiB box a ~96g -Xms PRE-COMMIT squeezes the OS
-// page cache that 152 re-read-per-query parquet scans live on, and
-// full-heap ParallelGC collections scale with heap size. The override
-// stays honored up to 32g for local experimentation; above that it is
-// clamped (Bench additionally records heap_gb + heap_divergent so a
-// bypassed clamp is still visible in the JSON). Unparseable values fall
-// through unchanged — an experiment like -Xmx17000m stays possible.
+// Heap clamp (r08, VERDICT r07 #1a/#1b): the r07 driver bench ran an
+// 86 GiB heap through this env override (heap_gb:86 in BENCH_r07.json vs
+// 15 in every clean capture) and failed the gate with six spikes that
+// all retimed clean. The controlled A/B (same binary, same clean window)
+// measured 16g -> 83.7 s vs 96g -> 166.3 s vs 16g -> 83.8 s: pre-committed
+// big-heap ParallelGC alone DOUBLES the suite (young-gen copy/page-fault
+// volume scales with heap; pauses land randomly per query and never
+// reproduce on retime — SCALING.md §variance). 16g is the measured
+// optimum and the committed record config, so the override is clamped TO
+// it from above: the gate config is the contract, and every GiB past the
+// optimum only adds GC exposure on a suite that runs clean (zero
+// over-budget) inside 16 GiB. Values BELOW 16g
+// pass through for experiments; unparseable values fall through
+// unchanged. A genuinely bigger local run (sf10+) should edit this
+// constant deliberately rather than inherit a driver-env surprise.
 val clampHeap: String => String = { req =>
   val GiB = "(?i)^\\s*(\\d+)\\s*g\\s*$".r
   val MiB = "(?i)^\\s*(\\d+)\\s*m\\s*$".r
   req match {
-    case GiB(n) if n.toLong > 32 => "32g"
-    case MiB(n) if n.toLong > 32768 => "32g"
+    case GiB(n) if n.toLong > 16 => "16g"
+    case MiB(n) if n.toLong > 16384 => "16g"
     case _ => req
   }
 }
