@@ -86,6 +86,28 @@ class StreamFixtureSpec extends SparkTestBase {
       SparkEntry.queries("q42_stream_watermark_dedup")(spark, nsDir)) === expected)
   }
 
+  test("a stream that finalizes ZERO windows returns empty instead of throwing (r08)") {
+    // 90-minute span: the watermark (max − 1 h) never passes any window
+    // end, so append mode emits NOTHING. Before r08 the foreachBatch sink
+    // only wrote non-empty batches, so the final read hit a nonexistent
+    // path and the query THREW on this perfectly legal input; the
+    // unconditional write guarantees the sink dir (with empty part files)
+    // always exists.
+    val dir: Path = Files.createTempDirectory("stream_fix_short")
+    val shortSpan = spark.sql(
+      """SELECT id AS event_id,
+        |  timestampadd(SECOND, CAST(id * 22 AS INT),
+        |               timestamp'2024-03-01 00:00:00') AS ts,
+        |  id % 5 AS user_id,
+        |  CASE WHEN id % 3 = 0 THEN 'view' ELSE 'purchase' END AS event_type,
+        |  CAST(id AS DOUBLE) / 10 AS value,
+        |  '{"k":1}' AS props
+        |FROM range(240)""".stripMargin) // 240 * 22 s ≈ 88 min total span
+    ParquetFixtures.writeSingleFile(shortSpan, dir, "events")
+    val got = SparkEntry.queries("q42_stream_watermark_dedup")(spark, dir.toString)
+    assert(got.count() === 0L, "no window is finalized inside a 90-minute span")
+  }
+
   test("q85 native session windows run on a synthesized fixture, both ts encodings") {
     val got = sortedRows(SparkEntry.queries("q85_stream_session_native")(spark, ntzDir))
     assert(got.nonEmpty)
