@@ -134,13 +134,22 @@ object Graph {
       iters: Int = 3, d: Int = 85): DataFrame = {
     require(iters >= 1 && d >= 0 && d <= 100)
     val (e, nodes) = prep(edges)
-    val nSeeds = seeds.select(col("v")).distinct().count()
+    // Materialize the seed set ONCE (r08): it is SMALL by contract (its
+    // cardinality is collected right below), but the caller's seed PLAN
+    // can be arbitrarily heavy — q143 derives it from a full events scan
+    // — and it was executed twice: once for the count, once inside the
+    // `bases` join. localCheckpoint costs one job over a tiny frame and
+    // makes the bases join read a handful of materialized rows (the
+    // ≤5-row checkpoint blocks are reclaimed by the ContextCleaner;
+    // eager release is pointless at the contract's seed size).
+    val seedSet = seeds.select(col("v")).distinct().localCheckpoint()
+    val nSeeds = seedSet.count()
     require(nSeeds > 0, "personalizedPagerank: empty seed set")
     requireWeightHeadroom(e)
     val bSeed = ((100L - d) * Scale) / (100L * nSeeds)
     val r0Seed = Scale / nSeeds
     val bases = graft.engine.CacheReaper.track(
-      nodes.join(seeds.select(col("v"), lit(true).as("__s")),
+      nodes.join(seedSet.select(col("v"), lit(true).as("__s")),
           Seq("v"), "left")
         .select(col("v"),
           when(col("__s"), lit(bSeed)).otherwise(lit(0L)).as("b"),
