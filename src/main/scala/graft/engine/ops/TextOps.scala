@@ -76,7 +76,12 @@ object TextOps {
     val nTokens = size(toks)
     val nDistinct = size(array_distinct(toks))
     val nStop = expr("size(filter(split(text, ' '), t -> array_contains(array('the','a','of','and'), t)))")
-    val sumLen = expr("aggregate(transform(split(text, ' '), x -> length(x)), 0, (acc, x) -> acc + x)")
+    // sum of per-token lengths ≡ the non-space character count (split on
+    // EVERY single space keeps empties, which contribute 0) — a codegen'd
+    // builtin instead of the interpreted HOF fold it replaced (r08); the
+    // oracle keeps the list_sum formulation, so hash parity PROVES the
+    // identity on the corpus
+    val sumLen = length(expr("replace(text, ' ', '')"))
     def ratio(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       (a.cast("decimal(18,6)") / b).cast("decimal(38,6)")
     Tables.table(s, dir, "documents")
@@ -123,13 +128,15 @@ object TextOps {
       |                     t -> CAST(ascii(substr(t, 1, 1)) * 31 + length(t) AS BIGINT))),
       |    (acc, v) -> (acc * 131 + v) % 1000000007) AS fingerprint
       |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin) { (s, dir) =>
+    // The native codegen expression (r08; q46 predated it and still ran
+    // the interpreted CodegenFallback lambda + two intermediate arrays per
+    // row). Bit-identical by construction AND by test: RollingFingerprint
+    // is equality-pinned against exactly this lambda formulation on the
+    // corpus, boundary fixtures, and randomized messy text
+    // (GraftFunctionsSpec, NativeExprPropSpec).
     Tables.table(s, dir, "documents")
       .select(col("doc_id"),
-        expr("""aggregate(
-                |  transform(split(text, ' '),
-                |            t -> cast(ascii(substr(t, 1, 1)) * 31 + length(t) AS BIGINT)),
-                |  cast(0 AS BIGINT),
-                |  (acc, v) -> (acc * 131 + v) % 1000000007)""".stripMargin).as("fingerprint"))
+        graft.engine.expr.RollingFingerprint.of(col("text")).as("fingerprint"))
       .orderBy("doc_id").limit(200)
   }
 
