@@ -153,50 +153,83 @@ object Tables {
     }
 
   /** Session-lifetime cache of the INFERRED physical parquet schema per
-    * (path, mtime, size). Every query builder calls [[table]] 1–6× and a
-    * bench/verify run makes 151+ of those calls — without this, each one
-    * re-reads parquet footers at analysis time, pure constant driver-path
-    * latency (r07, VERDICT r06 #5). Invalidation is by file mtime+size
-    * (the q121 incremental-agg precedent): a regenerated input re-infers;
-    * an unchanged one passes the cached schema to `spark.read.schema(...)`,
-    * which skips footer-based inference entirely. The cached schema is the
-    * PHYSICAL one — [[normalize]] still runs per load, so drift handling
-    * is unchanged.
+    * (path, mtime, size, trailer-CRC). Every query builder calls [[table]]
+    * 1–6× and a bench/verify run makes 151+ of those calls — without this,
+    * each one re-reads parquet footers at analysis time, pure constant
+    * driver-path latency (r07, VERDICT r06 #5). Invalidation is by file
+    * mtime+size (the q121 incremental-agg precedent) PLUS a content token
+    * (r09, VERDICT r08 #7): a regenerated input re-infers; an unchanged
+    * one passes the cached schema to `spark.read.schema(...)`, which skips
+    * footer-based inference entirely. The cached schema is the PHYSICAL
+    * one — [[normalize]] still runs per load, so drift handling is
+    * unchanged.
     *
-    * Known blind spot (ADVICE r07): a file rewritten with the SAME byte
-    * length inside the filesystem's mtime granularity is indistinguishable
-    * from the original under this key and would be served the stale schema
-    * (SchemaDriftSpec sleeps 1100 ms around its rewrite for exactly this
-    * reason). Folding a content token into the key would mean reading file
-    * bytes per lookup — the cost the cache exists to avoid — so the limit
-    * is documented instead: a same-size same-instant rewrite requires
-    * [[clearSchemaCache]] (or any mtime/size change) to be picked up.
+    * The content token closes the ADVICE-r07 blind spot (a file rewritten
+    * with the same byte length inside the filesystem's mtime granularity
+    * was indistinguishable from the original, and SchemaDriftSpec slept
+    * 1100 ms around its rewrite for exactly that reason): any schema
+    * change rewrites the Thrift footer, so the trailer CRC changes even
+    * when (mtime, size) cannot. The cost is one ≤4 KiB tail pread per
+    * [[table]] call — served from the OS page cache on repeats, orders of
+    * magnitude cheaper than the full footer decode + Spark inference path
+    * the cache exists to avoid. [[clearSchemaCache]] stays as the
+    * belt-and-braces hook (and for tests).
     *
     * Cross-session safety: the cache is JVM-global, but the key is purely
-    * physical (path, mtime, size) and the VALUE is the file's physical
-    * schema — which session inferred it cannot matter because [[table]] /
-    * [[tableStream]] pin `nanosAsLong=true` on the session right before
-    * every read, so two concurrent sessions (even ones created with
-    * different initial configs) always load through identical inference
-    * settings and identical normalization (SchemaDriftSpec r08 proves the
-    * two-session case end-to-end). */
+    * physical and the VALUE is the file's physical schema — which session
+    * inferred it cannot matter because [[table]] / [[tableStream]] pin
+    * `nanosAsLong=true` on the session right before every read, so two
+    * concurrent sessions (even ones created with different initial
+    * configs) always load through identical inference settings and
+    * identical normalization (SchemaDriftSpec r08 proves the two-session
+    * case end-to-end). */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), StructType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long), StructType]()
 
-  /** Manual invalidation hook for the documented same-size same-instant
-    * rewrite blind spot above (and for tests). */
+  /** Manual invalidation hook (tests; non-file paths whose rewrite story
+    * remains mtime+size — see [[trailerToken]]). */
   private[graft] def clearSchemaCache(): Unit = schemaCache.clear()
 
   /** Count of actual footer inferences performed (test observability:
     * SchemaDriftSpec asserts a repeat load does NOT increment this). */
   private[graft] val schemaInfersTotal = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Cheap CONTENT token for the schema-cache key: CRC32 over the parquet
+    * trailer — the last min(len, 4096) bytes, which always include the
+    * 4-byte footer length + "PAR1" magic and the tail of the Thrift
+    * FileMetaData (schema, row-group metadata, column-chunk offsets). A
+    * rewrite that preserves byte length but changes the schema perturbs
+    * these bytes (a different schema re-encodes the footer; even a
+    * same-length column rename shifts name bytes inside the hashed
+    * window), so the token re-keys the cache where mtime+size cannot.
+    * Footers larger than 4 KiB hash only their tail — fine, because any
+    * metadata change also moves the absolute column-chunk offsets and
+    * footer length that live there. Non-file paths (a directory of part
+    * files — not produced by the driver's one-file-per-table layout, but
+    * reachable through engine-written outputs) return 0 and keep the
+    * plain mtime+size story. */
+  private def trailerToken(f: java.io.File): Long = {
+    val len = f.length()
+    if (!f.isFile || len < 12) return 0L
+    val n = math.min(len, 4096L).toInt
+    val raf = new java.io.RandomAccessFile(f, "r")
+    try {
+      raf.seek(len - n)
+      val buf = new Array[Byte](n)
+      raf.readFully(buf)
+      val crc = new java.util.zip.CRC32()
+      crc.update(buf)
+      crc.getValue
+    } finally raf.close()
+  }
+
   private def physicalSchema(spark: SparkSession, path: String): StructType = {
     val f = new java.io.File(path)
-    schemaCache.computeIfAbsent((path, f.lastModified(), f.length()), { _ =>
-      schemaInfersTotal.incrementAndGet()
-      spark.read.parquet(path).schema
-    })
+    schemaCache.computeIfAbsent(
+      (path, f.lastModified(), f.length(), trailerToken(f)), { _ =>
+        schemaInfersTotal.incrementAndGet()
+        spark.read.parquet(path).schema
+      })
   }
 
   /** Read one table, normalized to its canonical schema. */
