@@ -7,14 +7,26 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 /**
- * Streaming-state scaling stress (VERDICT r04 #5): the q104 ledger shape —
- * `flatMapGroupsWithState` fingerprint-claim dedup on the RocksDB state
- * store — at 1×/10×/100× the event volume, split over 4 micro-batches
- * (`maxFilesPerTrigger=1`), so later batches run against a populated
- * store. The dup fraction is constant (30% planted pairs), so distinct
- * keys — and therefore state — grow linearly with input; a scale-safe
- * implementation must grow wall time ~linearly too (per-key state work is
- * O(1), the shuffle is one exchange per batch on the fingerprint).
+ * Streaming-state scaling stress (VERDICT r04 #5; provider A/B r09,
+ * VERDICT r08 #5): the q104 ledger shape — `flatMapGroupsWithState`
+ * fingerprint-claim dedup — at 1×/10×/100× the event volume, split over
+ * 4 micro-batches (`maxFilesPerTrigger=1`), so later batches run against
+ * a populated store. The dup fraction is constant (30% planted pairs), so
+ * distinct keys — and therefore state — grow linearly with input; a
+ * scale-safe implementation must grow wall time ~linearly too (per-key
+ * state work is O(1), the shuffle is one exchange per batch on the
+ * fingerprint).
+ *
+ * Each shape runs under BOTH state store providers — the default
+ * HDFS-backed in-memory store (what the shipping q42/q104 queries use)
+ * and RocksDBStateStoreProvider. The in-memory store holds every key's
+ * state on the executor heap, which is the real 100 TB streaming risk
+ * (state must fit memory or the executor dies); RocksDB spills to local
+ * disk with an in-heap block cache, trading per-access cost for a
+ * state-size ceiling bounded by disk. The A/B quantifies that trade at
+ * growing ledger cardinality. The provider is a per-query setting read
+ * from the session conf at stream start, so the A/B flips it between
+ * runs (fresh checkpoint per run — state formats are not interchangeable).
  *
  * The TTL'd variant (StreamDedup.dedupWithTtl, EventTimeTimeout) runs the
  * same corpus with event times spread over 4 hours and a 1-hour TTL: its
@@ -24,6 +36,11 @@ import org.apache.spark.sql.streaming.Trigger
  * Usage: runMain graft.tools.StressStream [scales, default "1,10,100"]
  */
 object StressStream {
+
+  private val MemProvider =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+  private val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
   private def timed[T](body: => T): (T, Double) = {
     val t0 = System.nanoTime()
@@ -39,15 +56,13 @@ object StressStream {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "8") // state partitions
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     import spark.implicits._
     spark.sparkContext.setLogLevel("ERROR")
 
-    println("| scale | events | op | batches | seconds | emitted | distinct keys |")
-    println("|---|---|---|---|---|---|---|")
+    println("| scale | events | op | store | batches | seconds | emitted | distinct keys |")
+    println("|---|---|---|---|---|---|---|---|")
     for (scale <- scales) {
       val rows = base * scale
       val root = Files.createTempDirectory(s"stress_stream_$scale").toString
@@ -72,7 +87,8 @@ object StressStream {
         .select(countDistinct("fingerprint")).collect()(0).getLong(0)
       val schema = spark.read.parquet(src).schema
 
-      def runLedger(): (Long, Long) = {
+      def runLedger(provider: String, cp: String): (Long, Long) = {
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
         import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
         var emitted = 0L
         var batches = 0L
@@ -93,7 +109,7 @@ object StressStream {
           }
         val q = deduped.toDF("doc_id", "fingerprint").writeStream
           .outputMode("update")
-          .option("checkpointLocation", s"$root/cp_ledger")
+          .option("checkpointLocation", s"$root/$cp")
           .foreachBatch { (b: DataFrame, _: Long) =>
             emitted += b.count(); batches += 1
           }
@@ -102,7 +118,8 @@ object StressStream {
         (emitted, batches)
       }
 
-      def runTtl(): (Long, Long) = {
+      def runTtl(provider: String, cp: String): (Long, Long) = {
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
         var emitted = 0L
         var batches = 0L
         val events = spark.readStream.schema(schema)
@@ -113,7 +130,7 @@ object StressStream {
         val q = graft.operators.StreamDedup.dedupWithTtl(events, ttlMs = 3600000L)
           .toDF("id", "key", "n_claims").writeStream
           .outputMode("update")
-          .option("checkpointLocation", s"$root/cp_ttl")
+          .option("checkpointLocation", s"$root/$cp")
           .foreachBatch { (b: DataFrame, _: Long) =>
             emitted += b.count(); batches += 1
           }
@@ -122,10 +139,12 @@ object StressStream {
         (emitted, batches)
       }
 
-      val ((em1, b1), t1) = timed(runLedger())
-      val ((em2, b2), t2) = timed(runTtl())
-      println(f"| ${scale}x | $rows | q104 ledger (NoTimeout) | $b1 | $t1%.1f | $em1 | $distinctKeys |")
-      println(f"| ${scale}x | $rows | dedupWithTtl (EventTimeTimeout 1h) | $b2 | $t2%.1f | $em2 | $distinctKeys |")
+      for ((label, provider) <- Seq("mem" -> MemProvider, "rocksdb" -> RocksProvider)) {
+        val ((em1, b1), t1) = timed(runLedger(provider, s"cp_ledger_$label"))
+        val ((em2, b2), t2) = timed(runTtl(provider, s"cp_ttl_$label"))
+        println(f"| ${scale}x | $rows | q104 ledger (NoTimeout) | $label | $b1 | $t1%.1f | $em1 | $distinctKeys |")
+        println(f"| ${scale}x | $rows | dedupWithTtl (EventTimeTimeout 1h) | $label | $b2 | $t2%.1f | $em2 | $distinctKeys |")
+      }
     }
     spark.stop()
   }
