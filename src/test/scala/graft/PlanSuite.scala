@@ -355,6 +355,58 @@ class PlanSuite extends SparkTestBase {
     }
   }
 
+  test("skewed algebraic aggregation is neutralized by partial agg, not salt") {
+    // The q55 companion pin (r09, VERDICT r08 #6): AQE's skew handling is
+    // JOIN-only (OptimizeSkewedJoin splits SMJ/SHJ partitions; a final
+    // aggregation's shuffle partitions can be coalesced but never split),
+    // so the question "does q55 need its manual salt?" is decided by the
+    // MAP SIDE. For algebraic aggregates (sum/count/min/max/avg), partial
+    // aggregation emits at most one row per (mapper, key) into the
+    // shuffle — a 99%-hot key contributes #mappers rows to its reduce
+    // task, not 99% of the corpus — so the unsalted single-shuffle plan
+    // is already skew-proof AND strictly cheaper than q55's two-shuffle
+    // salted shape. The salt is the library pattern for when partial agg
+    // CANNOT shrink state: holistic aggregates (collect_list/set,
+    // exact percentile) whose partial state grows with input rows.
+    // Asserted, not prose: shuffle records for a 200k-row 99%-skewed
+    // aggregation stay ≤ keys × mappers.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val rows = 200000L
+    val skewed = spark.range(rows).select(
+      // key 0 holds ~99% of rows; 100 distinct keys total
+      when(col("id") % 100 =!= 0, lit(0L)).otherwise(col("id") % 1000).as("k"),
+      col("id").cast("double").as("v"))
+    val agg = skewed.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+    agg.queryExecution.toRdd.count() // materialize so metrics populate
+    val executed = agg.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+    // Under AQE (Spark 4.x), the final plan is a ResultQueryStageExec and
+    // every materialized exchange sits behind a QueryStageExec LEAF — a
+    // plain tree collect never crosses a stage boundary, so flatten
+    // through `QueryStageExec.plan` explicitly.
+    def flatten(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(flatten)) ++ (p match {
+        case q: QueryStageExec => flatten(q.plan)
+        case _                 => Seq.empty
+      })
+    val nodes = flatten(executed)
+    assert(nodes.mkString("\n").contains("partial_sum"),
+      s"no map-side partial aggregation in:\n$executed")
+    val shuffleRecords = nodes.collect {
+      case s: ShuffleExchangeExec => s.metrics.get("shuffleRecordsWritten")
+    }.flatten.map(_.value).sum
+    // 100 keys × ≤32 map tasks = ≤3200 partial rows; leave 4x headroom for
+    // partition-count drift. The point: orders of magnitude below 200k.
+    assert(shuffleRecords > 0 && shuffleRecords <= 12800,
+      s"partial aggregation failed to collapse the skewed key before the " +
+        s"shuffle: $shuffleRecords records written for $rows input rows")
+  }
+
   test("CBO reorders a 3-table join under table statistics") {
     // The other prose-only 100 TB claim (SURVEY §4.2): with ANALYZE'd row +
     // column stats and spark.sql.cbo.joinReorder, Catalyst must rewrite the
