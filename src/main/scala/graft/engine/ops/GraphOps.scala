@@ -21,18 +21,35 @@ import graft.operators.Graph
  */
 object GraphOps {
 
-  /** The item-transition edge list shared by the graph family: nodes =
-    * items (props.$.k), a directed edge src→dst with weight w = "users
-    * moved from item src to item dst w times" (per-user ts,event_id
-    * order; self-loops dropped). One user_id window pass (q138's exact
-    * shape) + one map-side-combined count — |item pairs| rows out,
-    * independent of event count. */
+  /** The item-transition edge list shared by the graph family (q139/q143/
+    * q145/q150): nodes = items (props.$.k), a directed edge src→dst with
+    * weight w = "users moved from item src to item dst w times" (per-user
+    * ts,event_id order; self-loops dropped). One user_id window pass
+    * (q138's exact shape) + one map-side-combined count — |item pairs|
+    * rows out, independent of event count.
+    *
+    * Stage width (r09, StageProbe finding): the window exchange's input
+    * is only a few MB here, so AQE's input-byte coalescing folded the
+    * window+pair-agg stage to ONE task (~750 ms serialized). The explicit
+    * `repartition(parts, user_id)` pins the exchange's width — it is the
+    * window's own exchange stated explicitly (hash(user_id) satisfies the
+    * window's required distribution, so no second exchange appears), just
+    * exempt from coalescing. The JSON decode deliberately STAYS in the
+    * scan stage: with real multi-row-group files the scan — and the
+    * decode with it — parallelizes by row group, and the exchange then
+    * carries the NARROW (user_id, ts, event_id, k) rows rather than raw
+    * props strings; shipping props to decode post-shuffle would trade
+    * permanent shuffle bytes for parallelism the scan already has
+    * everywhere except this 1-row-group testdata (TESTDATA limitation,
+    * re-raised to the driver in VERDICT r08 §missing). */
   private def itemEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     Tables.table(s, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .where(col("k").isNotNull)
+      .repartition(parts, col("user_id"))
       .withColumn("pk", lag(col("k"), 1).over(w))
       .where(col("pk").isNotNull && col("pk") =!= col("k"))
       .groupBy(col("pk").as("src"), col("k").as("dst"))
