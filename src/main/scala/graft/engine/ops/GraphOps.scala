@@ -28,28 +28,27 @@ object GraphOps {
     * (q138's exact shape) + one map-side-combined count — |item pairs|
     * rows out, independent of event count.
     *
-    * Stage width (r09, StageProbe finding): the window exchange's input
-    * is only a few MB here, so AQE's input-byte coalescing folded the
-    * window+pair-agg stage to ONE task (~750 ms serialized). The explicit
-    * `repartition(parts, user_id)` pins the exchange's width — it is the
-    * window's own exchange stated explicitly (hash(user_id) satisfies the
-    * window's required distribution, so no second exchange appears), just
-    * exempt from coalescing. The JSON decode deliberately STAYS in the
-    * scan stage: with real multi-row-group files the scan — and the
-    * decode with it — parallelizes by row group, and the exchange then
-    * carries the NARROW (user_id, ts, event_id, k) rows rather than raw
-    * props strings; shipping props to decode post-shuffle would trade
-    * permanent shuffle bytes for parallelism the scan already has
-    * everywhere except this 1-row-group testdata (TESTDATA limitation,
-    * re-raised to the driver in VERDICT r08 §missing). */
+    * Stage width — measured and left ALONE (r09): StageProbe showed AQE's
+    * input-byte coalescing folding the window+pair-agg stage to one task
+    * here, which looked like a serialization defect. Two alternatives
+    * were built and A/B-measured warm (DbgBuild, 4 interleaved reps):
+    * (1) an explicit `repartition(parts, user_id)` width pin — build
+    * 0.9–1.0 s vs 0.65–0.76 s for this shape, ~0.3 s SLOWER end-to-end
+    * (32 tiny sort+window tasks plus 8× more partial-agg rows cost more
+    * than the 1-task stage they replace); (2) shipping raw props through
+    * the exchange to parallelize the JSON decode — equal warm, and
+    * strictly worse at scale (wider shuffle rows; real multi-row-group
+    * files parallelize the scan-stage decode anyway). AQE's byte-based
+    * verdict is simply CORRECT at this input size, and at 100 TB the
+    * same exchange is big enough that no coalescing occurs — so the
+    * declarative shape below, with the decode in the scan stage and no
+    * width pin, is the right plan at both ends. */
   private def itemEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     Tables.table(s, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .where(col("k").isNotNull)
-      .repartition(parts, col("user_id"))
       .withColumn("pk", lag(col("k"), 1).over(w))
       .where(col("pk").isNotNull && col("pk") =!= col("k"))
       .groupBy(col("pk").as("src"), col("k").as("dst"))
