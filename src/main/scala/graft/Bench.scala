@@ -157,6 +157,13 @@ object Bench {
     // contract (steady state is what the per-query budget models; the
     // warmup list exists precisely to keep one-time costs out of timed
     // slots), but read `retimed` as steady-state evidence only.
+    // Window context for the retimes (r11, VERDICT r10 #7): a retime read
+    // in a different host window than the suite is uninterpretable alone
+    // (q139's 3.66→3.18 s cold-retime swing across r9/r10). Capture the
+    // shuffle canary IMMEDIATELY before the retime block so each round's
+    // retimes carry their own window classification.
+    val canaryRetime =
+      if (overBudgetKeys.isEmpty) -1.0 else canaryOf("q11_join_shuffle")
     val retimed = overBudgetKeys.map { k =>
       val t = try {
         val t0 = System.nanoTime()
@@ -191,11 +198,15 @@ object Bench {
     // page cache stay warm, i.e. the state a fresh bench process sees
     // after its warmup list, NOT a cold-disk cluster start. Runs after
     // the canaries so their environment is identical to prior rounds;
-    // untimed w.r.t. the gate and the total.
+    // untimed w.r.t. the gate and the total. Caches are released INSIDE
+    // the per-key loop (r11, ADVICE r09 #3 carry-over): with one release
+    // up front, the first key of a cache-sharing family (e.g. the graph
+    // edge aggregate) repopulated the cache and every later family member
+    // retimed WARM while being reported as cold.
     val retimedCold = if (overBudgetKeys.isEmpty) "{}" else {
-      graft.engine.CacheReaper.release()
-      graft.engine.Tables.clearSchemaCache()
       overBudgetKeys.map { k =>
+        graft.engine.CacheReaper.release()
+        graft.engine.Tables.clearSchemaCache()
         val t = try {
           val t0 = System.nanoTime()
           SparkEntry.queries(k)(spark, sfDir).count()
@@ -241,17 +252,21 @@ object Bench {
       System.err.println(f"BENCH HEAP DIVERGENCE: requested -Xmx $xmxReqGb%.1f GiB " +
         "vs the measured-optimal 16g clamp — timings are not comparable to " +
         "the committed record config; see build.sbt clampHeap and SCALING.md")
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"heap_gb":$heapGb,"heap_req_gb":$xmxReqGb,"heap_divergent":$heapDivergent,"queries":$qs,"failed":$failed,"warmup_failed":$warmFailedJson,"over_budget":$overBudget,"retimed":$retimed,"retimed_cold":$retimedCold,"soft_budget_sec":$softTotal,"budget_exceeded":$exceeded,"canary_pre_sec":$canaryPre,"canary_shuffle_pre_sec":$canaryShufflePre,"canary_mid_sec":$canaryMid,"canary_shuffle_mid_sec":$canaryShuffleMid,"canary_sec":$canary,"canary_shuffle_sec":$canaryShuffle,"sf":"$sfDir"}"""
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"heap_gb":$heapGb,"heap_req_gb":$xmxReqGb,"heap_divergent":$heapDivergent,"queries":$qs,"failed":$failed,"warmup_failed":$warmFailedJson,"over_budget":$overBudget,"canary_retime_sec":$canaryRetime,"retimed":$retimed,"retimed_cold":$retimedCold,"soft_budget_sec":$softTotal,"budget_exceeded":$exceeded,"canary_pre_sec":$canaryPre,"canary_shuffle_pre_sec":$canaryShufflePre,"canary_mid_sec":$canaryMid,"canary_shuffle_mid_sec":$canaryShuffleMid,"canary_sec":$canary,"canary_shuffle_sec":$canaryShuffle,"sf":"$sfDir"}"""
     println(jsonLine)
     // Full per-query artifact (r05, VERDICT r04 #4): the driver's
     // BENCH_r*.json keeps only the tail of stdout, so early-alphabet query
     // timings were unrecoverable from the round record. Persist the SAME
     // JSON (all per-query times + the canary quartet) to a repo file the
     // round can commit, keyed per round via env. Best-effort: a read-only
-    // cwd must not fail the capture.
+    // cwd must not fail the capture. The default is the round-NEUTRAL
+    // "latest" name (r11, ADVICE r10 #1): a hardcoded round-numbered
+    // default let the r10 driver run overwrite the committed r9 artifact
+    // in place — per-round files are now created only by an explicit
+    // SPARK_GRAFT_BENCH_FULL=bench_full_rN.json.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full_r9.json")),
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full_latest.json")),
       jsonLine + "\n")
     catch { case _: Throwable => () }
     // Append-only run history (r06, ADVICE r05 #1): the driver's post-round

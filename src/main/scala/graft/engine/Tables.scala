@@ -194,34 +194,48 @@ object Tables {
     * SchemaDriftSpec asserts a repeat load does NOT increment this). */
   private[graft] val schemaInfersTotal = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Cheap CONTENT token for the schema-cache key: CRC32 over the parquet
-    * trailer — the last min(len, 4096) bytes, which always include the
-    * 4-byte footer length + "PAR1" magic and the tail of the Thrift
-    * FileMetaData (schema, row-group metadata, column-chunk offsets). A
-    * rewrite that preserves byte length but changes the schema perturbs
-    * these bytes (a different schema re-encodes the footer; even a
-    * same-length column rename shifts name bytes inside the hashed
-    * window), so the token re-keys the cache where mtime+size cannot.
-    * Footers larger than 4 KiB hash only their tail — fine, because any
-    * metadata change also moves the absolute column-chunk offsets and
-    * footer length that live there. Non-file paths (a directory of part
-    * files — not produced by the driver's one-file-per-table layout, but
-    * reachable through engine-written outputs) return 0 and keep the
-    * plain mtime+size story. */
-  private def trailerToken(f: java.io.File): Long = {
+  /** Cheap CONTENT token for the schema-cache key: CRC32 over the WHOLE
+    * parquet footer — the trailer is [footer bytes][4-byte LE footer
+    * length]["PAR1"], so the length is read from the last 8 bytes first
+    * and the hash covers exactly footerLen + 8 bytes (r11, ADVICE r09
+    * #2: the previous fixed min(len, 4096)-byte window left a blind spot
+    * for footers past 4 KiB — a schema edit confined to the footer's
+    * HEAD, e.g. an early field in a very wide schema, could leave the
+    * hashed tail byte-identical). A rewrite that preserves byte length
+    * but changes the schema now always perturbs hashed bytes, so the
+    * token re-keys the cache where mtime+size cannot. Non-file paths
+    * (a directory of part files — not produced by the driver's
+    * one-file-per-table layout, but reachable through engine-written
+    * outputs), truncated files, implausible footer lengths, and any I/O
+    * error return 0 and keep the plain mtime+size story — a cache-key
+    * weakening must never fail the read itself. */
+  private def trailerToken(f: java.io.File): Long = try {
     val len = f.length()
-    if (!f.isFile || len < 12) return 0L
-    val n = math.min(len, 4096L).toInt
-    val raf = new java.io.RandomAccessFile(f, "r")
-    try {
-      raf.seek(len - n)
-      val buf = new Array[Byte](n)
-      raf.readFully(buf)
-      val crc = new java.util.zip.CRC32()
-      crc.update(buf)
-      crc.getValue
-    } finally raf.close()
-  }
+    if (!f.isFile || len < 12) 0L
+    else {
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try {
+        val tail = new Array[Byte](8)
+        raf.seek(len - 8)
+        raf.readFully(tail)
+        val footerLen = (tail(0) & 0xffL) | ((tail(1) & 0xffL) << 8) |
+          ((tail(2) & 0xffL) << 16) | ((tail(3) & 0xffL) << 24)
+        // Plausibility: the footer + both magics must fit the file. A
+        // corrupt length degrades to token 0, not an OOM-sized buffer.
+        if (footerLen <= 0 || footerLen > len - 12 ||
+            footerLen > 256L * 1024 * 1024) 0L
+        else {
+          val n = (footerLen + 8).toInt
+          raf.seek(len - n)
+          val buf = new Array[Byte](n)
+          raf.readFully(buf)
+          val crc = new java.util.zip.CRC32()
+          crc.update(buf)
+          crc.getValue
+        }
+      } finally raf.close()
+    }
+  } catch { case _: Throwable => 0L }
 
   private def physicalSchema(spark: SparkSession, path: String): StructType = {
     val f = new java.io.File(path)

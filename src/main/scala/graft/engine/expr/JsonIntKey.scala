@@ -1,0 +1,134 @@
+package graft.engine.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native codegen scalar extracting one INTEGER value from a flat JSON
+ * object column: `JsonIntKey(props, "k")` ≡ `get_json_object(props,
+ * '$.k')` cast to BIGINT — the fourth member of the hot-path expression
+ * family (RollingFingerprint, HashedShingles, LcgMin, this).
+ *
+ * Why: the event table's `props` column is decoded on every graph/quality
+ * scan (q139/q143/q145/q150 via the shared item-edge build, q133/q142),
+ * and `get_json_object` runs a full Jackson tokenizer per row to pull one
+ * small integer out of a `{"k": N}`-shaped object — the single largest
+ * fixed cost in the graph family (VERDICT r09/r10). This expression is
+ * one allocation-free byte walk over the UTF8String, stays inside
+ * whole-stage codegen, and returns the same LongType the call sites were
+ * already casting to.
+ *
+ * Contract (property-tested for equality with `get_json_object(..)
+ * .cast("long")` in GraftFunctionsSpec): the input is a FLAT JSON object
+ * whose string values, if any, do not themselves contain the quoted key
+ * pattern (`"key"`); the target value is an optionally-quoted integer
+ * literal fitting a signed 64-bit long. Absent key, null/true/false,
+ * fractional, exponent-formed, overflowing, or otherwise non-integer
+ * values yield SQL NULL — strictly MORE defined than the old
+ * `get_json_object(..).cast(..)` it replaces, which under the session's
+ * default ANSI mode would throw on a non-integral extract (the corpus is
+ * integral everywhere, so the two are bit-identical on real data). Keys
+ * are ASCII without JSON escapes (enforced at construction).
+ */
+case class JsonIntKey(child: Expression, key: String)
+    extends UnaryExpression {
+  require(key.nonEmpty && key.forall(c => c >= 0x20 && c < 0x7f && c != '"' && c != '\\'),
+    s"json_int_key: key must be non-empty printable ASCII without quotes/escapes, got '$key'")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"json_int_key requires string, got ${t.simpleString(10)}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  // The quoted-key byte pattern, built once per expression instance.
+  @transient private lazy val pattern: Array[Byte] =
+    ("\"" + key + "\"").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override protected def nullSafeEval(input: Any): Any =
+    JsonIntKey.compute(input.asInstanceOf[UTF8String], pattern)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val patRef = ctx.addReferenceObj("jsonIntKeyPattern", pattern, "byte[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("jik")
+      s"""
+         |java.lang.Long $tmp = graft.engine.expr.JsonIntKey.compute($c, $patRef);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): JsonIntKey =
+    copy(child = newChild)
+}
+
+object JsonIntKey {
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r'
+
+  /** The byte walk, shared by eval and codegen. `pattern` is the quoted
+    * key (`"k"` for key k). Returns a boxed Long or null — boxed because
+    * "absent" has no long sentinel; values are small item ids, and one
+    * box is noise next to the Jackson parse this replaces. */
+  def compute(s: UTF8String, pattern: Array[Byte]): java.lang.Long = {
+    val n = s.numBytes()
+    val pl = pattern.length
+    var i = 0
+    // Find the quoted key. The contract (flat object, no key-pattern
+    // inside string values) makes the first match THE key position.
+    var at = -1
+    while (at < 0 && i + pl <= n) {
+      var j = 0
+      while (j < pl && s.getByte(i + j) == pattern(j)) j += 1
+      if (j == pl) at = i else i += 1
+    }
+    if (at < 0) return null
+    i = at + pl
+    while (i < n && isWs(s.getByte(i))) i += 1
+    if (i >= n || s.getByte(i) != ':') return null
+    i += 1
+    while (i < n && isWs(s.getByte(i))) i += 1
+    if (i >= n) return null
+    // Optionally-quoted integer literal.
+    val quoted = s.getByte(i) == '"'
+    if (quoted) i += 1
+    var neg = false
+    if (i < n && s.getByte(i) == '-') { neg = true; i += 1 }
+    var digits = 0
+    var acc = 0L
+    while (i < n && s.getByte(i) >= '0' && s.getByte(i) <= '9') {
+      val d = s.getByte(i) - '0'
+      // Overflow guard: magnitude must stay ≤ Long.MaxValue (the one
+      // value this excludes beyond the long range is Long.MinValue
+      // itself — contract-documented; item/property ids are small).
+      if (acc > (Long.MaxValue - d) / 10) return null
+      acc = acc * 10 + d
+      digits += 1
+      i += 1
+    }
+    if (digits == 0) return null
+    if (quoted) {
+      if (i >= n || s.getByte(i) != '"') return null
+      i += 1
+    }
+    while (i < n && isWs(s.getByte(i))) i += 1
+    // A plain integer value ends at the pair/object boundary; anything
+    // else (fraction dot, exponent, trailing junk) is not an integer.
+    if (i < n && s.getByte(i) != ',' && s.getByte(i) != '}') return null
+    java.lang.Long.valueOf(if (neg) -acc else acc)
+  }
+
+  /** Column-level API. */
+  def of(c: Column, key: String): Column =
+    org.apache.spark.sql.GraftShims.column(
+      JsonIntKey(org.apache.spark.sql.GraftShims.expression(c), key))
+}

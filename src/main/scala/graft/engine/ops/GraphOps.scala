@@ -47,7 +47,7 @@ object GraphOps {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     Tables.table(s, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"))
+        graft.engine.expr.JsonIntKey.of(col("props"), "k").cast("int").as("k"))
       .where(col("k").isNotNull)
       .withColumn("pk", lag(col("k"), 1).over(w))
       .where(col("pk").isNotNull && col("pk") =!= col("k"))
@@ -163,7 +163,7 @@ object GraphOps {
       |WHERE pr > 0 ORDER BY pr_scaled DESC, item LIMIT 25""".stripMargin) { (s, dir) =>
     val ev = Tables.table(s, dir, "events")
       .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"))
+        graft.engine.expr.JsonIntKey.of(col("props"), "k").cast("int").as("k"))
       .where(col("k").isNotNull)
     val seeds = ev.where(col("event_type") === "purchase")
       .groupBy("k").agg(count(lit(1)).as("n"))
@@ -290,7 +290,7 @@ object GraphOps {
       |FROM d3 ORDER BY hops, item LIMIT 200""".stripMargin) { (s, dir) =>
     val root = Tables.table(s, dir, "events")
       .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"))
+        graft.engine.expr.JsonIntKey.of(col("props"), "k").cast("int").as("k"))
       .where(col("k").isNotNull && col("event_type") === "purchase")
       .groupBy("k").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("k")).limit(1)

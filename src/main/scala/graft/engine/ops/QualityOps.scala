@@ -328,7 +328,7 @@ object QualityOps {
     val base = Tables.table(s, dir, "events")
       .select(col("event_type"),
         round(col("value") * 100, 0).cast("long").as("x"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        graft.engine.expr.JsonIntKey.of(col("props"), "k").as("k"),
         hour(col("ts")).cast("long").as("h"))
     Quality.corr2Micro(base, "event_type", "x", Seq("k", "h"))
       .orderBy("event_type")

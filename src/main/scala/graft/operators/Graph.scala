@@ -51,16 +51,22 @@ object Graph {
     * action (r09, VERDICT r08 #2): these two scalars were previously two
     * separate jobs against already-persisted frames — pure fixed
     * job-launch/driver cost paid by every pagerank call. A union of the
-    * two single-row aggregates collects both under a single action
-    * (UnionExec concatenates partitions left-then-right, so the row
-    * order is deterministic), and materializes both persisted frames as
-    * a side effect. `coalesce(max(w), 0)` keeps the empty-edge case a
-    * clean 0 instead of a null. */
+    * two single-row aggregates collects both under a single action, and
+    * materializes both persisted frames as a side effect. Each row
+    * carries an explicit tag and is selected BY tag (r11, ADVICE r09
+    * #4): indexing the collected array relied on UnionExec's
+    * left-then-right partition concatenation — true today, but an
+    * optimizer-owned detail no correctness result should sit on.
+    * `coalesce(max(w), 0)` keeps the empty-edge case a clean 0 instead
+    * of a null. */
   private def countAndMaxW(counted: DataFrame, e: DataFrame): (Long, Long) = {
-    val rows = counted.agg(count(lit(1)).as("x"))
-      .unionByName(e.agg(coalesce(max(col("w")), lit(0L)).as("x")))
+    val rows = counted.agg(count(lit(1)).as("x")).select(lit("n").as("t"), col("x"))
+      .unionByName(e.agg(coalesce(max(col("w")), lit(0L)).as("x"))
+        .select(lit("maxw").as("t"), col("x")))
       .collect()
-    (rows(0).getLong(0), rows(1).getLong(0))
+    def of(tag: String): Long =
+      rows.find(_.getString(0) == tag).get.getLong(1)
+    (of("n"), of("maxw"))
   }
 
   /**

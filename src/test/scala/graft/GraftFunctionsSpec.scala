@@ -210,4 +210,65 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(executed.contains("*(1)"),
       s"fingerprint projection not in a codegen span:\n$executed")
   }
+
+  test("native JsonIntKey equals get_json_object on the events corpus") {
+    // The r11 graph-family hot-path swap (VERDICT r10 #1): every row of
+    // the real corpus must extract bit-identically through the byte walk
+    // and the Jackson path — null-safe comparison so an absent-vs-absent
+    // row also counts as agreement.
+    val ev = graft.engine.Tables.table(spark, sfDir, "events")
+    val mismatches = ev.select(
+        graft.engine.expr.JsonIntKey.of(col("props"), "k").as("n"),
+        get_json_object(col("props"), "$.k").cast("long").as("j"))
+      .where(not(col("n") <=> col("j"))).count()
+    assert(mismatches == 0, s"$mismatches rows diverge")
+  }
+
+  test("JsonIntKey boundary fixtures follow the documented contract") {
+    import spark.implicits._
+    // (json, expected) — expected = null where the contract says SQL NULL.
+    // get_json_object agreement is asserted on the WELL-FORMED integral
+    // subset; the malformed rows pin this expression's own contract
+    // (cast would THROW on them under ANSI, which is why they are not
+    // run through the reference here).
+    val fixtures: Seq[(String, java.lang.Long)] = Seq(
+      ("""{"k": 69}""", 69L),
+      ("""{"k":-12}""", -12L),
+      ("""{ "k" :  7 }""", 7L),
+      ("""{"a": 1, "k": 2}""", 2L),
+      ("""{"k": 0}""", 0L),
+      ("""{"k": "42"}""", 42L),
+      ("""{"k": 9223372036854775807}""", Long.MaxValue),
+      ("""{"kk": 5}""", null),
+      ("""{"a": 1}""", null),
+      ("""{"k": null}""", null),
+      ("""{"k": true}""", null),
+      ("""{"k": 1.5}""", null),
+      ("""{"k": 1e3}""", null),
+      ("""{"k": 9223372036854775808}""", null),
+      ("""{"k": }""", null),
+      ("""""", null))
+    val got = fixtures.map(_._1).toDF("j")
+      .select(graft.engine.expr.JsonIntKey.of(col("j"), "k").as("v"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0): java.lang.Long)
+    fixtures.zip(got).foreach { case ((j, exp), act) =>
+      assert(act == exp, s"$j: expected $exp, got $act")
+    }
+    // Integral subset: byte walk ≡ Jackson ≡ the oracle engine's view.
+    val integral = fixtures.collect { case (j, e) if e != null => j }
+    val mism = integral.toDF("j").select(
+        graft.engine.expr.JsonIntKey.of(col("j"), "k").as("n"),
+        get_json_object(col("j"), "$.k").cast("long").as("r"))
+      .where(not(col("n") <=> col("r"))).count()
+    assert(mism == 0)
+  }
+
+  test("JsonIntKey stays inside whole-stage codegen") {
+    val df = graft.engine.Tables.table(spark, sfDir, "events")
+      .select(graft.engine.expr.JsonIntKey.of(col("props"), "k").as("k"))
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("*(1)"),
+      s"props-key projection not in a codegen span:\n$executed")
+  }
 }

@@ -376,8 +376,13 @@ class PlanSuite extends SparkTestBase {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val rows = 200000L
     val skewed = spark.range(rows).select(
-      // key 0 holds ~99% of rows; 100 distinct keys total
-      when(col("id") % 100 =!= 0, lit(0L)).otherwise(col("id") % 1000).as("k"),
+      // key 0 holds ~99% of rows; 100 distinct keys total. (r11, ADVICE
+      // r09 #1: the previous `id % 1000` arm only ever saw multiples of
+      // 100, so it produced 10 distinct keys, not the 100 the bound
+      // below is derived from — the tail arm now genuinely spreads the
+      // 1% over 0..99.)
+      when(col("id") % 100 =!= 0, lit(0L))
+        .otherwise((col("id") / 100) % 100).as("k"),
       col("id").cast("double").as("v"))
     val agg = skewed.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
     agg.queryExecution.toRdd.count() // materialize so metrics populate
