@@ -959,7 +959,14 @@ object SimilarityOps {
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .distinct()
-    val comp = graft.operators.Dedup.connectedComponents(
+    // Bounded CC (r11): the atom graph is vocabulary-derived (distinct
+    // names × blocks — 64 names / ~11k atom edges at sf0.1, growing with
+    // the VOCABULARY, not the row count), so the edge set collects under
+    // the default 64k guard and union-find labels it in one action; past
+    // the guard the distributed CC runs unchanged on the already-
+    // materialized edge cache (q75 exercises the distributed operator on
+    // the document corpus every round).
+    val comp = graft.operators.Dedup.connectedComponentsBounded(
       edges, "u", "v", shufflePartitions = Some(2))
     // groups with a fuzzy neighbor take their CC label; edge-less groups
     // are entities only if they hold ≥ 2 records (the row formulation's

@@ -218,6 +218,84 @@ object Dedup {
     * the EDGE volume (a deliberate knob, like the streaming state
     * partitions); at 100 TB with billions of candidate edges it goes UP.
     */
+  /** [[connectedComponents]] with a driver-side fast path for
+    * VOCABULARY-SCALE graphs (r11, VERDICT r10 #4): when the distinct
+    * undirected edge set fits `driverMaxEdges`, it is collected and
+    * labeled by an in-memory union-find — the broadcast-vocabulary house
+    * precedent scaled to a guarded edge list (the default guard is 64k
+    * edges = ~1 MB of longs at the driver, far under broadcast-join
+    * thresholds), replacing CC's rounds × (propagate + convergence-
+    * collect) job ladder with a single action. Graphs past the guard run
+    * the distributed operator unchanged, which remains the library path
+    * (q75 runs it on the document corpus every round).
+    *
+    * The caller's pair pipeline executes exactly ONCE on either side of
+    * the guard: the normalized edge frame is persisted, sized with one
+    * count, and either collected (under guard) or fed to the distributed
+    * CC (over it) before release — the first cut of this operator probed
+    * with a limit-collect and re-executed the pipeline on fallback,
+    * doubling q149's fuzzy-candidate stage.
+    *
+    * Contract: node ids must be integral (cast to long); output is the
+    * same (node, label) frame with label = min node id reachable —
+    * union-find with min-root election is exactly the fixpoint min-label
+    * propagation converges to, asserted equal on randomized graphs in
+    * CcPropSpec. The driver-path frame is a LocalRelation, so downstream
+    * joins broadcast it for free. */
+  def connectedComponentsBounded(pairs: DataFrame, aCol: String, bCol: String,
+      driverMaxEdges: Int = 65536,
+      maxIter: Int = 20,
+      shufflePartitions: Option[Int] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    import org.apache.spark.sql.functions.{least => fLeast, greatest => fGreatest}
+    // The sizing knob covers the normalization shuffle too — the edge
+    // aggregate is orders smaller than the caller's pair pipeline, the
+    // same argument as the distributed operator's per-round shuffles.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    shufflePartitions.foreach(p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString))
+    // The conf must be held through count() — shuffle partitioning is
+    // resolved at ACTION time, not DataFrame-construction time.
+    val (norm, n) =
+      try {
+        val f = graft.engine.CacheReaper.track(pairs
+          .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+          .where(col("a") =!= col("b"))
+          .select(fLeast(col("a"), col("b")).as("a"),
+            fGreatest(col("a"), col("b")).as("b"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        (f, f.count())
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    if (n > driverMaxEdges) {
+      // Distributed CC is EAGER (its convergence loop materializes the
+      // final labels before returning), so the cached edges can be
+      // released as soon as it returns.
+      val out = connectedComponents(norm, "a", "b", maxIter, shufflePartitions)
+      norm.unpersist()
+      out
+    } else {
+      val probe = norm.collect()
+      norm.unpersist()
+      // Union-find with path compression; roots elect the component MIN.
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      probe.foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = probe.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      import spark.implicits._
+      nodes.map(n => (n, find(n))).toSeq.toDF("node", "label")
+    }
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20,
       shufflePartitions: Option[Int] = None): DataFrame = {

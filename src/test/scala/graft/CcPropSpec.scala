@@ -98,4 +98,37 @@ class CcPropSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("converge"))
   }
+
+  test("bounded CC equals union-find on random graphs (both sides of the guard)") {
+    // The r11 q149 fast path: under the guard the driver-side union-find
+    // answers; OVER the guard the call must fall back to the distributed
+    // operator — both must equal the oracle, and both must equal each
+    // other (the swap is invisible to callers).
+    (0 until 12).foreach { i =>
+      val edges = edgesGen.apply(Gen.Parameters.default, Seed(1000L + i))
+        .getOrElse(List((0L, 1L)))
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val oracle = unionFind(edges)
+      // guard roomy (driver path) and guard 1 (forced distributed path)
+      Seq(4096, 1).foreach { guard =>
+        val got = Dedup.connectedComponentsBounded(pairs, "doc_a", "doc_b",
+            driverMaxEdges = guard)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == oracle,
+          s"seed $i guard=$guard: bounded CC diverged from union-find on $edges")
+      }
+    }
+  }
+
+  test("bounded CC driver path handles duplicate and reversed pairs") {
+    // The probe normalizes to distinct undirected pairs before the guard
+    // is applied — duplicates and orientation must not trip it or skew
+    // the labels.
+    val pairs = Seq((5L, 3L), (3L, 5L), (5L, 3L), (8L, 9L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponentsBounded(pairs, "doc_a", "doc_b",
+        driverMaxEdges = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 3L, 3L -> 3L, 8L -> 8L, 9L -> 8L))
+  }
 }
