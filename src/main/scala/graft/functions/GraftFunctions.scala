@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.expressions.Expression
 
 import graft.engine.expr.{ArrayEqCount, ArrayPairs, BigramGenerator,
-  BucketPairDots, DotProduct, HashedShingles, LcgMin, RollingFingerprint,
-  SimHashPack, Sum128, WindowHashes}
+  BucketPairDots, DotProduct, HashedShingles, JsonIntKey, LcgMin,
+  RollingFingerprint, SimHashPack, Sum128, WindowHashes}
 
 /**
  * Column-level function facade (library API): the engine's reusable scalar
@@ -39,6 +39,14 @@ object GraftFunctions {
       case Seq(e) => BigramGenerator(e)
       case _ => throw new IllegalArgumentException("bigrams(tokens)") },
     "rolling_fingerprint" -> (RollingFingerprint.builder _),
+    "json_int_key" -> {
+      case Seq(e, k) => JsonIntKey(e, k.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case s: String => s
+        case other => throw new IllegalArgumentException(
+          s"json_int_key key must be a string literal, got $other")
+      })
+      case _ => throw new IllegalArgumentException("json_int_key(json, key)") },
     "hashed_shingles" -> {
       case Seq(e) => HashedShingles(e)
       case _ => throw new IllegalArgumentException("hashed_shingles(tokens)") },
@@ -171,6 +179,12 @@ object GraftFunctions {
       minPerm(37, 11) * 1000000007L + minPerm(101, 29),
       minPerm(193, 71) * 1000000007L + minPerm(389, 113))
   }
+
+  /** Native codegen integer-key extraction from a flat JSON object
+    * column — `get_json_object(json, s"$$.$key").cast("long")` semantics
+    * on integral values without the per-row Jackson parse (contract in
+    * [[graft.engine.expr.JsonIntKey]]). */
+  def jsonIntKey(json: Column, key: String): Column = JsonIntKey.of(json, key)
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(split(text, " "))

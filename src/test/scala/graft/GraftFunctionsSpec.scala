@@ -94,6 +94,9 @@ class GraftFunctionsSpec extends SparkTestBase {
       "SELECT array_pairs(array(5L, 7L, 9L))").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(ap.toSeq == Seq((5L, 7L), (5L, 9L), (7L, 9L)))
+    val jk = spark.sql(
+      """SELECT json_int_key('{"k": 42}', 'k')""").collect().head.getLong(0)
+    assert(jk == 42L)
     val eq = spark.sql(
       "SELECT array_eq_count(array(1L, 2L, 3L), array(1L, 9L, 3L))")
       .collect().head.getInt(0)
