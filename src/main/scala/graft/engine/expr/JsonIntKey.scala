@@ -24,9 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
  *
  * Contract (property-tested for equality with `get_json_object(..)
  * .cast("long")` in GraftFunctionsSpec): the input is a FLAT JSON object
- * whose string values, if any, do not themselves contain the quoted key
- * pattern (`"key"`); the target value is an optionally-quoted integer
- * literal fitting a signed 64-bit long. Absent key, null/true/false,
+ * whose string values, if any, do not themselves contain the full
+ * `"key": <integer>` shape (a bare key-shaped substring in a value is
+ * walked past — the scan resumes after any candidate not followed by a
+ * well-formed integer pair); the target value is an optionally-quoted
+ * integer literal fitting a signed 64-bit long. Absent key, null/true/false,
  * fractional, exponent-formed, overflowing, or otherwise non-integer
  * values yield SQL NULL — strictly MORE defined than the old
  * `get_json_object(..).cast(..)` it replaces, which under the session's
@@ -78,21 +80,40 @@ object JsonIntKey {
   /** The byte walk, shared by eval and codegen. `pattern` is the quoted
     * key (`"k"` for key k). Returns a boxed Long or null — boxed because
     * "absent" has no long sentinel; values are small item ids, and one
-    * box is noise next to the Jackson parse this replaces. */
+    * box is noise next to the Jackson parse this replaces.
+    *
+    * A candidate match that is NOT followed by a well-formed
+    * `: <integer>` resumes the scan at the next byte rather than giving
+    * up — so a key-shaped substring inside an EARLIER string value (e.g.
+    * `{"a": "k", "k": 5}`) is walked past instead of aborting the
+    * extraction. The remaining contract exclusion is a string value
+    * containing the full `"key": <int>` shape, which no flat generator
+    * emits. */
   def compute(s: UTF8String, pattern: Array[Byte]): java.lang.Long = {
     val n = s.numBytes()
     val pl = pattern.length
-    var i = 0
-    // Find the quoted key. The contract (flat object, no key-pattern
-    // inside string values) makes the first match THE key position.
-    var at = -1
-    while (at < 0 && i + pl <= n) {
-      var j = 0
-      while (j < pl && s.getByte(i + j) == pattern(j)) j += 1
-      if (j == pl) at = i else i += 1
+    var from = 0
+    while (from + pl <= n) {
+      // Find the next quoted-key candidate.
+      var at = -1
+      var i = from
+      while (at < 0 && i + pl <= n) {
+        var j = 0
+        while (j < pl && s.getByte(i + j) == pattern(j)) j += 1
+        if (j == pl) at = i else i += 1
+      }
+      if (at < 0) return null
+      from = at + 1
+      val v = parseValueAt(s, n, at + pl)
+      if (v != null) return v
     }
-    if (at < 0) return null
-    i = at + pl
+    null
+  }
+
+  /** Parse `: <optionally-quoted integer>` at byte offset `i`; null when
+    * the shape doesn't hold (the caller then resumes the key scan). */
+  private def parseValueAt(s: UTF8String, n: Int, start: Int): java.lang.Long = {
+    var i = start
     while (i < n && isWs(s.getByte(i))) i += 1
     if (i >= n || s.getByte(i) != ':') return null
     i += 1

@@ -250,6 +250,9 @@ class GraftFunctionsSpec extends SparkTestBase {
       ("""{"k": 1e3}""", null),
       ("""{"k": 9223372036854775808}""", null),
       ("""{"k": }""", null),
+      // a key-shaped substring inside an earlier string VALUE is walked
+      // past; the real pair still extracts (r11 resume-on-mismatch)
+      ("""{"a": "k", "k": 5}""", 5L),
       ("""""", null))
     val got = fixtures.map(_._1).toDF("j")
       .select(graft.engine.expr.JsonIntKey.of(col("j"), "k").as("v"))
