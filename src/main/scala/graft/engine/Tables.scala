@@ -169,11 +169,13 @@ object Tables {
     * was indistinguishable from the original, and SchemaDriftSpec slept
     * 1100 ms around its rewrite for exactly that reason): any schema
     * change rewrites the Thrift footer, so the trailer CRC changes even
-    * when (mtime, size) cannot. The cost is one ≤4 KiB tail pread per
-    * [[table]] call — served from the OS page cache on repeats, orders of
-    * magnitude cheaper than the full footer decode + Spark inference path
-    * the cache exists to avoid. [[clearSchemaCache]] stays as the
-    * belt-and-braces hook (and for tests).
+    * when (mtime, size) cannot. The cost is one tail pread of the footer
+    * (whole footer up to 1 MiB; past that, a 64 KiB head + 64 KiB tail
+    * sample — see [[trailerToken]]) per [[table]] call — served from the
+    * OS page cache on repeats, orders of magnitude cheaper than the full
+    * footer decode + Spark inference path the cache exists to avoid.
+    * [[clearSchemaCache]] stays as the belt-and-braces hook (and for
+    * tests).
     *
     * Cross-session safety: the cache is JVM-global, but the key is purely
     * physical and the VALUE is the file's physical schema — which session
@@ -194,17 +196,23 @@ object Tables {
     * SchemaDriftSpec asserts a repeat load does NOT increment this). */
   private[graft] val schemaInfersTotal = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Cheap CONTENT token for the schema-cache key: CRC32 over the WHOLE
-    * parquet footer — the trailer is [footer bytes][4-byte LE footer
+  /** Cheap CONTENT token for the schema-cache key: CRC32 over the parquet
+    * footer — the trailer is [footer bytes][4-byte LE footer
     * length]["PAR1"], so the length is read from the last 8 bytes first
-    * and the hash covers exactly footerLen + 8 bytes (r11, ADVICE r09
-    * #2: the previous fixed min(len, 4096)-byte window left a blind spot
-    * for footers past 4 KiB — a schema edit confined to the footer's
-    * HEAD, e.g. an early field in a very wide schema, could leave the
-    * hashed tail byte-identical). A rewrite that preserves byte length
-    * but changes the schema now always perturbs hashed bytes, so the
-    * token re-keys the cache where mtime+size cannot. Non-file paths
-    * (a directory of part files — not produced by the driver's
+    * and the hash covers the footer itself (r11, ADVICE r09 #2: the
+    * previous fixed min(len, 4096)-byte window left a blind spot for
+    * footers past 4 KiB — a schema edit confined to the footer's HEAD,
+    * e.g. an early field in a very wide schema, could leave the hashed
+    * tail byte-identical). Footers up to 1 MiB — every real table this
+    * engine touches — hash in full; a larger footer hashes a 64 KiB HEAD
+    * + 64 KiB TAIL sample plus the length, which still covers both the
+    * schema head (the old blind spot) and the offset-carrying tail while
+    * bounding the per-[[table]]-call cost: the token is part of the
+    * cache KEY, recomputed on every call, so it must never be allowed to
+    * scale with an unbounded (or corrupt) footer length. A rewrite that
+    * preserves byte length but changes the schema perturbs hashed bytes,
+    * so the token re-keys the cache where mtime+size cannot. Non-file
+    * paths (a directory of part files — not produced by the driver's
     * one-file-per-table layout, but reachable through engine-written
     * outputs), truncated files, implausible footer lengths, and any I/O
     * error return 0 and keep the plain mtime+size story — a cache-key
@@ -222,15 +230,26 @@ object Tables {
           ((tail(2) & 0xffL) << 16) | ((tail(3) & 0xffL) << 24)
         // Plausibility: the footer + both magics must fit the file. A
         // corrupt length degrades to token 0, not an OOM-sized buffer.
-        if (footerLen <= 0 || footerLen > len - 12 ||
-            footerLen > 256L * 1024 * 1024) 0L
+        if (footerLen <= 0 || footerLen > len - 12) 0L
         else {
-          val n = (footerLen + 8).toInt
-          raf.seek(len - n)
-          val buf = new Array[Byte](n)
-          raf.readFully(buf)
           val crc = new java.util.zip.CRC32()
-          crc.update(buf)
+          val full = footerLen + 8
+          if (full <= (1L << 20)) {
+            val buf = new Array[Byte](full.toInt)
+            raf.seek(len - full)
+            raf.readFully(buf)
+            crc.update(buf)
+          } else {
+            val sample = 64 * 1024
+            val head = new Array[Byte](sample)
+            raf.seek(len - full)
+            raf.readFully(head)
+            crc.update(head)
+            val tl = new Array[Byte](sample + 8)
+            raf.seek(len - tl.length)
+            raf.readFully(tl)
+            crc.update(tl)
+          }
           crc.getValue
         }
       } finally raf.close()

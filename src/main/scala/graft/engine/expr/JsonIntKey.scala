@@ -28,7 +28,9 @@ import org.apache.spark.unsafe.types.UTF8String
  * `"key": <integer>` shape (a bare key-shaped substring in a value is
  * walked past — the scan resumes after any candidate not followed by a
  * well-formed integer pair); the target value is an optionally-quoted
- * integer literal fitting a signed 64-bit long. Absent key, null/true/false,
+ * integer literal fitting a signed 64-bit long (quoted values follow
+ * SQL-cast trimming: surrounding whitespace and an explicit '+' sign
+ * are accepted inside the quotes, as the cast path accepted them). Absent key, null/true/false,
  * fractional, exponent-formed, overflowing, or otherwise non-integer
  * values yield SQL NULL — strictly MORE defined than the old
  * `get_json_object(..).cast(..)` it replaces, which under the session's
@@ -119,11 +121,19 @@ object JsonIntKey {
     i += 1
     while (i < n && isWs(s.getByte(i))) i += 1
     if (i >= n) return null
-    // Optionally-quoted integer literal.
+    // Optionally-quoted integer literal. Inside quotes the SQL-cast
+    // trimming semantics apply (r11 review finding: cast trims string
+    // padding and accepts an explicit '+', so `{"k": " +42 "}` reads 42
+    // through the old get_json_object path — the walk must not be LESS
+    // defined there); unquoted JSON admits neither padding nor '+'.
     val quoted = s.getByte(i) == '"'
-    if (quoted) i += 1
+    if (quoted) {
+      i += 1
+      while (i < n && isWs(s.getByte(i))) i += 1
+    }
     var neg = false
     if (i < n && s.getByte(i) == '-') { neg = true; i += 1 }
+    else if (quoted && i < n && s.getByte(i) == '+') i += 1
     var digits = 0
     var acc = 0L
     while (i < n && s.getByte(i) >= '0' && s.getByte(i) <= '9') {
@@ -138,6 +148,7 @@ object JsonIntKey {
     }
     if (digits == 0) return null
     if (quoted) {
+      while (i < n && isWs(s.getByte(i))) i += 1
       if (i >= n || s.getByte(i) != '"') return null
       i += 1
     }

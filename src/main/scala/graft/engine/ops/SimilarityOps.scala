@@ -912,6 +912,38 @@ object SimilarityOps {
   // broadcast, CC shuffles the pair aggregate only. Singleton records
   // (no fuzzy neighbor) are not clusters and don't appear — the q75
   // convention, mirrored by the oracle's edge-derived node set.
+  /** The q149 atom graph, shared with the guard-sizing dev probe
+    * (tools/Q149Probe) so the probe can never desynchronize from the
+    * shipped edge construction (r11 review finding): returns
+    * (atom groups g [persisted+tracked], fuzzy name pairs nn,
+    * normalized undirected atom edges). */
+  private[graft] def entityAtomGraph(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val p = Tables.table(s, dir, "part")
+      .select("p_partkey", "p_brand", "p_type", "p_name")
+    val g = graft.engine.CacheReaper.track(
+      p.groupBy("p_name", "p_brand", "p_type")
+        .agg(min("p_partkey").as("node"), count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nn = graft.operators.FuzzyJoin
+      .similarStringPairs(p.select("p_name"), "p_name", 3)
+    val sym = nn.select(explode(array(
+        struct(col("str_a"), col("str_b")),
+        struct(col("str_b").as("str_a"), col("str_a").as("str_b")))).as("pr"))
+      .select(col("pr.str_a").as("str_a"), col("pr.str_b").as("str_b"))
+    val edges = g.select(col("p_name").as("str_a"), col("p_brand"),
+        col("p_type"), col("node").as("u"))
+      .join(broadcast(sym), "str_a") // vocabulary-scale
+      .join(g.select(col("p_name").as("str_b"), col("p_brand"),
+        col("p_type"), col("node").as("v")), Seq("str_b", "p_brand", "p_type"))
+      .where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    (g, nn, edges)
+  }
+
   private val q149 = QueryDef(
     "q149_entity_resolution",
     """WITH RECURSIVE pairs AS (
@@ -940,25 +972,7 @@ object SimilarityOps {
     // atom edge set is vocabulary×blocks-sized — orders smaller, and the
     // gap widens with row count. Bit-identical to the oracle's row-level
     // recursive closure.
-    val g = graft.engine.CacheReaper.track(
-      p.groupBy("p_name", "p_brand", "p_type")
-        .agg(min("p_partkey").as("node"), count(lit(1)).as("cnt"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val nn = graft.operators.FuzzyJoin
-      .similarStringPairs(p.select("p_name"), "p_name", 3)
-    val sym = nn.select(explode(array(
-        struct(col("str_a"), col("str_b")),
-        struct(col("str_b").as("str_a"), col("str_a").as("str_b")))).as("pr"))
-      .select(col("pr.str_a").as("str_a"), col("pr.str_b").as("str_b"))
-    val edges = g.select(col("p_name").as("str_a"), col("p_brand"),
-        col("p_type"), col("node").as("u"))
-      .join(broadcast(sym), "str_a") // vocabulary-scale
-      .join(g.select(col("p_name").as("str_b"), col("p_brand"),
-        col("p_type"), col("node").as("v")), Seq("str_b", "p_brand", "p_type"))
-      .where(col("u") =!= col("v"))
-      .select(least(col("u"), col("v")).as("u"),
-        greatest(col("u"), col("v")).as("v"))
-      .distinct()
+    val (g, _, edges) = entityAtomGraph(s, dir)
     // Bounded CC (r11): the atom graph is vocabulary-derived (distinct
     // names × blocks — 64 names / ~11k atom edges at sf0.1, growing with
     // the VOCABULARY, not the row count), so the edge set collects under

@@ -40,12 +40,18 @@ object GraftFunctions {
       case _ => throw new IllegalArgumentException("bigrams(tokens)") },
     "rolling_fingerprint" -> (RollingFingerprint.builder _),
     "json_int_key" -> {
-      case Seq(e, k) => JsonIntKey(e, k.eval() match {
-        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
-        case s: String => s
-        case other => throw new IllegalArgumentException(
-          s"json_int_key key must be a string literal, got $other")
-      })
+      case Seq(e, k) =>
+        // foldable guard (r11 review finding): eval() on a non-literal
+        // (e.g. a column reference) throws an opaque internal error —
+        // raise the intended argument error instead.
+        if (!k.foldable) throw new IllegalArgumentException(
+          "json_int_key key must be a string literal, got a non-literal expression")
+        JsonIntKey(e, k.eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case s: String => s
+          case other => throw new IllegalArgumentException(
+            s"json_int_key key must be a string literal, got $other")
+        })
       case _ => throw new IllegalArgumentException("json_int_key(json, key)") },
     "hashed_shingles" -> {
       case Seq(e) => HashedShingles(e)

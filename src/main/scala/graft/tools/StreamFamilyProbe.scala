@@ -31,26 +31,42 @@ object StreamFamilyProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val batches = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    spark.streams.addListener(new StreamingQueryListener {
-      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-        val p = e.progress
-        val d = p.durationMs
-        batches.add(f"b${p.batchId}[rows=${p.numInputRows} " +
-          f"total=${d.getOrDefault("triggerExecution", -1L)} addBatch=${d.getOrDefault("addBatch", -1L)} " +
-          f"getBatch=${d.getOrDefault("getBatch", -1L)} latestOffset=${d.getOrDefault("latestOffset", -1L)} " +
-          f"commit=${d.getOrDefault("commitOffsets", -1L)} wal=${d.getOrDefault("walCommit", -1L)} " +
-          f"state=${p.stateOperators.map(s => s"c=${s.commitTimeMs}").mkString("/")}]")
-      }
-      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-    })
+    // One listener PER RUN, removed before its queue is read (r11 review
+    // finding: a session-wide listener with clear() between runs both
+    // mis-attributes a late event from the previous key to the current
+    // one and can drop the current key's final event behind a fixed
+    // sleep). Removal bounds attribution; the quiescence poll below
+    // bounds omission.
     for (r <- 1 to reps; k <- keys) {
-      batches.clear()
+      val batches = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+          val p = e.progress
+          val d = p.durationMs
+          batches.add(f"b${p.batchId}[rows=${p.numInputRows} " +
+            f"total=${d.getOrDefault("triggerExecution", -1L)} addBatch=${d.getOrDefault("addBatch", -1L)} " +
+            f"getBatch=${d.getOrDefault("getBatch", -1L)} latestOffset=${d.getOrDefault("latestOffset", -1L)} " +
+            f"commit=${d.getOrDefault("commitOffsets", -1L)} wal=${d.getOrDefault("walCommit", -1L)} " +
+            f"state=${p.stateOperators.map(s => s"c=${s.commitTimeMs}").mkString("/")}]")
+        }
+        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+      spark.streams.addListener(listener)
       val t0 = System.nanoTime()
       SparkEntry.queries(k)(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(150) // let the listener drain
+      // Drain until the event bus is quiescent: two consecutive 100 ms
+      // polls with no new events, capped at 2 s.
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 2000) {
+        Thread.sleep(100); waited += 100
+        if (batches.size == last) stable += 1
+        else { stable = 0; last = batches.size }
+      }
+      spark.streams.removeListener(listener)
       import scala.jdk.CollectionConverters._
       println(f"SFPROBE rep=$r $k%-32s wall=$wall%.2f ${batches.asScala.mkString(" ")}")
     }

@@ -109,8 +109,10 @@ class CcPropSpec extends SparkTestBase {
         .getOrElse(List((0L, 1L)))
       val pairs = edges.toDF("doc_a", "doc_b")
       val oracle = unionFind(edges)
-      // guard roomy (driver path) and guard 1 (forced distributed path)
-      Seq(4096, 1).foreach { guard =>
+      // guard roomy (driver path) and guard 0 (forced distributed path —
+      // guard 1 would NOT force it on a seed whose normalized edge set
+      // collapses to a single pair)
+      Seq(4096, 0).foreach { guard =>
         val got = Dedup.connectedComponentsBounded(pairs, "doc_a", "doc_b",
             driverMaxEdges = guard)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

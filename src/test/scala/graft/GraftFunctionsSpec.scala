@@ -241,6 +241,8 @@ class GraftFunctionsSpec extends SparkTestBase {
       ("""{"a": 1, "k": 2}""", 2L),
       ("""{"k": 0}""", 0L),
       ("""{"k": "42"}""", 42L),
+      ("""{"k": " +42 "}""", 42L),
+      ("""{"k": "4 2"}""", null),
       ("""{"k": 9223372036854775807}""", Long.MaxValue),
       ("""{"kk": 5}""", null),
       ("""{"a": 1}""", null),
