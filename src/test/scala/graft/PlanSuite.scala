@@ -563,6 +563,16 @@ class PlanSuite extends SparkTestBase {
     assert("(\\d+)\\) Scan parquet".r.findAllIn(p).size <= 1, p)
   }
 
+  test("q149 bounded CC labels enter the plan as a broadcast-able LocalTableScan") {
+    // The r11 driver-path contract: under the 64k-edge guard the CC
+    // labels are a LocalRelation (computed once at build time), so the
+    // downstream label join must read a LocalTableScan — never replay an
+    // iterative subtree — and join it broadcast-side.
+    val p = plan("q149_entity_resolution")
+    assert(p.contains("LocalTableScan"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q146 partition pruning reaches the scan as PartitionFilters") {
     // The event_type predicate must prune DIRECTORIES (PartitionFilters),
     // not rows (PushedFilters) — the whole point of the Hive layout.
