@@ -29,8 +29,9 @@ import org.apache.spark.unsafe.types.UTF8String
  * walked past — the scan resumes after any candidate not followed by a
  * well-formed integer pair); the target value is an optionally-quoted
  * integer literal fitting a signed 64-bit long (quoted values follow
- * SQL-cast trimming: surrounding whitespace and an explicit '+' sign
- * are accepted inside the quotes, as the cast path accepted them). Absent key, null/true/false,
+ * SQL-cast trimming: any control chars ≤ 0x20 — UTF8String.trimAll's
+ * set, not just JSON's four — and an explicit '+' sign are accepted
+ * inside the quotes, as the cast path accepted them). Absent key, null/true/false,
  * fractional, exponent-formed, overflowing, or otherwise non-integer
  * values yield SQL NULL — strictly MORE defined than the old
  * `get_json_object(..).cast(..)` it replaces, which under the session's
@@ -50,6 +51,9 @@ case class JsonIntKey(child: Expression, key: String)
   }
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
+  // Stable plan-visible name: PlanSuite pins the graph-family scans on it
+  // (a refactor reverting to get_json_object would cost ~3 s/round).
+  override def prettyName: String = "json_int_key"
 
   // The quoted-key byte pattern, built once per expression instance.
   @transient private lazy val pattern: Array[Byte] =
@@ -76,8 +80,18 @@ case class JsonIntKey(child: Expression, key: String)
 
 object JsonIntKey {
 
+  /** JSON structural whitespace (RFC 8259): between key/colon/value. */
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r'
+
+  /** SQL-cast trim set INSIDE quoted values (r12, ADVICE r11 #2): Spark's
+    * string→long cast trims via UTF8String.trimAll, which strips EVERY
+    * control char ≤ 0x20 — not just the four JSON ones — so `{"k": "\f42"}`
+    * reads 42 through the old get_json_object+cast path. The quoted-value
+    * trim must use this wider set to keep the "strictly MORE defined than
+    * the old path" contract true in both directions. (Bytes of multi-byte
+    * UTF-8 chars are negative, so the b >= 0 bound also excludes them.) */
+  private def isCastWs(b: Byte): Boolean = b >= 0 && b <= 0x20
 
   /** The byte walk, shared by eval and codegen. `pattern` is the quoted
     * key (`"k"` for key k). Returns a boxed Long or null — boxed because
@@ -129,7 +143,7 @@ object JsonIntKey {
     val quoted = s.getByte(i) == '"'
     if (quoted) {
       i += 1
-      while (i < n && isWs(s.getByte(i))) i += 1
+      while (i < n && isCastWs(s.getByte(i))) i += 1
     }
     var neg = false
     if (i < n && s.getByte(i) == '-') { neg = true; i += 1 }
@@ -148,7 +162,7 @@ object JsonIntKey {
     }
     if (digits == 0) return null
     if (quoted) {
-      while (i < n && isWs(s.getByte(i))) i += 1
+      while (i < n && isCastWs(s.getByte(i))) i += 1
       if (i >= n || s.getByte(i) != '"') return null
       i += 1
     }

@@ -43,8 +43,17 @@ object GraphOps {
     * same exchange is big enough that no coalescing occurs — so the
     * declarative shape below, with the decode in the scan stage and no
     * width pin, is the right plan at both ends. */
-  private def itemEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  // private[graft] (not private) so PlanSuite can pin the decode plan —
+  // the family's final frames are eager/checkpointed, so the scan is not
+  // visible in their explain output.
+  private[graft] def itemEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // The long→int cast (here and at the q143/q150 seed scans) carries a
+    // RANGE ASSUMPTION (r12, ADVICE r11 #3): item ids fit int — the oracle
+    // schema is INTEGER, so the narrow type is the contract. Under the
+    // session's default ANSI mode an out-of-range value ERRORS (as the old
+    // string→int cast did); only with ANSI disabled would it wrap where
+    // the old path returned null.
     Tables.table(s, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"),
         graft.engine.expr.JsonIntKey.of(col("props"), "k").cast("int").as("k"))

@@ -122,6 +122,36 @@ class CcPropSpec extends SparkTestBase {
     }
   }
 
+  test("bounded CC drops self-loop-only nodes identically on both guard sides") {
+    // r12, ADVICE r11 #1: the normalization (a =!= b) drops self-loops
+    // BEFORE the guard, and the distributed fallback consumes the same
+    // filtered frame — so node 7 (self-loop only) must be absent from the
+    // output on BOTH paths, and the two paths must be identical. (Plain
+    // connectedComponents labels a self-loop node as itself; the contract
+    // difference is documented on connectedComponentsBounded.)
+    val pairs = Seq((7L, 7L), (1L, 2L), (2L, 3L), (9L, 9L), (9L, 4L))
+      .toDF("doc_a", "doc_b")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 4L, 4L -> 4L)
+    Seq(4096, 0).foreach { guard =>
+      val got = Dedup.connectedComponentsBounded(pairs, "doc_a", "doc_b",
+          driverMaxEdges = guard)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"guard=$guard: self-loop handling diverged: $got")
+    }
+  }
+
+  test("q149 routes through the bounded-CC driver fast path") {
+    // Regression pin (r12, VERDICT r11 #5): the r11 q149 win (3.3 → 1.7 s)
+    // is the union-find fast path; a refactor could silently fall back to
+    // the distributed ladder while staying hash-correct. The atom graph at
+    // sf0.001 is far under the 64k guard, so exactly one driver-path hit
+    // must be recorded by the run.
+    val before = Dedup.boundedDriverPathHits.get()
+    SparkEntry.queries("q149_entity_resolution")(spark, sfDir).count()
+    assert(Dedup.boundedDriverPathHits.get() == before + 1,
+      "q149 did not take the connectedComponentsBounded driver fast path")
+  }
+
   test("bounded CC driver path handles duplicate and reversed pairs") {
     // The probe normalizes to distinct undirected pairs before the guard
     // is applied — duplicates and orientation must not trip it or skew

@@ -242,6 +242,13 @@ class GraftFunctionsSpec extends SparkTestBase {
       ("""{"k": 0}""", 0L),
       ("""{"k": "42"}""", 42L),
       ("""{"k": " +42 "}""", 42L),
+      // cast-trim set inside quotes is UTF8String.trimAll's FULL <=0x20
+      // range, not just the four JSON chars (r12, ADVICE r11 #2): the old
+      // get_json_object+cast path read these as 42 (form feed / vertical
+      // tab / NUL padding inside the quoted value).
+      ("{\"k\": \"\f42\"}", 42L),
+      ("{\"k\": \"42\u000b\"}", 42L),
+      ("{\"k\": \"\u000042\"}", 42L),
       ("""{"k": "4 2"}""", null),
       ("""{"k": 9223372036854775807}""", Long.MaxValue),
       ("""{"kk": 5}""", null),

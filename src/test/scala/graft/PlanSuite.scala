@@ -589,4 +589,21 @@ class PlanSuite extends SparkTestBase {
     // one partial+final agg exchange and the presentation sort only
     assert("(\\d+)\\) Exchange".r.findAllIn(p).size <= 2, p)
   }
+
+  test("graph-family props decode is the native json_int_key, not get_json_object") {
+    // Regression pin (r12, VERDICT r11 #5): the r11 JsonIntKey byte walk
+    // replaced the per-row Jackson parse in the graph-family scans —
+    // worth ~3 s/round — and a refactor could silently revert it while
+    // staying hash-correct. The family's final frames are eager and
+    // checkpointed (their explain collapses to Scan ExistingRDD), so pin
+    // the SHARED edge builder's plan directly (feeds q139/q143/q145/q150)
+    // plus q141's visible single-pass plan in QualityOps.
+    val edges = graft.engine.ops.GraphOps.itemEdges(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(edges.contains("json_int_key"), s"itemEdges lost the native decode:\n$edges")
+    assert(!edges.contains("get_json_object"), s"itemEdges reverted to Jackson:\n$edges")
+    val p141 = plan("q141_corr_audit")
+    assert(p141.contains("json_int_key"), s"q141 lost the native decode:\n$p141")
+    assert(!p141.contains("get_json_object"), s"q141 reverted to Jackson:\n$p141")
+  }
 }
