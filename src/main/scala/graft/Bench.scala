@@ -180,11 +180,14 @@ object Bench {
     // -1 on any canary failure: the JSON line must survive a broken env
     val canary = canaryOf("q28_topk_global")
     // Second, shuffle-weight canary (r04-end): the trivial canary reads
-    // ~0.2 s in BOTH the clean mode and the milder degraded mode (only
-    // gross stalls move it), but a real shuffle workload discriminates —
-    // q11 medians ~0.9 s clean and 1.2–2 s+ in the degraded windows where
-    // totals inflate 1.2–2.4×. Untimed (post-suite), so it costs nothing
-    // against the gate.
+    // ~0.1–0.2 s in BOTH the clean mode and the milder degraded mode (only
+    // gross stalls move it), but a real shuffle workload discriminates.
+    // SCALE NOTE (r12): the canary is timed through SparkEntry.queries, so
+    // the Tables relation memo shifted its floor — clean reads ~0.31–0.37
+    // on r12+ binaries vs 0.39–0.41 across r04–r11 history; degraded
+    // windows read ~0.45+ (old scale ~0.5–1.25). Bucket cross-round canary
+    // comparisons by binary era (SCALING.md §variance). Untimed
+    // (post-suite), so it costs nothing against the gate.
     val canaryShuffle = canaryOf("q11_join_shuffle")
     // COLD re-time (r09, VERDICT r08 #3 — the ADVICE r07 carry-over): the
     // warm `retimed` above runs with every long-lived cache alive, so it
