@@ -234,7 +234,10 @@ object Tables {
     * one-file-per-table layout, but reachable through engine-written
     * outputs), truncated files, implausible footer lengths, and any I/O
     * error return 0 and keep the plain mtime+size story — a cache-key
-    * weakening must never fail the read itself. */
+    * weakening must never fail the read itself. (The RELATION memo in
+    * [[table]] refuses to serve directories at all — r13, ADVICE r12 #2;
+    * the weak token story here covers only the schema cache, whose
+    * staleness exposure is schema-shaped, not file-index-shaped.) */
   private def trailerToken(f: java.io.File): Long = try {
     val len = f.length()
     if (!f.isFile || len < 12) 0L
@@ -287,9 +290,36 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     val f = new java.io.File(path)
-    // Unbounded-growth guard: entries are tiny (a logical plan), but test
-    // suites mint many short-lived sessions — reset rather than track.
-    if (relationCache.size > 512) relationCache.clear()
+    // Memoized-relation bypass for NON-file paths (r13, ADVICE r12 #2):
+    // for a directory of part files (engine-written outputs; not the
+    // driver's one-file-per-table layout) the key's invalidators are weak
+    // — trailerToken degrades to 0 and a content rewrite of an existing
+    // part file does not move the directory's mtime/length — so a
+    // memoized DataFrame's captured file index could reference rewritten
+    // or deleted part files. A stale RELATION is a stronger consequence
+    // than the schema-only staleness the old cache risked (the pre-r12
+    // code re-resolved the relation every call), so directories take the
+    // uncached path; the memo serves only single-file tables, where
+    // (mtime, size, trailer-CRC) is a sound content key.
+    if (!f.isFile) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      return normalize(name,
+        spark.read.schema(physicalSchema(spark, path)).parquet(path))
+    }
+    // Growth bound (r13, ADVICE r12 #3): evict by SESSION, not a global
+    // clear — test suites mint many short-lived sessions whose entries
+    // (and strong session references) would otherwise pin until a >512
+    // sweep dropped the live session's hot entries along with the dead
+    // ones. Entries of stopped sessions are unreachable by construction
+    // (the session is part of the key and a stopped session never calls
+    // [[table]] again), so dropping exactly those is both safe and
+    // sufficient; the global clear stays only as the pathological
+    // fallback (512+ entries all from live sessions).
+    if (relationCache.size > 512) {
+      val it = relationCache.keySet.iterator()
+      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+      if (relationCache.size > 512) relationCache.clear()
+    }
     relationCache.computeIfAbsent(
       (spark, path, f.lastModified(), f.length(), trailerToken(f)), { _ =>
         // Keep setting the legacy flag: inert on µs files, required for ns

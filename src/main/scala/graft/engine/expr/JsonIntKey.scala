@@ -29,9 +29,11 @@ import org.apache.spark.unsafe.types.UTF8String
  * walked past — the scan resumes after any candidate not followed by a
  * well-formed integer pair); the target value is an optionally-quoted
  * integer literal fitting a signed 64-bit long (quoted values follow
- * SQL-cast trimming: any control chars ≤ 0x20 — UTF8String.trimAll's
- * set, not just JSON's four — and an explicit '+' sign are accepted
- * inside the quotes, as the cast path accepted them). Absent key, null/true/false,
+ * SQL-cast trimming: UTF8String.trimAll's per-byte set — every byte
+ * ≤ 0x20 plus 0x7f (DEL), i.e. `Character.isWhitespace ||
+ * Character.isISOControl` on the ASCII range, not just JSON's four —
+ * and an explicit '+' sign are accepted inside the quotes, as the cast
+ * path accepted them). Absent key, null/true/false,
  * fractional, exponent-formed, overflowing, or otherwise non-integer
  * values yield SQL NULL — strictly MORE defined than the old
  * `get_json_object(..).cast(..)` it replaces, which under the session's
@@ -84,14 +86,18 @@ object JsonIntKey {
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r'
 
-  /** SQL-cast trim set INSIDE quoted values (r12, ADVICE r11 #2): Spark's
-    * string→long cast trims via UTF8String.trimAll, which strips EVERY
-    * control char ≤ 0x20 — not just the four JSON ones — so `{"k": "\f42"}`
-    * reads 42 through the old get_json_object+cast path. The quoted-value
-    * trim must use this wider set to keep the "strictly MORE defined than
-    * the old path" contract true in both directions. (Bytes of multi-byte
-    * UTF-8 chars are negative, so the b >= 0 bound also excludes them.) */
-  private def isCastWs(b: Byte): Boolean = b >= 0 && b <= 0x20
+  /** SQL-cast trim set INSIDE quoted values (r12, ADVICE r11 #2; widened
+    * r13, ADVICE r12 #1): Spark's string→long cast trims via
+    * UTF8String.trimAll, whose per-byte test is `Character.isWhitespace ||
+    * Character.isISOControl` — on the 0..0x7f byte range that union is
+    * exactly 0x00–0x20 PLUS 0x7f (DEL, an ISO control), so `{"k": "\f42"}`
+    * AND `{"k": "42"}` both read 42 through the old
+    * get_json_object+cast path. The quoted-value trim must use the same
+    * set to keep the "strictly MORE defined than the old path" contract
+    * true in both directions. (Bytes of multi-byte UTF-8 chars are
+    * negative under Java's signed-byte promotion, so trimAll never strips
+    * them and the b >= 0 bound here matches that too.) */
+  private def isCastWs(b: Byte): Boolean = (b >= 0 && b <= 0x20) || b == 0x7f
 
   /** The byte walk, shared by eval and codegen. `pattern` is the quoted
     * key (`"k"` for key k). Returns a boxed Long or null — boxed because

@@ -25,9 +25,18 @@ object PhaseProbe {
     scratch.foreach(d => builder.config("spark.local.dir", d))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // same warm treatment as Bench so rep 1 isn't classloading
-    Seq("q12_join_multiway", "q18_agg_hash", "q25_window_rank")
-      .foreach(q => graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count())
+    // Same warm treatment as Bench so rep 1 isn't classloading. Warmup
+    // dir is arg 4 when given, else the smallest-sf sibling of sfDir when
+    // present, else sfDir itself; skipped entirely when absent (r13,
+    // ADVICE r12 #5: the hardcoded /root/testdata path crashed the probe
+    // on any host without it).
+    val warmDir = (if (args.length > 3) Seq(args(3)) else Seq.empty[String]) ++
+      Seq(new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001").toString,
+        sfDir)
+    warmDir.find(d => new java.io.File(d).exists()).foreach { d =>
+      Seq("q12_join_multiway", "q18_agg_hash", "q25_window_rank")
+        .foreach(q => graft.SparkEntry.queries(q)(spark, d).count())
+    }
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

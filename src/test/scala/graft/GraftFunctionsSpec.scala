@@ -242,13 +242,17 @@ class GraftFunctionsSpec extends SparkTestBase {
       ("""{"k": 0}""", 0L),
       ("""{"k": "42"}""", 42L),
       ("""{"k": " +42 "}""", 42L),
-      // cast-trim set inside quotes is UTF8String.trimAll's FULL <=0x20
-      // range, not just the four JSON chars (r12, ADVICE r11 #2): the old
-      // get_json_object+cast path read these as 42 (form feed / vertical
-      // tab / NUL padding inside the quoted value).
+      // cast-trim set inside quotes is UTF8String.trimAll's FULL
+      // per-byte set — every byte <= 0x20 PLUS 0x7f/DEL
+      // (Character.isWhitespace || isISOControl on the ASCII range), not
+      // just the four JSON chars (r12, ADVICE r11 #2; DEL added r13,
+      // ADVICE r12 #1): the old get_json_object+cast path read all of
+      // these as 42 (form feed / vertical tab / NUL / DEL padding inside
+      // the quoted value).
       ("{\"k\": \"\f42\"}", 42L),
       ("{\"k\": \"42\u000b\"}", 42L),
       ("{\"k\": \"\u000042\"}", 42L),
+      ("{\"k\": \"\u007f42\u007f\"}", 42L),
       ("""{"k": "4 2"}""", null),
       ("""{"k": 9223372036854775807}""", Long.MaxValue),
       ("""{"kk": 5}""", null),

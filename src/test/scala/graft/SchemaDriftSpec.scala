@@ -226,6 +226,47 @@ class SchemaDriftSpec extends SparkTestBase {
         "content token failed to re-key the cache")
   }
 
+  test("single-file loads are relation-memoized; a rewrite re-resolves") {
+    // r12 (VERDICT r11 #1): Tables.table memoizes the fully-resolved
+    // normalized DataFrame per (session, path, mtime, size, trailer-CRC).
+    // Reference equality IS the observable: computeIfAbsent hands every
+    // caller the same immutable instance until the content key moves.
+    val dir = fixtureDir()
+    writeSingleFile(baseEvents, dir, "events")
+    val first = Tables.table(spark, dir.toString, "events")
+    assert(Tables.table(spark, dir.toString, "events") eq first,
+      "repeat load of an unchanged single file must serve the memoized relation")
+    writeSingleFile(baseEvents.withColumn("extra_col", lit(7)), dir, "events")
+    val second = Tables.table(spark, dir.toString, "events")
+    assert(!(second eq first) && second.columns.contains("extra_col"),
+      "a rewritten file must re-key the relation memo")
+  }
+
+  test("directory tables bypass the relation memo (stale part-file indexes)") {
+    // r13 (ADVICE r12 #2): for a DIRECTORY of part files the memo key's
+    // invalidators are weak — trailerToken degrades to 0 and an in-place
+    // content rewrite need not move the directory's mtime/length — so a
+    // memoized relation's captured file index could point at deleted part
+    // files. Directories must take the uncached path every call. The pin
+    // forces the worst case: overwrite the directory's contents, then
+    // restore its original mtime so (path, mtime, size) collides exactly.
+    val dir = fixtureDir()
+    val tablePath = dir.resolve("events.parquet")
+    baseEvents.repartition(2).write.parquet(tablePath.toString)
+    val dirFile = tablePath.toFile
+    val m0 = dirFile.lastModified()
+    val before = Tables.table(spark, dir.toString, "events")
+    assert(before.count() === 240L)
+    baseEvents.limit(60).repartition(2).write.mode("overwrite")
+      .parquet(tablePath.toString)
+    assert(dirFile.setLastModified(m0), "could not force the mtime collision")
+    val after = Tables.table(spark, dir.toString, "events")
+    assert(!(after eq before),
+      "a directory table must never be served from the relation memo")
+    assert(after.count() === 60L,
+      "stale relation (old part-file index) served for a rewritten directory")
+  }
+
   test("two sessions with different nanosAsLong configs share the cache safely") {
     // r08 (VERDICT r07 #5): the schema cache is JVM-global but the loader
     // pins nanosAsLong=true on the session right before EVERY read, so a
