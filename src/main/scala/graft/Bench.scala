@@ -9,6 +9,12 @@ import org.apache.spark.sql.SparkSession
   * execution per query — each query still re-reads its parquet inputs, so
   * scan/shuffle/agg work is fully counted. */
 object Bench {
+  /** Shuffle-canary suspect line on the r12+ binary scale (SCALING.md
+    * §variance: clean floor ~0.31–0.37 s; the pre-r12 0.45 line maps to
+    * ≈0.41 after the relation memo shifted the canary's construction
+    * cost). A canary past it marks a degraded host window. */
+  val canarySuspectLine = 0.41
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -99,8 +105,6 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.sorted.apply(1)
     } catch { case _: Throwable => -1.0 }
-    val canaryPre = canaryOf("q28_topk_global")
-    val canaryShufflePre = canaryOf("q11_join_shuffle")
     // A throwing query must NOT silently deflate the total: it is recorded
     // as -1 in the per-query map AND listed under "failed", so a broken
     // query can never make the perf gate look better.
@@ -110,22 +114,59 @@ object Bench {
     // block inflated 3–10× while both bracket canaries read clean). Three
     // canary points make that failure shape visible in the JSON itself.
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-    var canaryMid = -1.0
-    var canaryShuffleMid = -1.0
-    val results = sorted.zipWithIndex.map { case ((name, fn), i) =>
-      if (i == sorted.size / 2) {
-        canaryMid = canaryOf("q28_topk_global")
-        canaryShuffleMid = canaryOf("q11_join_shuffle")
-      }
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+    /** One timed pass over the full suite with its own canary bracket
+      * (pre / mid / post, each pair trivial + shuffle-weight). Factored out
+      * (r13, VERDICT r12 #4) so a gate-fail-in-degraded-window can append a
+      * SECOND full capture to the same artifact. The post pair now runs
+      * IMMEDIATELY after the loop (before any over-budget retimes) — in the
+      * common empty-over_budget case this is byte-identical to the old
+      * order, and when retimes do fire the post pair now reads the window
+      * the SUITE ended in, which is what it classifies. */
+    case class Pass(results: Seq[(String, Double, Boolean)],
+        pre: Double, shufflePre: Double, mid: Double, shuffleMid: Double,
+        post: Double, shufflePost: Double) {
+      def total: Double = results.collect { case (_, v, true) => v }.sum
+      def qsJson: String = results.map { case (k, v, ok) =>
+        "\"" + k + "\":" + (if (ok) v else -1.0) }.mkString("{", ",", "}")
+      def failedJson: String = results.collect { case (k, _, false) =>
+        "\"" + k + "\"" }.mkString("[", ",", "]")
+      /** Host-window classification (r13, VERDICT r12 #4): the shuffle
+        * canary's clean floor on r12+ binaries is ~0.31–0.37 s and degraded
+        * windows read past the suspect line (SCALING.md §variance maps the
+        * pre-r12 0.45 line to ≈0.41 on this binary's scale). Each canary is
+        * already a median-of-3, so one canary past the line marks a real
+        * degraded interval somewhere in the pass, not a spike. */
+      def windowDegraded: Boolean =
+        math.max(shufflePre, math.max(shuffleMid, shufflePost)) >
+          Bench.canarySuspectLine
     }
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    def timedPass(): Pass = {
+      val pre = canaryOf("q28_topk_global")
+      val shufflePre = canaryOf("q11_join_shuffle")
+      var mid = -1.0
+      var shuffleMid = -1.0
+      val res = sorted.zipWithIndex.map { case ((name, fn), i) =>
+        if (i == sorted.size / 2) {
+          mid = canaryOf("q28_topk_global")
+          shuffleMid = canaryOf("q11_join_shuffle")
+        }
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+      val post = canaryOf("q28_topk_global")
+      val shufflePost = canaryOf("q11_join_shuffle")
+      Pass(res, pre, shufflePre, mid, shuffleMid, post, shufflePost)
+    }
+    val pass = timedPass()
+    val results = pass.results
+    val canaryPre = pass.pre
+    val canaryShufflePre = pass.shufflePre
+    val canaryMid = pass.mid
+    val canaryShuffleMid = pass.shuffleMid
+    val qs = pass.qsJson
+    val failed = pass.failedJson
+    val total = pass.total
     // Budget guard (SCALING.md §Bench budget): surface growth must not creep
     // toward the 90 s gate silently. Queries over the 3.5 s per-query budget
     // and totals over the 75 s soft budget are CALLED OUT in the JSON (the
@@ -173,12 +214,12 @@ object Bench {
       "\"" + k + "\":" + t
     }.mkString("{", ",", "}")
     // Host-mode canary (SCALING.md §variance): this host is bimodal, and a
-    // stalled run inflates EVERY query ~uniformly. Re-time a trivial query
-    // (global top-10 over 150k rows; ~0.2 s clean, ≥3× that stalled) three
-    // times AFTER the suite so the JSON itself records which mode this run
-    // landed in — the reader can see inflation without a re-run.
+    // stalled run inflates EVERY query ~uniformly. The post-suite trivial
+    // canary (global top-10 over 150k rows; ~0.2 s clean, ≥3× that stalled)
+    // records which mode this run ENDED in — measured inside the pass,
+    // immediately after the loop (see timedPass).
     // -1 on any canary failure: the JSON line must survive a broken env
-    val canary = canaryOf("q28_topk_global")
+    val canary = pass.post
     // Second, shuffle-weight canary (r04-end): the trivial canary reads
     // ~0.1–0.2 s in BOTH the clean mode and the milder degraded mode (only
     // gross stalls move it), but a real shuffle workload discriminates.
@@ -188,7 +229,7 @@ object Bench {
     // windows read ~0.45+ (old scale ~0.5–1.25). Bucket cross-round canary
     // comparisons by binary era (SCALING.md §variance). Untimed
     // (post-suite), so it costs nothing against the gate.
-    val canaryShuffle = canaryOf("q11_join_shuffle")
+    val canaryShuffle = pass.shufflePost
     // COLD re-time (r09, VERDICT r08 #3 — the ADVICE r07 carry-over): the
     // warm `retimed` above runs with every long-lived cache alive, so it
     // can EXONERATE a host-window spike but cannot CONFIRM a structural
@@ -219,6 +260,27 @@ object Bench {
       }.mkString("{", ",", "}")
     }
     val exceeded = total > hardTotal
+    val windowDegraded = pass.windowDegraded
+    // Auto re-capture (r13, VERDICT r12 #4): the gate decision has been a
+    // single sample on a documented-bimodal host — r12 failed at 90.3 s in
+    // a mild-degraded window while the same binary's clean captures read
+    // 75.8 s. When the total fails the hard gate AND this pass's canary
+    // triple marks the window degraded, run ONE more full pass and ship
+    // BOTH totals in the SAME artifact. Nothing is replaced and
+    // budget_exceeded stays keyed to the FIRST capture — this is evidence
+    // for the adjudicator, not gate gaming; a reader sees 90.3-in-a-bad-
+    // window next to what an adjacent window reads instead of having to
+    // re-run by hand. Capped at one: two degraded samples in a row are
+    // themselves the honest answer.
+    val recapture: Option[Pass] =
+      if (exceeded && windowDegraded) Some(timedPass()) else None
+    val recaptureJson = recapture.map { p =>
+      s"""{"value":${p.total},"queries":${p.qsJson},"failed":${p.failedJson},""" +
+        s""""canary_pre_sec":${p.pre},"canary_shuffle_pre_sec":${p.shufflePre},""" +
+        s""""canary_mid_sec":${p.mid},"canary_shuffle_mid_sec":${p.shuffleMid},""" +
+        s""""canary_sec":${p.post},"canary_shuffle_sec":${p.shufflePost},""" +
+        s""""window_degraded":${p.windowDegraded}}"""
+    }.getOrElse("null")
     val warmFailedJson = warmupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // cpus/heap in the record (r07): a local[4]-vs-local[32] run is a 2x
     // total difference that canaries cannot flag — the run must carry its
@@ -255,7 +317,7 @@ object Bench {
       System.err.println(f"BENCH HEAP DIVERGENCE: requested -Xmx $xmxReqGb%.1f GiB " +
         "vs the measured-optimal 16g clamp — timings are not comparable to " +
         "the committed record config; see build.sbt clampHeap and SCALING.md")
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"heap_gb":$heapGb,"heap_req_gb":$xmxReqGb,"heap_divergent":$heapDivergent,"queries":$qs,"failed":$failed,"warmup_failed":$warmFailedJson,"over_budget":$overBudget,"canary_retime_sec":$canaryRetime,"retimed":$retimed,"retimed_cold":$retimedCold,"soft_budget_sec":$softTotal,"budget_exceeded":$exceeded,"canary_pre_sec":$canaryPre,"canary_shuffle_pre_sec":$canaryShufflePre,"canary_mid_sec":$canaryMid,"canary_shuffle_mid_sec":$canaryShuffleMid,"canary_sec":$canary,"canary_shuffle_sec":$canaryShuffle,"sf":"$sfDir"}"""
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"heap_gb":$heapGb,"heap_req_gb":$xmxReqGb,"heap_divergent":$heapDivergent,"queries":$qs,"failed":$failed,"warmup_failed":$warmFailedJson,"over_budget":$overBudget,"canary_retime_sec":$canaryRetime,"retimed":$retimed,"retimed_cold":$retimedCold,"soft_budget_sec":$softTotal,"budget_exceeded":$exceeded,"canary_pre_sec":$canaryPre,"canary_shuffle_pre_sec":$canaryShufflePre,"canary_mid_sec":$canaryMid,"canary_shuffle_mid_sec":$canaryShuffleMid,"canary_sec":$canary,"canary_shuffle_sec":$canaryShuffle,"window_degraded":$windowDegraded,"canary_suspect_line_sec":${Bench.canarySuspectLine},"recapture":$recaptureJson,"sf":"$sfDir"}"""
     println(jsonLine)
     // Full per-query artifact (r05, VERDICT r04 #4): the driver's
     // BENCH_r*.json keeps only the tail of stdout, so early-alphabet query
@@ -284,7 +346,9 @@ object Bench {
       java.nio.file.StandardOpenOption.APPEND)
     catch { case _: Throwable => () }
     if (exceeded)
-      System.err.println(f"BENCH BUDGET FAILURE: total $total%.1f s exceeds the $hardTotal%.0f s gate (canary $canary%.2f s)")
+      System.err.println(f"BENCH BUDGET FAILURE: total $total%.1f s exceeds the $hardTotal%.0f s gate (canary $canary%.2f s)" +
+        recapture.map(p => f"; degraded-window auto re-capture read ${p.total}%.1f s " +
+          f"(window_degraded=${p.windowDegraded})").getOrElse(""))
     else if (total > softTotal)
       System.err.println(f"BENCH BUDGET WARNING: total $total%.1f s exceeds the $softTotal%.0f s soft budget (gate $hardTotal%.0f s, canary $canary%.2f s)")
     // Session-end release of the library's long-lived caches (r07, ADVICE
