@@ -16,7 +16,9 @@ object StreamFamilyProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val reps = if (args.length > 1) args(1).toInt else 2
-    val keys = if (args.length > 2) args(2).split(",").toSeq else Seq(
+    // "-" as the keys arg = the default family (so A/B confs in args 4+
+    // can be passed without spelling out all nine keys).
+    val keys = if (args.length > 2 && args(2) != "-") args(2).split(",").toSeq else Seq(
       "q42_stream_watermark_dedup", "q53_stream_stateful",
       "q56_stream_interval_join", "q61_stream_foreachbatch",
       "q73_stream_static_join", "q93_stream_outer_interval_join",
@@ -31,13 +33,41 @@ object StreamFamilyProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Optional A/B session confs (r13, VERDICT r12 #1): args 4+ are k=v
+    // pairs applied before any run, so a conf lever can be probed against
+    // the shipped query builders without editing them. With a leading
+    // "--ab" the pairs are instead toggled PER (rep, key) — each key runs
+    // once at session defaults (tag A) and once with the confs (tag B),
+    // back-to-back, so both sides share the host window (the r13 lesson:
+    // sequential full-family runs straddled a window shift and the conf
+    // "effect" was the window).
+    val abMode = args.length > 3 && args(3) == "--ab"
+    val confArgs = args.drop(if (abMode) 4 else 3).map { kv =>
+      val Array(k, v) = kv.split("=", 2); (k, v)
+    }
+    if (!abMode) confArgs.foreach { case (k, v) =>
+      spark.conf.set(k, v)
+      println(s"SFPROBE conf $k=$v")
+    }
     // One listener PER RUN, removed before its queue is read (r11 review
     // finding: a session-wide listener with clear() between runs both
     // mis-attributes a late event from the previous key to the current
     // one and can drop the current key's final event behind a fixed
     // sleep). Removal bounds attribution; the quiescence poll below
     // bounds omission.
-    for (r <- 1 to reps; k <- keys) {
+    // Side order flips per rep (odd reps A-then-B, even reps B-then-A):
+    // the second run of a key inherits its page-cache/JIT warmth, so a
+    // fixed order would systematically favor one side.
+    def sidesFor(r: Int): Seq[String] =
+      if (!abMode) Seq("")
+      else if (r % 2 == 1) Seq("A", "B") else Seq("B", "A")
+    for (r <- 1 to reps; k <- keys; side <- sidesFor(r)) {
+      // B side: apply the confs for exactly this run, then restore.
+      val saved = if (side == "B") confArgs.map { case (ck, cv) =>
+        val prev = spark.conf.getOption(ck)
+        spark.conf.set(ck, cv)
+        (ck, prev)
+      } else Array.empty[(String, Option[String])]
       val batches = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       val listener = new StreamingQueryListener {
         override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -67,8 +97,12 @@ object StreamFamilyProbe {
         else { stable = 0; last = batches.size }
       }
       spark.streams.removeListener(listener)
+      saved.foreach { case (ck, prev) =>
+        prev.fold(spark.conf.unset(ck))(spark.conf.set(ck, _))
+      }
       import scala.jdk.CollectionConverters._
-      println(f"SFPROBE rep=$r $k%-32s wall=$wall%.2f ${batches.asScala.mkString(" ")}")
+      val tag = if (side.isEmpty) "" else s" side=$side"
+      println(f"SFPROBE rep=$r$tag $k%-32s wall=$wall%.2f ${batches.asScala.mkString(" ")}")
     }
     spark.stop()
   }

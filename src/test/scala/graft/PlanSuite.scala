@@ -606,4 +606,20 @@ class PlanSuite extends SparkTestBase {
     assert(p141.contains("json_int_key"), s"q141 lost the native decode:\n$p141")
     assert(!p141.contains("get_json_object"), s"q141 reverted to Jackson:\n$p141")
   }
+
+  test("q122 read-back pushes literal zval bounds to the written files' scan") {
+    // Regression pin (r13, VERDICT r12 #2): the read-back bounds are
+    // collected as a 1-row scalar and land as LITERALS, so the BETWEEN
+    // reaches PushedFilters and parquet footer min/max can skip the
+    // z-ordered files outside the probed octant. The previous
+    // broadcast-joined bounds frame could never push down — a silent
+    // revert would re-scan every written file at 100 TB.
+    val p = plan("q122_zorder_layout")
+    val scanBlock = p.split("\n").filter(_.contains("PushedFilters"))
+    assert(scanBlock.exists(l => l.contains("GreaterThanOrEqual(zval") &&
+      l.contains("LessThanOrEqual(zval")),
+      s"zval bounds not pushed to the read-back scan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bounds rejoined the plan as a join:\n$p")
+  }
 }
