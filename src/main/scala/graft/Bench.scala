@@ -15,6 +15,15 @@ object Bench {
     * cost). A canary past it marks a degraded host window. */
   val canarySuspectLine = 0.41
 
+  /** Host-window classification for one pass's shuffle-canary triple:
+    * degraded iff ANY canary is past the suspect line. Each canary is
+    * already a median-of-3, so one past the line marks a real degraded
+    * interval somewhere in the pass, not a spike; a FAILED canary (-1)
+    * must never mark the window degraded (the JSON survives a broken
+    * env without claiming adjudication evidence it doesn't have). */
+  def degraded(shufflePre: Double, shuffleMid: Double, shufflePost: Double): Boolean =
+    math.max(shufflePre, math.max(shuffleMid, shufflePost)) > canarySuspectLine
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -133,12 +142,9 @@ object Bench {
       /** Host-window classification (r13, VERDICT r12 #4): the shuffle
         * canary's clean floor on r12+ binaries is ~0.31–0.37 s and degraded
         * windows read past the suspect line (SCALING.md §variance maps the
-        * pre-r12 0.45 line to ≈0.41 on this binary's scale). Each canary is
-        * already a median-of-3, so one canary past the line marks a real
-        * degraded interval somewhere in the pass, not a spike. */
+        * pre-r12 0.45 line to ≈0.41 on this binary's scale). */
       def windowDegraded: Boolean =
-        math.max(shufflePre, math.max(shuffleMid, shufflePost)) >
-          Bench.canarySuspectLine
+        Bench.degraded(shufflePre, shuffleMid, shufflePost)
     }
     def timedPass(): Pass = {
       val pre = canaryOf("q28_topk_global")

@@ -157,3 +157,26 @@ class SurveySyncSpec extends AnyFunSuite {
     assert(undocumented.isEmpty, s"declared but missing from SURVEY.md: $undocumented")
   }
 }
+
+/** Bench host-window classification (r13, VERDICT r12 #4): the
+  * window_degraded field drives the gate-failure auto-recapture, so its
+  * semantics are pinned — ANY shuffle canary past the suspect line marks
+  * the pass degraded; a failed canary (-1) never does. */
+class BenchWindowSpec extends AnyFunSuite {
+  test("clean triple is not degraded") {
+    assert(!Bench.degraded(0.33, 0.35, 0.37))
+  }
+  test("one canary past the line marks the pass degraded") {
+    assert(Bench.degraded(0.45, 0.33, 0.33))
+    assert(Bench.degraded(0.33, 0.52, 0.33))
+    assert(Bench.degraded(0.33, 0.33, 0.42))
+  }
+  test("failed canaries (-1) never classify a window as degraded") {
+    assert(!Bench.degraded(-1.0, -1.0, -1.0))
+    assert(!Bench.degraded(-1.0, 0.33, 0.35))
+  }
+  test("the line itself is not past the line") {
+    assert(!Bench.degraded(Bench.canarySuspectLine,
+      Bench.canarySuspectLine, Bench.canarySuspectLine))
+  }
+}
