@@ -205,12 +205,26 @@ object Bench {
     // re-run by hand. Capped at one: two degraded samples in a row are
     // themselves the honest answer. MUST run BEFORE retimedCold (review
     // r13): that block releases every library cache per key, so a
-    // recapture placed after it would be systematically cache-cold and
-    // conflate cache state with host window — the exact ambiguity this
-    // field exists to resolve. (First real firing, same day: first pass
-    // 90.31 s at mid-canary 0.513, recapture 80.64 s.)
+    // recapture placed after it would start in a state no fresh capture
+    // ever sees. The recapture starts LIBRARY-COLD itself (same
+    // semantics as retimed_cold: tracked caches + schema/relation memo
+    // released; JIT, codegen, and the OS page cache stay warm) — without
+    // the release, the cross-query caches the FIRST pass built (the
+    // graph family's edge aggregates, q149's CC inputs) survive into the
+    // second pass and its graph tier reads ~2–3 s faster than any honest
+    // fresh capture (measured on the first two real firings: q139
+    // 2.56→1.42, q152 1.72→0.88, q145 1.03→0.51). Library-cold is
+    // slightly CONSERVATIVE (a real bench start also has the sf0.001
+    // warmup's schema entries) — the right direction for adjudication
+    // evidence. (First real firing, same day: first pass 90.31 s at
+    // mid-canary 0.513, recapture 80.64 s — warm-biased; post-fix
+    // recaptures are directly gate-comparable.)
     val recapture: Option[Pass] =
-      if (exceeded && windowDegraded) Some(timedPass()) else None
+      if (exceeded && windowDegraded) {
+        graft.engine.CacheReaper.release()
+        graft.engine.Tables.clearSchemaCache()
+        Some(timedPass())
+      } else None
     val recaptureJson = recapture.map { p =>
       s"""{"value":${p.total},"queries":${p.qsJson},"failed":${p.failedJson},""" +
         s""""canary_pre_sec":${p.pre},"canary_shuffle_pre_sec":${p.shufflePre},""" +
