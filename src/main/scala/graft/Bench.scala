@@ -24,6 +24,61 @@ object Bench {
   def degraded(shufflePre: Double, shuffleMid: Double, shufflePost: Double): Boolean =
     math.max(shufflePre, math.max(shuffleMid, shufflePost)) > canarySuspectLine
 
+  /** ALL three shuffle canaries failed (-1): the window CANNOT be
+    * classified at all (r14, ADVICE r13 #3). Distinct from "verified
+    * clean" — degraded() correctly refuses to mark a broken-canary pass
+    * degraded, but a reader of `window_degraded:false` could not tell
+    * "canaries read clean" from "canaries never ran". The JSON emits
+    * `window_degraded:null` in this state so gate-failure artifacts never
+    * masquerade as clean-window evidence. */
+  def canariesFailed(shufflePre: Double, shuffleMid: Double,
+      shufflePost: Double): Boolean =
+    shufflePre < 0 && shuffleMid < 0 && shufflePost < 0
+
+  /** One pre-flight window-probe record (r14, VERDICT r13 #1): every
+    * probe taken (shuffle-canary medians, -1 = probe failed), total sleep
+    * time, and whether the capture ultimately STARTED in a window the
+    * last probe still called degraded. Full transparency — no probe is
+    * discarded from the artifact. */
+  case class Preflight(probes: List[Double], waitedSec: Double,
+      startedDegraded: Boolean) {
+    def json: String =
+      s"""{"probes":[${probes.mkString(",")}],"waited_sec":$waitedSec,""" +
+        s""""started_degraded":$startedDegraded}"""
+  }
+
+  /** Bounded wait-for-a-clean-window policy (r14, VERDICT r13 #1). The
+    * r12/r13 gate decisions were SINGLE blind samples on a documented-
+    * bimodal host — r13 started its capture in the deepest degraded
+    * window of 262 logged runs and read 147.1 s from a binary whose
+    * same-day clean captures read 76.2 s. This probe runs the shuffle
+    * canary BEFORE the timed pass starts: past the suspect line → sleep
+    * `stepSec` and re-probe, up to `maxWaitSec` of total sleep; the
+    * capture starts in the first clean dip, or starts anyway (flagged
+    * `started_degraded`) when the budget is exhausted. This changes WHEN
+    * the measurement runs, never WHAT is measured — no sample is
+    * discarded, and the full probe history ships in the artifact. A
+    * FAILED probe (-1) stops the wait immediately: with no classification
+    * evidence, waiting on it would be acting on data we don't have
+    * (consistent with degraded()'s failed-canary rule).
+    *
+    * Pure policy — probe and sleep are injected so UnitSpecs can pin the
+    * wait behavior without a host or a clock. */
+  def preflightWait(probe: () => Double, sleep: Double => Unit,
+      stepSec: Double = 30.0, maxWaitSec: Double = 600.0): Preflight = {
+    val probes = List.newBuilder[Double]
+    var waited = 0.0
+    var last = probe()
+    probes += last
+    while (last > canarySuspectLine && waited + stepSec <= maxWaitSec) {
+      sleep(stepSec)
+      waited += stepSec
+      last = probe()
+      probes += last
+    }
+    Preflight(probes.result(), waited, last > canarySuspectLine)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -145,6 +200,12 @@ object Bench {
         * pre-r12 0.45 line to ≈0.41 on this binary's scale). */
       def windowDegraded: Boolean =
         Bench.degraded(shufflePre, shuffleMid, shufflePost)
+      /** JSON value for window_degraded: `null` when every shuffle canary
+        * failed (r14, ADVICE r13 #3 — "cannot classify" must never read
+        * as "verified clean"). */
+      def windowDegradedJson: String =
+        if (Bench.canariesFailed(shufflePre, shuffleMid, shufflePost)) "null"
+        else windowDegraded.toString
     }
     def timedPass(): Pass = {
       val pre = canaryOf("q28_topk_global")
@@ -164,6 +225,21 @@ object Bench {
       val shufflePost = canaryOf("q11_join_shuffle")
       Pass(res, pre, shufflePre, mid, shuffleMid, post, shufflePost)
     }
+    // Pre-flight window probe (r14, VERDICT r13 #1): refuse to START a
+    // gate capture in a window the shuffle canary already calls degraded —
+    // wait it out on a bounded schedule instead (see preflightWait). The
+    // probe ALSO gives q11 the same implicit target-sf warm the canary
+    // bracket always has (disclosed, untimed w.r.t. the gate).
+    def preflightProbe(): Preflight = {
+      val pf = preflightWait(() => canaryOf("q11_join_shuffle"),
+        s => Thread.sleep((s * 1000).toLong))
+      if (pf.waitedSec > 0)
+        System.err.println(f"BENCH PREFLIGHT: waited ${pf.waitedSec}%.0f s for a " +
+          f"clean host window (probes ${pf.probes.map(p => f"$p%.2f").mkString(",")}; " +
+          s"started_degraded=${pf.startedDegraded})")
+      pf
+    }
+    val preflight = preflightProbe()
     val pass = timedPass()
     val results = pass.results
     val canaryPre = pass.pre
@@ -219,18 +295,26 @@ object Bench {
     // evidence. (First real firing, same day: first pass 90.31 s at
     // mid-canary 0.513, recapture 80.64 s — warm-biased; post-fix
     // recaptures are directly gate-comparable.)
-    val recapture: Option[Pass] =
+    // r14 (VERDICT r13 #2): the recapture now pre-flight-waits too. The
+    // r13 firing proved the gap — the recapture ran IMMEDIATELY and landed
+    // at 105.2 s with canaries still degraded: one honest sample of a deep
+    // phase, but not the adjacent-window evidence the recapture exists to
+    // provide. Same bounded wait, same transparency fields; still capped
+    // at ONE recapture and budget_exceeded stays keyed to the FIRST
+    // capture (the r13 honesty contract).
+    val recapture: Option[(Preflight, Pass)] =
       if (exceeded && windowDegraded) {
         graft.engine.CacheReaper.release()
         graft.engine.Tables.clearSchemaCache()
-        Some(timedPass())
+        val pf = preflightProbe()
+        Some((pf, timedPass()))
       } else None
-    val recaptureJson = recapture.map { p =>
+    val recaptureJson = recapture.map { case (pf, p) =>
       s"""{"value":${p.total},"queries":${p.qsJson},"failed":${p.failedJson},""" +
         s""""canary_pre_sec":${p.pre},"canary_shuffle_pre_sec":${p.shufflePre},""" +
         s""""canary_mid_sec":${p.mid},"canary_shuffle_mid_sec":${p.shuffleMid},""" +
         s""""canary_sec":${p.post},"canary_shuffle_sec":${p.shufflePost},""" +
-        s""""window_degraded":${p.windowDegraded}}"""
+        s""""window_degraded":${p.windowDegradedJson},"preflight":${pf.json}}"""
     }.getOrElse("null")
     // Over-budget re-time (r07, VERDICT r06 #4): a query over the per-query
     // budget is re-timed ONCE after the suite (untimed w.r.t. the gate and
@@ -342,7 +426,7 @@ object Bench {
       System.err.println(f"BENCH HEAP DIVERGENCE: requested -Xmx $xmxReqGb%.1f GiB " +
         "vs the measured-optimal 16g clamp — timings are not comparable to " +
         "the committed record config; see build.sbt clampHeap and SCALING.md")
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"heap_gb":$heapGb,"heap_req_gb":$xmxReqGb,"heap_divergent":$heapDivergent,"queries":$qs,"failed":$failed,"warmup_failed":$warmFailedJson,"over_budget":$overBudget,"canary_retime_sec":$canaryRetime,"retimed":$retimed,"retimed_cold":$retimedCold,"soft_budget_sec":$softTotal,"budget_exceeded":$exceeded,"canary_pre_sec":$canaryPre,"canary_shuffle_pre_sec":$canaryShufflePre,"canary_mid_sec":$canaryMid,"canary_shuffle_mid_sec":$canaryShuffleMid,"canary_sec":$canary,"canary_shuffle_sec":$canaryShuffle,"window_degraded":$windowDegraded,"canary_suspect_line_sec":${Bench.canarySuspectLine},"recapture":$recaptureJson,"sf":"$sfDir"}"""
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"heap_gb":$heapGb,"heap_req_gb":$xmxReqGb,"heap_divergent":$heapDivergent,"queries":$qs,"failed":$failed,"warmup_failed":$warmFailedJson,"over_budget":$overBudget,"canary_retime_sec":$canaryRetime,"retimed":$retimed,"retimed_cold":$retimedCold,"soft_budget_sec":$softTotal,"budget_exceeded":$exceeded,"canary_pre_sec":$canaryPre,"canary_shuffle_pre_sec":$canaryShufflePre,"canary_mid_sec":$canaryMid,"canary_shuffle_mid_sec":$canaryShuffleMid,"canary_sec":$canary,"canary_shuffle_sec":$canaryShuffle,"window_degraded":${pass.windowDegradedJson},"canary_suspect_line_sec":${Bench.canarySuspectLine},"preflight":${preflight.json},"recapture":$recaptureJson,"sf":"$sfDir"}"""
     println(jsonLine)
     // Full per-query artifact (r05, VERDICT r04 #4): the driver's
     // BENCH_r*.json keeps only the tail of stdout, so early-alphabet query
@@ -372,8 +456,10 @@ object Bench {
     catch { case _: Throwable => () }
     if (exceeded)
       System.err.println(f"BENCH BUDGET FAILURE: total $total%.1f s exceeds the $hardTotal%.0f s gate (canary $canary%.2f s)" +
-        recapture.map(p => f"; degraded-window auto re-capture read ${p.total}%.1f s " +
-          f"(window_degraded=${p.windowDegraded})").getOrElse(""))
+        recapture.map { case (pf, p) =>
+          f"; degraded-window auto re-capture read ${p.total}%.1f s " +
+            f"(window_degraded=${p.windowDegradedJson}, " +
+            f"preflight_waited=${pf.waitedSec}%.0f s)" }.getOrElse(""))
     else if (total > softTotal)
       System.err.println(f"BENCH BUDGET WARNING: total $total%.1f s exceeds the $softTotal%.0f s soft budget (gate $hardTotal%.0f s, canary $canary%.2f s)")
     // Session-end release of the library's long-lived caches (r07, ADVICE

@@ -230,14 +230,11 @@ object Tables {
     * scale with an unbounded (or corrupt) footer length. A rewrite that
     * preserves byte length but changes the schema perturbs hashed bytes,
     * so the token re-keys the cache where mtime+size cannot. Non-file
-    * paths (a directory of part files — not produced by the driver's
-    * one-file-per-table layout, but reachable through engine-written
-    * outputs), truncated files, implausible footer lengths, and any I/O
+    * paths return 0 here and take [[listingToken]] instead (r14, ADVICE
+    * r13 #2); truncated files, implausible footer lengths, and any I/O
     * error return 0 and keep the plain mtime+size story — a cache-key
     * weakening must never fail the read itself. (The RELATION memo in
-    * [[table]] refuses to serve directories at all — r13, ADVICE r12 #2;
-    * the weak token story here covers only the schema cache, whose
-    * staleness exposure is schema-shaped, not file-index-shaped.) */
+    * [[table]] refuses to serve directories at all — r13, ADVICE r12 #2.) */
   private def trailerToken(f: java.io.File): Long = try {
     val len = f.length()
     if (!f.isFile || len < 12) 0L
@@ -277,10 +274,35 @@ object Tables {
     }
   } catch { case _: Throwable => 0L }
 
+  /** Content token for a DIRECTORY path's schema-cache key (r14, ADVICE
+    * r13 #2). For directories trailerToken degrades to 0 and an in-place
+    * part-file rewrite moves neither the directory's mtime nor its
+    * length, so the old (path, mtime, length, 0) key could serve a STALE
+    * schema into `spark.read.schema(...)` after a schema-changing
+    * rewrite — silently misreading the new files (the relation memo
+    * already refuses directories; this closes the same hole one level
+    * down, in the schema cache). CRC32 over the sorted listing — entry
+    * name, mtime, length — re-keys the cache on any part-file rewrite
+    * (a file's OWN mtime always moves on write) or set change. Bounded:
+    * one readdir + the metadata the listing already carries; no file
+    * contents are read. Errors degrade to 0 (the plain mtime+size story),
+    * never fail the read. */
+  private def listingToken(f: java.io.File): Long = try {
+    val crc = new java.util.zip.CRC32()
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .sortBy(_.getName).foreach { e =>
+        crc.update(e.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        crc.update(java.nio.ByteBuffer.allocate(16)
+          .putLong(e.lastModified()).putLong(e.length()).array())
+      }
+    crc.getValue
+  } catch { case _: Throwable => 0L }
+
   private def physicalSchema(spark: SparkSession, path: String): StructType = {
     val f = new java.io.File(path)
+    val token = if (f.isFile) trailerToken(f) else listingToken(f)
     schemaCache.computeIfAbsent(
-      (path, f.lastModified(), f.length(), trailerToken(f)), { _ =>
+      (path, f.lastModified(), f.length(), token), { _ =>
         schemaInfersTotal.incrementAndGet()
         spark.read.parquet(path).schema
       })

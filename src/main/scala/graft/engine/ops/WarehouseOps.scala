@@ -2,7 +2,7 @@ package graft.engine.ops
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -379,10 +379,24 @@ object WarehouseOps {
     // footer min/max statistics skip ~7 of the 8 written files; at 100 TB
     // that skip IS the point of the layout. The bounds pass itself prunes
     // to the zval column only.
-    val laid = s.read.parquet(zorderWrite(s, dir))
+    zorderReadBack(s.read.parquet(zorderWrite(s, dir)))
+  }
+
+  /** q122 read-back (library shape): aggregate the first z-octant of a
+    * laid table, with the data-derived bounds pushed as LITERALS so the
+    * parquet scan skips files via footer min/max. Safe on an EMPTY laid
+    * frame (r14, VERDICT r13 #5): the 1-row bounds aggregate yields null
+    * lo/hi there — `BETWEEN null AND null` would already filter every row
+    * under three-valued logic, but an arbitrary caller shouldn't depend
+    * on that subtlety (nor ship null literals into PushedFilters), so the
+    * guard short-circuits to the empty aggregate explicitly. */
+  def zorderReadBack(laid: DataFrame): DataFrame = {
     val b = laid.agg(min(col("zval")).as("lo"),
       (min(col("zval")) + expr("(max(zval) - min(zval)) div 8")).as("hi")).head
-    laid.where(col("zval").between(lit(b.get(0)), lit(b.get(1))))
+    val octant =
+      if (b.isNullAt(0)) laid.where(lit(false))
+      else laid.where(col("zval").between(lit(b.get(0)), lit(b.get(1))))
+    octant
       .agg(count(lit(1)).as("n_rows"),
         min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
         min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"),

@@ -267,6 +267,33 @@ class SchemaDriftSpec extends SparkTestBase {
       "stale relation (old part-file index) served for a rewritten directory")
   }
 
+  test("directory tables re-infer schema after an in-place part-file rewrite") {
+    // r14 (ADVICE r13 #2): the r13 directory fix bypassed the RELATION
+    // memo but still resolved the schema through a cache keyed on the
+    // DIRECTORY's (mtime, length, trailerToken=0) — a part-file rewrite
+    // that changes the schema without moving the directory's metadata
+    // would serve a STALE schema into spark.read.schema(...), silently
+    // misreading the new files. The listing digest (entry names + mtimes
+    // + lengths) now re-keys the schema cache. The pin forces the worst
+    // case: overwrite with a different schema, then restore the
+    // directory's original mtime so (path, mtime, length) collides.
+    val dir = fixtureDir()
+    val tablePath = dir.resolve("events.parquet")
+    baseEvents.repartition(2).write.parquet(tablePath.toString)
+    val dirFile = tablePath.toFile
+    val m0 = dirFile.lastModified()
+    val before = Tables.table(spark, dir.toString, "events")
+    assert(!before.columns.contains("extra_col"))
+    baseEvents.withColumn("extra_col", lit(7)).repartition(2)
+      .write.mode("overwrite").parquet(tablePath.toString)
+    assert(dirFile.setLastModified(m0), "could not force the mtime collision")
+    val after = Tables.table(spark, dir.toString, "events")
+    assert(after.columns.contains("extra_col"),
+      "stale cached schema served for a schema-rewritten directory — the " +
+        "listing digest failed to re-key the schema cache")
+    assert(after.count() === 240L)
+  }
+
   test("two sessions with different nanosAsLong configs share the cache safely") {
     // r08 (VERDICT r07 #5): the schema cache is JVM-global but the loader
     // pins nanosAsLong=true on the session right before EVERY read, so a

@@ -117,6 +117,25 @@ class SinkRoundtripSpec extends SparkTestBase {
       s"z-range probe did not narrow the part-key span ($octant vs $full)")
   }
 
+  test("q122 read-back is safe on an empty laid frame (r14, VERDICT r13 #5)") {
+    // The bounds collect is the house bounded-scalar pattern (1-row
+    // aggregate -> literals in PushedFilters); on an EMPTY frame lo/hi are
+    // null and an unguarded b.get(0) would ship null literals into the
+    // scan filter. The guard must return the empty aggregate — count 0,
+    // null extrema — without throwing, so the library shape is safe for
+    // arbitrary callers of the layout recipe, not just the q122 write.
+    import org.apache.spark.sql.functions._
+    val empty = spark.range(0)
+      .select(col("id").as("l_orderkey"), col("id").as("l_linenumber"),
+        col("id").as("l_partkey"), col("id").as("l_suppkey"),
+        col("id").cast("double").as("l_quantity"), col("id").as("zval"))
+    val out = graft.engine.ops.WarehouseOps.zorderReadBack(empty).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 0L, "n_rows must be 0 on empty input")
+    assert(out(0).isNullAt(1) && out(0).isNullAt(5),
+      "extrema/sum must be null on empty input")
+  }
+
   test("q146 partitioned layout writes Hive-style dirs; a filter reads one") {
     import org.apache.spark.sql.functions._
     val out = graft.engine.ops.WarehouseOps.partitionedWrite(spark, sfDir)

@@ -28,5 +28,13 @@ object SparkTestBase {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // r14 (ADVICE r13 #1): PlanSuite pins assert on node metadata in
+    // formatted explain output, which Spark truncates per line at this
+    // length (default 100). The q122 pin's PushedFilters line — two
+    // 12-13 digit zval literals — sat only a few chars under the default,
+    // so a testdata regeneration with longer bounds would truncate the
+    // line and fail the pin spuriously. Plan-shape pins must never depend
+    // on display truncation.
+    .config("spark.sql.maxMetadataStringLength", "4096")
     .getOrCreate()
 }

@@ -179,4 +179,71 @@ class BenchWindowSpec extends AnyFunSuite {
     assert(!Bench.degraded(Bench.canarySuspectLine,
       Bench.canarySuspectLine, Bench.canarySuspectLine))
   }
+  test("all-failed canary triple is 'cannot classify', not clean (r14)") {
+    // ADVICE r13 #3: degraded() correctly refuses to mark a broken-canary
+    // pass degraded, but the JSON must emit window_degraded:null there —
+    // canariesFailed is the predicate that drives that distinct state.
+    assert(Bench.canariesFailed(-1.0, -1.0, -1.0))
+    assert(!Bench.canariesFailed(-1.0, 0.33, -1.0))
+    assert(!Bench.canariesFailed(0.33, 0.35, 0.37))
+  }
+}
+
+/** Pre-flight wait policy (r14, VERDICT r13 #1): pure pins on
+  * Bench.preflightWait with injected probe + sleep — no host, no clock.
+  * The policy changes WHEN a gate capture starts, never WHAT it measures,
+  * and every probe it takes must appear in the record. */
+class BenchPreflightSpec extends AnyFunSuite {
+  private def scripted(values: Double*): (() => Double, () => Int) = {
+    val it = values.iterator
+    var calls = 0
+    (() => { calls += 1; it.next() }, () => calls)
+  }
+
+  test("clean first probe starts immediately: one probe, zero wait") {
+    val (probe, calls) = scripted(0.33)
+    val pf = Bench.preflightWait(probe, _ => fail("must not sleep"))
+    assert(pf === Bench.Preflight(List(0.33), 0.0, startedDegraded = false))
+    assert(calls() === 1)
+  }
+
+  test("degraded probes wait step-by-step and start at the first clean dip") {
+    val slept = scala.collection.mutable.ListBuffer[Double]()
+    val (probe, _) = scripted(0.52, 0.47, 0.61, 0.34)
+    val pf = Bench.preflightWait(probe, slept += _, stepSec = 30.0, maxWaitSec = 600.0)
+    assert(pf.probes === List(0.52, 0.47, 0.61, 0.34))
+    assert(pf.waitedSec === 90.0)
+    assert(slept.toList === List(30.0, 30.0, 30.0))
+    assert(!pf.startedDegraded)
+  }
+
+  test("wait budget exhausted: starts anyway, flagged started_degraded") {
+    val (probe, calls) = scripted(Seq.fill(30)(0.55): _*)
+    val pf = Bench.preflightWait(probe, _ => (), stepSec = 30.0, maxWaitSec = 600.0)
+    // 600/30 = 20 sleeps max -> 21 probes, never more
+    assert(calls() === 21)
+    assert(pf.probes.size === 21)
+    assert(pf.waitedSec === 600.0)
+    assert(pf.startedDegraded)
+  }
+
+  test("a failed probe (-1) stops the wait: no evidence, start immediately") {
+    val (probe, calls) = scripted(0.55, -1.0, 0.99)
+    val pf = Bench.preflightWait(probe, _ => ())
+    assert(calls() === 2, "must not keep probing after a canary failure")
+    assert(pf.probes === List(0.55, -1.0))
+    assert(!pf.startedDegraded,
+      "a failed probe must not claim degraded-start evidence it doesn't have")
+  }
+
+  test("probe exactly at the suspect line is clean (consistent with degraded())") {
+    val (probe, _) = scripted(Bench.canarySuspectLine)
+    val pf = Bench.preflightWait(probe, _ => fail("must not sleep"))
+    assert(!pf.startedDegraded && pf.waitedSec === 0.0)
+  }
+
+  test("preflight JSON carries probes, wait, and start classification") {
+    val j = Bench.Preflight(List(0.52, 0.34), 30.0, startedDegraded = false).json
+    assert(j === """{"probes":[0.52,0.34],"waited_sec":30.0,"started_degraded":false}""")
+  }
 }
