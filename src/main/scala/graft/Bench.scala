@@ -272,9 +272,10 @@ object Bench {
     // Auto re-capture (r13, VERDICT r12 #4): the gate decision has been a
     // single sample on a documented-bimodal host — r12 failed at 90.3 s in
     // a mild-degraded window while the same binary's clean captures read
-    // 75.8 s. When the total fails the hard gate AND this pass's canary
-    // triple marks the window degraded, run ONE more full pass and ship
-    // BOTH totals in the SAME artifact. Nothing is replaced and
+    // 75.8 s. When the total fails the hard gate, run ONE more full pass
+    // (r14-late: regardless of window classification — see the trigger
+    // note below) and ship BOTH totals in the SAME artifact. Nothing is
+    // replaced and
     // budget_exceeded stays keyed to the FIRST capture — this is evidence
     // for the adjudicator, not gate gaming; a reader sees 90.3-in-a-bad-
     // window next to what an adjacent window reads instead of having to
@@ -302,8 +303,18 @@ object Bench {
     // provide. Same bounded wait, same transparency fields; still capped
     // at ONE recapture and budget_exceeded stays keyed to the FIRST
     // capture (the r13 honesty contract).
+    // r14 (late): the trigger widened from `exceeded && windowDegraded`
+    // to ANY hard-gate failure. The r14 campaign banked the motivating
+    // sample: a 90.48 s capture with all-clean canaries, empty
+    // over_budget (diffuse host load inflates every query +0.1–0.3 s
+    // without crossing the 3.5 s per-query line), no retimes — a gate
+    // failure carrying ZERO in-artifact adjudication evidence. A
+    // recapture self-adjudicates both ways: a structural regression
+    // REPRODUCES its slow total (evidence for the failure); diffuse host
+    // load reads the adjacent window (evidence it was the host). Nothing
+    // is replaced either way.
     val recapture: Option[(Preflight, Pass)] =
-      if (exceeded && windowDegraded) {
+      if (exceeded) {
         graft.engine.CacheReaper.release()
         graft.engine.Tables.clearSchemaCache()
         val pf = preflightProbe()

@@ -159,9 +159,11 @@ class SurveySyncSpec extends AnyFunSuite {
 }
 
 /** Bench host-window classification (r13, VERDICT r12 #4): the
-  * window_degraded field drives the gate-failure auto-recapture, so its
-  * semantics are pinned — ANY shuffle canary past the suspect line marks
-  * the pass degraded; a failed canary (-1) never does. */
+  * window_degraded field classifies every capture in the artifact (and
+  * until r14-late gated the auto-recapture, which now fires on ANY
+  * hard-gate failure), so its semantics are pinned — ANY shuffle canary
+  * past the suspect line marks the pass degraded; a failed canary (-1)
+  * never does. */
 class BenchWindowSpec extends AnyFunSuite {
   test("clean triple is not degraded") {
     assert(!Bench.degraded(0.33, 0.35, 0.37))
