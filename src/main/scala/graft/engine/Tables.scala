@@ -281,20 +281,36 @@ object Tables {
     * schema into `spark.read.schema(...)` after a schema-changing
     * rewrite — silently misreading the new files (the relation memo
     * already refuses directories; this closes the same hole one level
-    * down, in the schema cache). CRC32 over the sorted listing — entry
-    * name, mtime, length — re-keys the cache on any part-file rewrite
-    * (a file's OWN mtime always moves on write) or set change. Bounded:
-    * one readdir + the metadata the listing already carries; no file
-    * contents are read. Errors degrade to 0 (the plain mtime+size story),
+    * down, in the schema cache). CRC32 over the RECURSIVE sorted listing
+    * (r15, ADVICE r14 #1): entry name, mtime, length, and — for regular
+    * files — the entry's [[trailerToken]]. The r14 version hashed only
+    * the top-level (name, mtime, length) triple, which left two residual
+    * blind spots: an in-place part-file rewrite that preserves name and
+    * length within the filesystem's mtime granularity (mtime granularity
+    * can be a full second on some filesystems, so "a write moves the
+    * mtime" does NOT always hold inside one tick), and a rewrite nested
+    * inside a subdirectory whose top-level entry metadata never moves.
+    * The recursive walk (depth-capped at 8 against symlink cycles)
+    * closes the nesting hole; the per-file trailer CRC closes the
+    * same-tick/same-length hole exactly the way trailerToken closed it
+    * for single files — any schema change rewrites the footer bytes.
+    * Cost: one readdir per directory level + one bounded tail pread per
+    * regular file (page-cached on repeats) — directories already take
+    * the uncached relation path, and engine-written outputs are
+    * small-part-count. Errors degrade to 0 (the plain mtime+size story),
     * never fail the read. */
-  private def listingToken(f: java.io.File): Long = try {
+  private[graft] def listingToken(f: java.io.File): Long = try {
     val crc = new java.util.zip.CRC32()
-    Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-      .sortBy(_.getName).foreach { e =>
-        crc.update(e.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        crc.update(java.nio.ByteBuffer.allocate(16)
-          .putLong(e.lastModified()).putLong(e.length()).array())
-      }
+    def walk(dir: java.io.File, depth: Int): Unit =
+      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .sortBy(_.getName).foreach { e =>
+          crc.update(e.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          crc.update(java.nio.ByteBuffer.allocate(24)
+            .putLong(e.lastModified()).putLong(e.length())
+            .putLong(if (e.isFile) trailerToken(e) else 0L).array())
+          if (e.isDirectory && depth < 8) walk(e, depth + 1)
+        }
+    walk(f, 0)
     crc.getValue
   } catch { case _: Throwable => 0L }
 

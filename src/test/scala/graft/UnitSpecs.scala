@@ -181,13 +181,69 @@ class BenchWindowSpec extends AnyFunSuite {
     assert(!Bench.degraded(Bench.canarySuspectLine,
       Bench.canarySuspectLine, Bench.canarySuspectLine))
   }
-  test("all-failed canary triple is 'cannot classify', not clean (r14)") {
-    // ADVICE r13 #3: degraded() correctly refuses to mark a broken-canary
-    // pass degraded, but the JSON must emit window_degraded:null there —
-    // canariesFailed is the predicate that drives that distinct state.
-    assert(Bench.canariesFailed(-1.0, -1.0, -1.0))
-    assert(!Bench.canariesFailed(-1.0, 0.33, -1.0))
-    assert(!Bench.canariesFailed(0.33, 0.35, 0.37))
+  test("window_degraded JSON is tri-state (r15, ADVICE r14 #2)") {
+    // "false" requires ALL THREE canaries to have run clean; ANY failed
+    // canary with no degraded survivor is "null" (cannot fully classify —
+    // the r14 predicate emitted null only when all three failed, so a
+    // two-failed/one-clean pass still read as verified clean); a degraded
+    // SURVIVOR is positive evidence and reads "true" regardless of other
+    // failures.
+    assert(Bench.windowDegradedJson(0.33, 0.35, 0.37) === "false")
+    assert(Bench.windowDegradedJson(-1.0, -1.0, -1.0) === "null")
+    assert(Bench.windowDegradedJson(-1.0, 0.33, -1.0) === "null",
+      "a mostly-failed canary triple must not read as verified clean")
+    assert(Bench.windowDegradedJson(-1.0, 0.33, 0.35) === "null")
+    assert(Bench.windowDegradedJson(-1.0, 0.52, -1.0) === "true",
+      "a degraded survivor is positive evidence even among failures")
+    assert(Bench.windowDegradedJson(0.33, 0.52, 0.35) === "true")
+  }
+}
+
+/** Start-restart policy (r15, VERDICT r14 #3): the preflight probe is a
+  * point sample, and ROUND14 banked the race (probe clean, pre-canary
+  * degraded seconds later). restartNeeded fires ONLY when a verified-clean
+  * preflight is contradicted by a degraded shuffle pre-canary. */
+class BenchRestartSpec extends AnyFunSuite {
+  test("verified-clean preflight + degraded pre-canary restarts") {
+    assert(Bench.restartNeeded(Some(false), 0.486))
+  }
+  test("clean pre-canary never restarts") {
+    assert(!Bench.restartNeeded(Some(false), 0.34))
+    assert(!Bench.restartNeeded(Some(false), Bench.canarySuspectLine))
+  }
+  test("degraded-start preflight never restarts (budget-exhausted start is policy)") {
+    assert(!Bench.restartNeeded(Some(true), 0.95))
+  }
+  test("unknown preflight classification never restarts (no evidence to contradict)") {
+    assert(!Bench.restartNeeded(None, 0.95))
+  }
+  test("a FAILED pre-canary (-1) is not degraded evidence") {
+    assert(!Bench.restartNeeded(Some(false), -1.0))
+  }
+}
+
+/** Truncation-proof headline (r15, VERDICT r14 #1): the summary line
+  * prints AFTER the JSON so the driver's tail-kept artifact always carries
+  * total / budget_exceeded / window class / preflight wait even when the
+  * one-line JSON head-truncates to `parsed: null`. */
+class BenchSummarySpec extends AnyFunSuite {
+  test("summary line carries the verdict-critical numbers") {
+    val s = Bench.summaryLine(84.57, budgetExceeded = false, "false",
+      30.0, restarted = false, None)
+    assert(s === "BENCH SUMMARY: total=84.57s budget_exceeded=false " +
+      "window_degraded=false preflight_waited=30s restarted=false")
+  }
+  test("gate failure with recapture appends the recapture total") {
+    val s = Bench.summaryLine(93.95, budgetExceeded = true, "true",
+      0.0, restarted = true, Some(72.56))
+    assert(s === "BENCH SUMMARY: total=93.95s budget_exceeded=true " +
+      "window_degraded=true preflight_waited=0s restarted=true " +
+      "recapture_total=72.56s")
+  }
+  test("null window classification survives into the summary") {
+    val s = Bench.summaryLine(80.0, budgetExceeded = false, "null",
+      0.0, restarted = false, None)
+    assert(s.contains("window_degraded=null"))
   }
 }
 
@@ -205,7 +261,7 @@ class BenchPreflightSpec extends AnyFunSuite {
   test("clean first probe starts immediately: one probe, zero wait") {
     val (probe, calls) = scripted(0.33)
     val pf = Bench.preflightWait(probe, _ => fail("must not sleep"))
-    assert(pf === Bench.Preflight(List(0.33), 0.0, startedDegraded = false))
+    assert(pf === Bench.Preflight(List(0.33), 0.0, startedDegraded = Some(false)))
     assert(calls() === 1)
   }
 
@@ -216,7 +272,7 @@ class BenchPreflightSpec extends AnyFunSuite {
     assert(pf.probes === List(0.52, 0.47, 0.61, 0.34))
     assert(pf.waitedSec === 90.0)
     assert(slept.toList === List(30.0, 30.0, 30.0))
-    assert(!pf.startedDegraded)
+    assert(pf.startedDegraded === Some(false))
   }
 
   test("wait budget exhausted: starts anyway, flagged started_degraded") {
@@ -226,26 +282,111 @@ class BenchPreflightSpec extends AnyFunSuite {
     assert(calls() === 21)
     assert(pf.probes.size === 21)
     assert(pf.waitedSec === 600.0)
-    assert(pf.startedDegraded)
+    assert(pf.startedDegraded === Some(true))
   }
 
-  test("a failed probe (-1) stops the wait: no evidence, start immediately") {
+  test("a failed probe (-1) stops the wait: classification unknown, not clean") {
+    // r15 (ADVICE r14 #3): the earlier probe read DEGRADED, then the probe
+    // failed — recording started_degraded=false there misreported an
+    // unknown state as 'not degraded'. Tri-state: the field is None
+    // (JSON null) whenever the last probe carried no evidence.
     val (probe, calls) = scripted(0.55, -1.0, 0.99)
     val pf = Bench.preflightWait(probe, _ => ())
     assert(calls() === 2, "must not keep probing after a canary failure")
     assert(pf.probes === List(0.55, -1.0))
-    assert(!pf.startedDegraded,
-      "a failed probe must not claim degraded-start evidence it doesn't have")
+    assert(pf.startedDegraded === None,
+      "a failed probe must classify the start as UNKNOWN, neither clean nor degraded")
   }
 
   test("probe exactly at the suspect line is clean (consistent with degraded())") {
     val (probe, _) = scripted(Bench.canarySuspectLine)
     val pf = Bench.preflightWait(probe, _ => fail("must not sleep"))
-    assert(!pf.startedDegraded && pf.waitedSec === 0.0)
+    assert(pf.startedDegraded === Some(false) && pf.waitedSec === 0.0)
   }
 
   test("preflight JSON carries probes, wait, and start classification") {
-    val j = Bench.Preflight(List(0.52, 0.34), 30.0, startedDegraded = false).json
+    val j = Bench.Preflight(List(0.52, 0.34), 30.0, startedDegraded = Some(false)).json
     assert(j === """{"probes":[0.52,0.34],"waited_sec":30.0,"started_degraded":false}""")
+    val n = Bench.Preflight(List(0.55, -1.0), 30.0, startedDegraded = None).json
+    assert(n === """{"probes":[0.55,-1.0],"waited_sec":30.0,"started_degraded":null}""")
+  }
+}
+
+/** Listing-token pins (r15, ADVICE r14 #1): the directory schema-cache
+  * key's content token must re-key on the two rewrites the r14 top-level
+  * (name, mtime, length) triple could not see — an in-place part-file
+  * rewrite preserving name+length inside the filesystem's mtime tick, and
+  * a rewrite nested in a subdirectory. Pure JVM: the fixtures are crafted
+  * parquet-shaped trailers ([footer][len LE32]["PAR1"]) so the per-file
+  * trailer CRC is exercised without Spark. */
+class ListingTokenSpec extends AnyFunSuite {
+  import java.nio.file.{Files, Path}
+
+  /** A parquet-shaped file whose trailer parses: footer bytes, LE32
+    * footer length, magic. Same total length for same-sized footers. */
+  private def writeFakeParquet(p: Path, footer: Array[Byte]): Unit = {
+    val len = footer.length
+    val trailer = Array[Byte]((len & 0xff).toByte, ((len >> 8) & 0xff).toByte,
+      ((len >> 16) & 0xff).toByte, ((len >> 24) & 0xff).toByte) ++
+      "PAR1".getBytes("US-ASCII")
+    Files.write(p, "data".getBytes("US-ASCII") ++ footer ++ trailer)
+  }
+
+  private def tmpDir(): Path = {
+    val d = Files.createTempDirectory("listing-token-spec")
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  test("token is deterministic for an unchanged listing") {
+    val d = tmpDir()
+    writeFakeParquet(d.resolve("part-0.parquet"), Array.fill[Byte](16)(7))
+    assert(graft.engine.Tables.listingToken(d.toFile) ===
+      graft.engine.Tables.listingToken(d.toFile))
+  }
+
+  test("same-name same-length same-tick in-place rewrite re-keys") {
+    val d = tmpDir()
+    val f = d.resolve("part-0.parquet")
+    writeFakeParquet(f, Array.fill[Byte](16)(7))
+    val m0 = f.toFile.lastModified()
+    val t0 = graft.engine.Tables.listingToken(d.toFile)
+    // Rewrite with a DIFFERENT footer of the SAME length, then restore the
+    // file's mtime — the worst case: (name, mtime, length) all collide and
+    // only the trailer CRC can tell the files apart.
+    writeFakeParquet(f, Array.fill[Byte](16)(9))
+    assert(f.toFile.setLastModified(m0), "could not force the mtime collision")
+    assert(graft.engine.Tables.listingToken(d.toFile) !== t0,
+      "an in-place same-length same-tick rewrite left the listing token unchanged")
+  }
+
+  test("a rewrite nested inside a subdirectory re-keys") {
+    val d = tmpDir()
+    val sub = Files.createDirectory(d.resolve("nested"))
+    val f = sub.resolve("part-0.parquet")
+    writeFakeParquet(f, Array.fill[Byte](16)(7))
+    val mf = f.toFile.lastModified()
+    val ms = sub.toFile.lastModified()
+    val md = d.toFile.lastModified()
+    val t0 = graft.engine.Tables.listingToken(d.toFile)
+    writeFakeParquet(f, Array.fill[Byte](16)(9))
+    // Restore every mtime on the path so ONLY the nested content differs.
+    assert(f.toFile.setLastModified(mf))
+    assert(sub.toFile.setLastModified(ms))
+    assert(d.toFile.setLastModified(md))
+    assert(graft.engine.Tables.listingToken(d.toFile) !== t0,
+      "a nested part-file rewrite left the top-level listing token unchanged")
+  }
+
+  test("adding or removing an entry re-keys") {
+    val d = tmpDir()
+    writeFakeParquet(d.resolve("part-0.parquet"), Array.fill[Byte](16)(7))
+    val t0 = graft.engine.Tables.listingToken(d.toFile)
+    writeFakeParquet(d.resolve("part-1.parquet"), Array.fill[Byte](16)(7))
+    val t1 = graft.engine.Tables.listingToken(d.toFile)
+    assert(t1 !== t0)
+    Files.delete(d.resolve("part-1.parquet"))
+    assert(graft.engine.Tables.listingToken(d.toFile) === t0,
+      "token must be a pure function of the recursive listing content")
   }
 }
