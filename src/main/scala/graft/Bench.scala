@@ -118,15 +118,41 @@ object Bench {
     * pinned by UnitSpecs. */
   def summaryLine(total: Double, budgetExceeded: Boolean, windowJson: String,
       preflightWaitedSec: Double, restarted: Boolean,
-      recaptureTotal: Option[Double]): String =
+      recaptureTotal: Option[Double], cpusDivergent: Boolean = false): String =
     f"BENCH SUMMARY: total=$total%.2fs budget_exceeded=$budgetExceeded " +
       f"window_degraded=$windowJson preflight_waited=$preflightWaitedSec%.0fs " +
       s"restarted=$restarted" +
-      recaptureTotal.map(t => f" recapture_total=$t%.2fs").getOrElse("")
+      recaptureTotal.map(t => f" recapture_total=$t%.2fs").getOrElse("") +
+      // Divergence is exceptional — print it only when it fires, so the
+      // common clean line stays byte-identical to the r15 format.
+      (if (cpusDivergent) " cpus_divergent=true" else "")
+
+  /** The committed record execution mode: local[32] / 32 shuffle
+    * partitions — every era baseline, gate number, and the driver's
+    * official per-round capture run at 32 (r16, ADVICE r15 #1: the r15
+    * campaign inherited the old default of 4 and silently banked 25
+    * local[4] captures against a local[32] era — q90's "doubling" and
+    * part of the q124 drift were exactly that mode gap, confirmed by a
+    * same-binary A/B: q90 steady 0.79 s at 32 vs 1.35 s at 4). */
+  val recordCpus = 32
+
+  /** cpus-divergence gate, the cpu analogue of heap_divergent: any mode
+    * other than the record config makes the capture incomparable to the
+    * era baselines (a local[4]-vs-local[32] run is up to a 2× total
+    * difference that canaries cannot flag), so it must be flagged
+    * IN-ARTIFACT, not discovered by post-hoc forensics. Unparseable →
+    * divergent: an unknown mode is not the record mode. */
+  def cpusDivergent(cpus: String): Boolean =
+    cpus.trim.toIntOption match {
+      case Some(n) => n != recordCpus
+      case None => true
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default = the record config (r16): an unset env now yields a
+    // gate-comparable capture instead of a silently divergent local[4] one.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", recordCpus.toString)
     // tmpfs scratch for checkpoints/sinks/shuffle when available — the
     // local-mode analogue of a cluster's fast local disks (see FastScratch)
     val scratch = graft.engine.FastScratch.init()
@@ -513,7 +539,13 @@ object Bench {
       System.err.println(f"BENCH HEAP DIVERGENCE: requested -Xmx $xmxReqGb%.1f GiB " +
         "vs the measured-optimal 16g clamp — timings are not comparable to " +
         "the committed record config; see build.sbt clampHeap and SCALING.md")
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"heap_gb":$heapGb,"heap_req_gb":$xmxReqGb,"heap_divergent":$heapDivergent,"queries":$qs,"failed":$failed,"warmup_failed":$warmFailedJson,"over_budget":$overBudget,"canary_retime_sec":$canaryRetime,"retimed":$retimed,"retimed_cold":$retimedCold,"soft_budget_sec":$softTotal,"budget_exceeded":$exceeded,"canary_pre_sec":$canaryPre,"canary_shuffle_pre_sec":$canaryShufflePre,"canary_mid_sec":$canaryMid,"canary_shuffle_mid_sec":$canaryShuffleMid,"canary_sec":$canary,"canary_shuffle_sec":$canaryShuffle,"window_degraded":${pass.windowDegradedJson},"canary_suspect_line_sec":${Bench.canarySuspectLine},"preflight":${preflight.json},"restart":${firstCapture.restartJson},"recapture":$recaptureJson,"sf":"$sfDir"}"""
+    val cpuDivergent = Bench.cpusDivergent(cpus)
+    if (cpuDivergent)
+      System.err.println(s"BENCH CPUS DIVERGENCE: running local[$cpus] vs the " +
+        s"record config local[${Bench.recordCpus}] — timings are not comparable " +
+        "to the era baselines (ADVICE r15 #1); unset SPARK_GRAFT_CPUS or set " +
+        s"it to ${Bench.recordCpus} for a gate-grade capture")
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"cpus_divergent":$cpuDivergent,"heap_gb":$heapGb,"heap_req_gb":$xmxReqGb,"heap_divergent":$heapDivergent,"queries":$qs,"failed":$failed,"warmup_failed":$warmFailedJson,"over_budget":$overBudget,"canary_retime_sec":$canaryRetime,"retimed":$retimed,"retimed_cold":$retimedCold,"soft_budget_sec":$softTotal,"budget_exceeded":$exceeded,"canary_pre_sec":$canaryPre,"canary_shuffle_pre_sec":$canaryShufflePre,"canary_mid_sec":$canaryMid,"canary_shuffle_mid_sec":$canaryShuffleMid,"canary_sec":$canary,"canary_shuffle_sec":$canaryShuffle,"window_degraded":${pass.windowDegradedJson},"canary_suspect_line_sec":${Bench.canarySuspectLine},"preflight":${preflight.json},"restart":${firstCapture.restartJson},"recapture":$recaptureJson,"sf":"$sfDir"}"""
     println(jsonLine)
     // Truncation-proof headline (r15, VERDICT r14 #1): printed AFTER the
     // JSON so the driver's tail-kept artifact always carries the
@@ -522,7 +554,7 @@ object Bench {
     // artifact). Mirrored to stderr for log forensics.
     val summary = Bench.summaryLine(total, exceeded, pass.windowDegradedJson,
       preflight.waitedSec, firstCapture.restart.isDefined,
-      recapture.map(_.pass.total))
+      recapture.map(_.pass.total), cpuDivergent)
     println(summary)
     System.err.println(summary)
     // Full per-query artifact (r05, VERDICT r04 #4): the driver's

@@ -245,6 +245,36 @@ class BenchSummarySpec extends AnyFunSuite {
       0.0, restarted = false, None)
     assert(s.contains("window_degraded=null"))
   }
+  test("cpus divergence is flagged in the summary, and only when it fires") {
+    val clean = Bench.summaryLine(80.0, budgetExceeded = false, "false",
+      0.0, restarted = false, None)
+    assert(!clean.contains("cpus_divergent"),
+      "the common clean line must stay byte-identical to the r15 format")
+    val div = Bench.summaryLine(80.0, budgetExceeded = false, "false",
+      0.0, restarted = false, None, cpusDivergent = true)
+    assert(div.endsWith(" cpus_divergent=true"))
+  }
+}
+
+/** cpus-divergence gate pins (r16, ADVICE r15 #1): the r15 campaign ran
+  * 25 captures at local[4] against a local[32] era baseline with nothing
+  * in the artifact flagging the mode gap — the predicate below is the
+  * cpu analogue of heap_divergent, so mixed-mode captures self-disclose. */
+class BenchCpusSpec extends AnyFunSuite {
+  test("the record config is non-divergent") {
+    assert(Bench.recordCpus === 32)
+    assert(!Bench.cpusDivergent("32"))
+    assert(!Bench.cpusDivergent(" 32 "))
+  }
+  test("any non-record mode is divergent, including the old default of 4") {
+    assert(Bench.cpusDivergent("4"))
+    assert(Bench.cpusDivergent("16"))
+    assert(Bench.cpusDivergent("64"))
+  }
+  test("an unparseable mode is divergent, not silently clean") {
+    assert(Bench.cpusDivergent(""))
+    assert(Bench.cpusDivergent("all"))
+  }
 }
 
 /** Pre-flight wait policy (r14, VERDICT r13 #1): pure pins on
@@ -388,5 +418,79 @@ class ListingTokenSpec extends AnyFunSuite {
     Files.delete(d.resolve("part-1.parquet"))
     assert(graft.engine.Tables.listingToken(d.toFile) === t0,
       "token must be a pure function of the recursive listing content")
+  }
+
+  // --- r16 bounded-walk pins (VERDICT r15 #1) ------------------------------
+
+  test("footer I/O is bounded by the sample cap regardless of file count") {
+    val d = tmpDir()
+    (0 until 100).foreach { i =>
+      writeFakeParquet(d.resolve(f"part-$i%05d.parquet"), Array.fill[Byte](16)(7))
+    }
+    val before = graft.engine.Tables.trailerReadsTotal.get()
+    graft.engine.Tables.listingToken(d.toFile)
+    val reads = graft.engine.Tables.trailerReadsTotal.get() - before
+    assert(reads <= graft.engine.Tables.listingTrailerSampleCap + 1,
+      s"a 100-file listing cost $reads footer reads — the walk is unbounded again")
+    assert(reads > 0, "the sample must still read SOME footers")
+  }
+
+  test("settled footers are memoized: a repeat walk is metadata-only") {
+    val d = tmpDir()
+    val past = System.currentTimeMillis() - 10 * 1000
+    (0 until 20).foreach { i =>
+      val p = d.resolve(f"part-$i%05d.parquet")
+      writeFakeParquet(p, Array.fill[Byte](16)(7))
+      assert(p.toFile.setLastModified(past), "could not age the fixture file")
+    }
+    val t0 = graft.engine.Tables.listingToken(d.toFile)
+    val before = graft.engine.Tables.trailerReadsTotal.get()
+    assert(graft.engine.Tables.listingToken(d.toFile) === t0)
+    assert(graft.engine.Tables.trailerReadsTotal.get() === before,
+      "a repeat walk over settled files must serve every sampled footer from the memo")
+  }
+
+  test("unsettled files are never memoized: the same-tick rewrite pin holds for them") {
+    val d = tmpDir()
+    val f = d.resolve("part-0.parquet")
+    writeFakeParquet(f, Array.fill[Byte](16)(7))
+    val m0 = f.toFile.lastModified()
+    // First walk reads the (fresh, unsettled) footer — must NOT memoize it.
+    val t0 = graft.engine.Tables.listingToken(d.toFile)
+    writeFakeParquet(f, Array.fill[Byte](16)(9))
+    assert(f.toFile.setLastModified(m0), "could not force the mtime collision")
+    assert(graft.engine.Tables.listingToken(d.toFile) !== t0,
+      "the memo served a stale footer CRC for an unsettled (racy-rewritable) file")
+  }
+
+  test("a same-tick rewrite of a SAMPLED file in an over-cap listing re-keys") {
+    val d = tmpDir()
+    (0 until 100).foreach { i =>
+      writeFakeParquet(d.resolve(f"part-$i%05d.parquet"), Array.fill[Byte](16)(7))
+    }
+    // part-00000 is walk-first, so it is always in the deterministic sample.
+    val f = d.resolve("part-00000.parquet")
+    val m0 = f.toFile.lastModified()
+    val t0 = graft.engine.Tables.listingToken(d.toFile)
+    writeFakeParquet(f, Array.fill[Byte](16)(9))
+    assert(f.toFile.setLastModified(m0), "could not force the mtime collision")
+    assert(graft.engine.Tables.listingToken(d.toFile) !== t0,
+      "a same-tick rewrite of a sampled file left the bounded listing token unchanged")
+  }
+
+  test("a metadata-visible rewrite of a NON-sampled file re-keys") {
+    val d = tmpDir()
+    (0 until 100).foreach { i =>
+      writeFakeParquet(d.resolve(f"part-$i%05d.parquet"), Array.fill[Byte](16)(7))
+    }
+    val t0 = graft.engine.Tables.listingToken(d.toFile)
+    // part-00001 is never sampled at stride ≥ 7 (100 files / cap 16): only
+    // its (name, mtime, length) triple protects it — move the mtime.
+    val f = d.resolve("part-00001.parquet")
+    writeFakeParquet(f, Array.fill[Byte](16)(9))
+    assert(f.toFile.setLastModified(System.currentTimeMillis() + 5000),
+      "could not move the fixture mtime")
+    assert(graft.engine.Tables.listingToken(d.toFile) !== t0,
+      "a non-sampled file's metadata change left the listing token unchanged")
   }
 }
