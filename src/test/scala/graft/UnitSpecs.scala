@@ -340,6 +340,86 @@ class BenchPreflightSpec extends AnyFunSuite {
     val n = Bench.Preflight(List(0.55, -1.0), 30.0, startedDegraded = None).json
     assert(n === """{"probes":[0.55,-1.0],"waited_sec":30.0,"started_degraded":null}""")
   }
+
+  // r16 confirm-probe mode (confirmGapSec > 0): a clean probe is a POINT
+  // sample inside a possible episode train — it must be confirmed by a
+  // second clean probe one gap later before the capture starts. Every
+  // legacy pin above runs with the default gap of 0 and stays unchanged.
+  test("confirm mode: a clean probe starts only after a clean confirm probe") {
+    val slept = scala.collection.mutable.ListBuffer[Double]()
+    val (probe, calls) = scripted(0.33, 0.35)
+    val pf = Bench.preflightWait(probe, slept += _, confirmGapSec = 15.0)
+    assert(pf === Bench.Preflight(List(0.33, 0.35), 15.0, startedDegraded = Some(false)))
+    assert(calls() === 2 && slept.toList === List(15.0))
+  }
+  test("confirm mode: a degraded confirm probe re-enters the wait loop") {
+    // clean 0.33 → confirm reads 0.52 (the episode train caught) → wait →
+    // clean 0.30 → confirm 0.31 clean → start. The single-probe green that
+    // started the r15 official capture can no longer start one.
+    val slept = scala.collection.mutable.ListBuffer[Double]()
+    val (probe, _) = scripted(0.33, 0.52, 0.30, 0.31)
+    val pf = Bench.preflightWait(probe, slept += _,
+      stepSec = 30.0, maxWaitSec = 600.0, confirmGapSec = 15.0)
+    assert(pf.probes === List(0.33, 0.52, 0.30, 0.31))
+    assert(slept.toList === List(15.0, 30.0, 15.0) && pf.waitedSec === 60.0)
+    assert(pf.startedDegraded === Some(false))
+  }
+  test("confirm mode: no budget left to confirm starts on the single clean probe") {
+    val (probe, calls) = scripted(0.33)
+    val pf = Bench.preflightWait(probe, _ => fail("must not sleep"),
+      stepSec = 30.0, maxWaitSec = 10.0, confirmGapSec = 15.0)
+    assert(calls() === 1 && pf.waitedSec === 0.0)
+    assert(pf.startedDegraded === Some(false))
+  }
+  test("confirm mode: a failed confirm probe classifies the start as unknown") {
+    val (probe, calls) = scripted(0.33, -1.0)
+    val pf = Bench.preflightWait(probe, _ => (), confirmGapSec = 15.0)
+    assert(calls() === 2 && pf.probes === List(0.33, -1.0))
+    assert(pf.startedDegraded === None)
+  }
+  test("confirm mode: budget exhaustion while degraded still starts flagged degraded") {
+    val (probe, calls) = scripted(Seq.fill(30)(0.55): _*)
+    val pf = Bench.preflightWait(probe, _ => (),
+      stepSec = 30.0, maxWaitSec = 600.0, confirmGapSec = 15.0)
+    assert(calls() === 21 && pf.waitedSec === 600.0)
+    assert(pf.startedDegraded === Some(true))
+  }
+}
+
+/** Wakeup-latency sampler pins (r16): the histogram/quantile/JSON math is
+  * pure and pinned without threads. The sampler converts SCALING.md
+  * §variance's by-hand sleep-overshoot adjudication into an in-artifact
+  * measurement; the window classifier stays canary-based. */
+class BenchWakeupSpec extends AnyFunSuite {
+  test("bucket edges: clean floor, millisecond class, and overflow land apart") {
+    assert(Bench.wakeupBucket(0.0) === 0)
+    assert(Bench.wakeupBucket(0.2) === 0, "upper bounds are inclusive")
+    assert(Bench.wakeupBucket(0.21) === 1)
+    assert(Bench.wakeupBucket(1.0) === 2)
+    assert(Bench.wakeupBucket(3.5) === 4)
+    assert(Bench.wakeupBucket(9.9) === 5)
+    assert(Bench.wakeupBucket(100.0) === Bench.wakeupBoundsMs.length, "overflow bucket")
+  }
+  test("quantiles are conservative bucket upper bounds; overflow reports the max") {
+    // 98 clean samples, one in (1,2], one in the overflow bucket.
+    val counts = Array[Long](98, 0, 0, 1, 0, 0, 0, 1)
+    assert(Bench.wakeupQuantileMs(counts, 0.50, 102.1) === 0.2)
+    assert(Bench.wakeupQuantileMs(counts, 0.99, 102.1) === 2.0)
+    assert(Bench.wakeupQuantileMs(counts, 1.00, 102.1) === 102.1)
+    assert(Bench.wakeupQuantileMs(Array.fill(8)(0L), 0.5, 0.0) === -1.0,
+      "no samples must read -1, never a fake clean 0")
+  }
+  test("JSON carries sample count, conservative p50/p99, max, and the over-1ms count") {
+    val counts = Array[Long](98, 0, 0, 1, 0, 0, 0, 1)
+    assert(Bench.wakeupJson(counts, 102.125) ===
+      """{"samples":100,"p50_ms":0.200,"p99_ms":2.000,"max_ms":102.125,"over_1ms":2}""")
+    assert(Bench.wakeupJson(Array.fill(8)(0L), 0.0) === """{"samples":0}""")
+  }
+  test("over_1ms counts only buckets entirely past the millisecond line") {
+    // bucket 2 covers (0.5, 1.0] — at or under 1 ms, must NOT count.
+    val counts = Array[Long](0, 0, 5, 3, 0, 0, 0, 0)
+    assert(Bench.wakeupJson(counts, 1.9).contains(""""over_1ms":3"""))
+  }
 }
 
 /** Listing-token pins (r15, ADVICE r14 #1): the directory schema-cache
