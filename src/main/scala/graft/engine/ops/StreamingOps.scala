@@ -107,12 +107,24 @@ object StreamingOps {
   // and its state is dropped — a memory sink (or complete mode) would
   // re-materialize the entire history in the driver every batch.
   //
-  // The source is UNIONED WITH ITSELF (r04): event_id is unique in the
+  // Every event is DELIVERED TWICE (r04): event_id is unique in the
   // table, so on the raw file the dedup would never fire and the
-  // equals-q39 test would hold even with dropDuplicates broken. The union
-  // simulates at-least-once delivery — every event arrives twice, exactly
-  // the failure mode watermark dedup exists for — so equality with q39 now
-  // PROVES the duplicates were dropped (a broken dedup doubles every n).
+  // equals-q39 test would hold even with dropDuplicates broken. The
+  // duplication simulates at-least-once delivery — exactly the failure
+  // mode watermark dedup exists for — so equality with q39 PROVES the
+  // duplicates were dropped (a broken dedup doubles every n).
+  //
+  // HOW it duplicates changed in r17 (VERDICT r16 #2): the r04 shape was
+  // `def src; src.union(src)` — `def` built TWO FileStreamSource
+  // instances, each with its own directory listing, offset-log entry and
+  // getBatch scan per micro-batch. Q42SourceProbe A/B'd three shapes at
+  // sf0.1 (interleaved, 4 reps, same window): two-source union 3.36 s
+  // median / one-source self-union 3.52 s / in-plan explode duplication
+  // 3.03 s, identical output rows — explode won every rep. One source +
+  // explode(array(0,1)) keeps the every-event-arrives-twice property
+  // feeding the dedup while halving source bookkeeping; at 100 TB the
+  // same change halves the listing/offset I/O of an at-least-once
+  // replay test harness.
   //
   // Oracle (r04-end): on static AvailableNow input the emitted set is
   // DETERMINISTIC — exactly the tumbling windows the final watermark
@@ -132,8 +144,9 @@ object StreamingOps {
     // Schema-adaptive events source (r06): all streaming sites share
     // Tables.eventsStream, so a physical ts-encoding change is handled in
     // exactly one place (see Tables.normalize).
-    def src = Tables.eventsStream(s, dir)
-    val stream = src.union(src)
+    val stream = Tables.eventsStream(s, dir)
+      .withColumn("dup__", explode(array(lit(0), lit(1))))
+      .drop("dup__")
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
