@@ -268,6 +268,32 @@ object Bench {
     }
   }
 
+  /** The untimed warm-session list (BASELINE.md methodology): each entry
+    * initializes a plan SHAPE's one-time codegen/infrastructure at
+    * sf0.001 so the timed slots measure query work, not first-touch
+    * compilation. Exposed as a value (r17) so probe tools
+    * (WarmupGapProbe) exercise the EXACT bench warmup instead of a
+    * drifting copy.
+    *
+    * r17 (optimization round): EVERY declared query, in the timed loop's
+    * sorted order — the completion of the incremental r05→r07 curation
+    * (q66, q111, q124, the graph family, ...) that added the worst
+    * offenders one by one as each was measured. WarmupGapProbe measured
+    * the residual: with only the 20 curated shapes warmed, first-in-
+    * family queries still paid 0.5–4.7 s of one-time codegen in their
+    * timed slots (q122's 80-term z-value interleave +4.7 s, q136 +2.8,
+    * q118/q121/q123/q126–q129/q137 +0.7–1.4 each — both probe passes and
+    * the no-warmup TimeProbe agree on the set). The methodology already
+    * declares exactly this cost out of the timed contract ("timed runs
+    * measure query work, not first-touch class loading"), so the
+    * principled list is ALL shapes, not a curation that chases the next
+    * offender each round. Warmup stays at sf0.001 (shape compilation,
+    * not target-sf data warming) and each warmup failure is still
+    * surfaced in `warmup_failed`. Adds ~30–60 s of untimed wall per
+    * capture — bounded, disclosed, and far cheaper than the timed-slot
+    * noise it removes. */
+  val warmupQueries: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default = the record config (r16): an unset env now yields a
@@ -295,39 +321,7 @@ object Bench {
     // events-ts regression that later failed 25 timed queries. Each failure
     // is logged to stderr AND recorded in the JSON as warmup_failed.
     val warmupFailed = scala.collection.mutable.ListBuffer[String]()
-    Seq("q12_join_multiway", "q18_agg_hash", "q25_window_rank", "q36_text_tf",
-      "q03_multiformat_sink", "q52_bucketed_join", "q33_sim_cosine_topk",
-      "q17_join_asof", "q42_stream_watermark_dedup",
-      "q72_avro_container_roundtrip", "q76_orc_roundtrip", "q75_dedup_components",
-      // r05: q66's PassJoin key generators are deep nested-HOF expressions
-      // whose one-time codegen compile (~2 s) would otherwise land in the
-      // timed run — same warm-session treatment as the 12 shapes above.
-      "q66_fuzzy_levenshtein",
-      // r06: q111 is alphabetically the FIRST SRP-banded query in the
-      // timed run, so it was paying the one-time SRP bucket/pair-generator
-      // codegen compile (~1-2 s) that q34/q63/q49 then get for free —
-      // warm the shape once here instead.
-      "q111_hard_negatives",
-      // r06 (late): the ASCII sort runs q124 before q48/q78/q101's
-      // posting-join family ('4' < '_'), so q124 pays the family's one-time
-      // shingle/posting codegen compile in its timed slot (measured: 4.6 s
-      // first run vs 2.0 s steady on the regenerated data). Warm it like
-      // q66/q111 — the timed run then measures the join, not javac.
-      "q124_jaccard_postings",
-      // r06 (late): the graph family's iterative-cached-join shapes are
-      // unique in the suite — their first runs pay the InMemoryRelation
-      // materialization machinery + integer-div join/agg codegen that
-      // nothing earlier in the ASCII order compiles (measured: q139 2.2 s
-      // first vs 1.2 steady; q143 3.7 vs 1.4; q145 1.4 vs 0.2). Warm each
-      // distinct shape once, same treatment as q66/q111/q124.
-      "q139_pagerank", "q143_personalized_pagerank", "q145_graph_degrees",
-      // r07 (VERDICT r06 #1c): the remaining iterative-cached shapes —
-      // q150's per-hop materialized BFS frontier and q149's PassJoin →
-      // CC → election pipeline — get the same warm-session treatment as
-      // their q139/q143/q145 siblings (their sf0.1 first-run
-      // InMemoryRelation cost is what the driver-window spikes amplified
-      // to 3.7 s in the r06 recorded run).
-      "q150_shortest_paths", "q149_entity_resolution", "q152_pagerank_states")
+    Bench.warmupQueries
       .foreach { q =>
         try SparkEntry.queries(q)(spark, warmSf).count()
         catch { case e: Throwable =>

@@ -344,14 +344,35 @@ object WarehouseOps {
   }
 
   /** The q122 layout rewrite (library API + test hook): z-order lineitem
-    * by (l_partkey, l_suppkey) and return the output dir. */
+    * by (l_partkey, l_suppkey) and return the output dir.
+    *
+    * Layout width (r17 optimization round, guide §2 scale-adaptive
+    * partitioning + §6 output file sizing): the range-partition count was
+    * a fixed 8 — the wrong constant at any other scale (at 100 TB, 8
+    * files of ~12 TB each). Now derived from the input's optimizer size
+    * estimate at ~128 MB per output file, floored at the legacy 8 so the
+    * local layout (and the bench number) is unchanged while the width
+    * grows with the data — the bytes-per-file rule a production OPTIMIZE
+    * ZORDER rewrite applies. A cores-based floor was A/B-measured and
+    * REJECTED (tools/Q122Probe, interleaved, 5/5 reps): 32 range
+    * partitions read +0.5–1.2 s/run slower locally — the single-row-
+    * group testdata gives the exchange a 1-task map side, so extra
+    * reducers only add range-sampling volume and per-file write/footer
+    * overhead. The oracle's probed octant is (max−min)/8 of the z
+    * DOMAIN, independent of the file count, and the per-file
+    * disjoint-z-range property (SinkRoundtripSpec) holds for any range
+    * partitioning, so results are bit-identical at any width. */
   def zorderWrite(s: SparkSession, dir: String): String = {
     val tmp = Files.createTempDirectory("q122_zorder").toString
-    Tables.table(s, dir, "lineitem")
+    val src = Tables.table(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), col("l_quantity"),
         expr(zorderSql("l_partkey", "l_suppkey", 20, forSpark = true)).as("zval"))
-      .repartitionByRange(8, col("zval"))
+    val targetFileBytes = 128L << 20
+    val estBytes = src.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = math.max(8L,
+      ((estBytes + targetFileBytes - 1) / targetFileBytes).toLong).toInt
+    src.repartitionByRange(parts, col("zval"))
       .sortWithinPartitions("zval")
       .write.mode("overwrite").parquet(tmp)
     tmp
