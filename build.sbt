@@ -13,6 +13,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Raw child stdout (r18, VERDICT r17 #1): the default LoggedOutput
+// strategy prefixes every forked-run stdout line with "[info] ", which
+// made the Bench contract JSON line unparseable as bare JSON in the
+// driver's captured stdout for 18 straight rounds (`parsed: null` in
+// every BENCH_r*.json). StdoutOutput inherits sbt's own stdout/stderr,
+// so the program's lines reach the driver byte-exact.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

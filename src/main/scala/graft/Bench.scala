@@ -268,6 +268,53 @@ object Bench {
     }
   }
 
+  /** JSON rendering of the cpus env value: a number when parseable (every
+    * legitimate mode), a quoted string otherwise — the old bare
+    * interpolation made `"cpus":all` silently corrupt the whole line when
+    * the env was garbage, which is exactly the artifact that must survive
+    * a broken env. */
+  def cpusJson(cpus: String): String =
+    cpus.trim.toIntOption.map(_.toString).getOrElse("\"" + cpus + "\"")
+
+  /** Compact driver-contract line (r18, VERDICT r17 #1). The driver's
+    * PERF adjudication has read `parsed: null` for 18 straight rounds: the
+    * old contract line carried ~7 KB of per-query 9-decimal seconds plus
+    * wakeup/preflight/retimed/restart/recapture diagnostics, and the
+    * driver keeps only a stdout TAIL, head-truncating it. This line is the
+    * contract fields ONLY — per-query seconds at millisecond precision,
+    * scalars placed AFTER the queries map so even a tail-truncated copy
+    * still carries total/gate/window — printed as the FINAL stdout line.
+    * The full-precision diagnostics JSON still ships, in
+    * bench_full_latest.json and bench_runs.jsonl (unchanged format), so
+    * nothing is lost to forensics. Failed queries stay -1 in the map, the
+    * same convention as the full artifact. Pure formatter, pinned by
+    * UnitSpecs. */
+  def contractLine(total: Double, cpus: String, cpusDivergent: Boolean,
+      heapReqGb: Double, heapDivergent: Boolean,
+      queries: Seq[(String, Double, Boolean)],
+      warmupFailed: Seq[String], overBudget: Seq[String],
+      budgetExceeded: Boolean, windowDegradedJson: String, warmupN: Int,
+      recaptureTotal: Option[Double], sf: String): String = {
+    def sec(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = queries.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) sec(v) else "-1.0")
+    }.mkString("{", ",", "}")
+    val failed = queries.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val wf = warmupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val ob = overBudget.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","unit":"sec","queries":$qs,"failed":$failed,""" +
+      s""""warmup_failed":$wf,"over_budget":$ob,""" +
+      s""""cpus":${cpusJson(cpus)},"cpus_divergent":$cpusDivergent,""" +
+      s""""heap_req_gb":${sec(heapReqGb)},"heap_divergent":$heapDivergent,""" +
+      s""""warmup_n":$warmupN,""" +
+      s""""recapture_total":${recaptureTotal.map(sec).getOrElse("null")},""" +
+      s""""window_degraded":$windowDegradedJson,""" +
+      s""""budget_exceeded":$budgetExceeded,""" +
+      s""""value":${sec(total)},"sf":"$sf"}"""
+  }
+
   /** The untimed warm-session list (BASELINE.md methodology): each entry
     * initializes a plan SHAPE's one-time codegen/infrastructure at
     * sf0.001 so the timed slots measure query work, not first-touch
@@ -345,8 +392,8 @@ object Bench {
     // clean closing canaries). Both pairs are untimed w.r.t. the gate.
     // Transparency note: running q28/q11 here ALSO warms them at the
     // target sf before their timed runs (≈0.05-0.1 s each) — the same
-    // warm-session treatment the warmup list gives its 12 queries, now
-    // visible in the methodology instead of implicit.
+    // warm-session treatment the warmup list gives every declared query
+    // (at sf0.001), now visible in the methodology instead of implicit.
     def canaryOf(q: String): Double = try {
       (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -669,13 +716,18 @@ object Bench {
         s"record config local[${Bench.recordCpus}] — timings are not comparable " +
         "to the era baselines (ADVICE r15 #1); unset SPARK_GRAFT_CPUS or set " +
         s"it to ${Bench.recordCpus} for a gate-grade capture")
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"cpus_divergent":$cpuDivergent,"heap_gb":$heapGb,"heap_req_gb":$xmxReqGb,"heap_divergent":$heapDivergent,"queries":$qs,"failed":$failed,"warmup_failed":$warmFailedJson,"over_budget":$overBudget,"canary_retime_sec":$canaryRetime,"retimed":$retimed,"retimed_cold":$retimedCold,"soft_budget_sec":$softTotal,"budget_exceeded":$exceeded,"canary_pre_sec":$canaryPre,"canary_shuffle_pre_sec":$canaryShufflePre,"canary_mid_sec":$canaryMid,"canary_shuffle_mid_sec":$canaryShuffleMid,"canary_sec":$canary,"canary_shuffle_sec":$canaryShuffle,"window_degraded":${pass.windowDegradedJson},"wakeup":${pass.wakeupJson},"canary_suspect_line_sec":${Bench.canarySuspectLine},"preflight":${preflight.json},"restart":${firstCapture.restartJson},"recapture":$recaptureJson,"sf":"$sfDir"}"""
-    println(jsonLine)
-    // Truncation-proof headline (r15, VERDICT r14 #1): printed AFTER the
-    // JSON so the driver's tail-kept artifact always carries the
-    // verdict-critical numbers even when the JSON head-truncates to
-    // `parsed: null` (in r14 the capture total itself fell off the
-    // artifact). Mirrored to stderr for log forensics.
+    // Full-precision diagnostics JSON — FILE artifacts only since r18
+    // (VERDICT r17 #1): at ~7 KB it head-truncated in the driver's
+    // tail-kept stdout artifact every round since r01 (`parsed: null`),
+    // so stdout now carries the compact contract line below instead and
+    // this line ships via bench_full_latest.json + bench_runs.jsonl
+    // (same format as always, plus warmup_n — ADVICE r17 #3: the warmup-
+    // list version must be machine-detectable for cross-round
+    // comparability).
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","cpus":${Bench.cpusJson(cpus)},"cpus_divergent":$cpuDivergent,"heap_gb":$heapGb,"heap_req_gb":$xmxReqGb,"heap_divergent":$heapDivergent,"warmup_n":${Bench.warmupQueries.size},"queries":$qs,"failed":$failed,"warmup_failed":$warmFailedJson,"over_budget":$overBudget,"canary_retime_sec":$canaryRetime,"retimed":$retimed,"retimed_cold":$retimedCold,"soft_budget_sec":$softTotal,"budget_exceeded":$exceeded,"canary_pre_sec":$canaryPre,"canary_shuffle_pre_sec":$canaryShufflePre,"canary_mid_sec":$canaryMid,"canary_shuffle_mid_sec":$canaryShuffleMid,"canary_sec":$canary,"canary_shuffle_sec":$canaryShuffle,"window_degraded":${pass.windowDegradedJson},"wakeup":${pass.wakeupJson},"canary_suspect_line_sec":${Bench.canarySuspectLine},"preflight":${preflight.json},"restart":${firstCapture.restartJson},"recapture":$recaptureJson,"sf":"$sfDir"}"""
+    // Truncation-proof headline (r15, VERDICT r14 #1), now printed BEFORE
+    // the contract line: the contract line itself is the final stdout
+    // line since r18. Mirrored to stderr for log forensics.
     val summary = Bench.summaryLine(total, exceeded, pass.windowDegradedJson,
       preflight.waitedSec, firstCapture.restart.isDefined,
       recapture.map(_.pass.total), cpuDivergent)
@@ -722,6 +774,18 @@ object Bench {
     // r06 #1): the cross-query reuse (the graph family shares one edge
     // cache) is deliberate DURING the run; the bound is this hook.
     graft.engine.CacheReaper.release()
+    // THE driver-contract line — compact (ms precision, no diagnostic
+    // blobs), scalars after the queries map, printed as the FINAL stdout
+    // line of the run (after every stderr warning, so a merged-stream
+    // capture also ends with it) so both a full-stdout parse and a
+    // tail-kept artifact can read it (r18, VERDICT r17 #1; pairs with
+    // build.sbt's `run / outputStrategy := StdoutOutput`, which removes
+    // the sbt `[info] ` prefix that made every prior round's stdout line
+    // unparseable as bare JSON).
+    println(Bench.contractLine(total, cpus, cpuDivergent, xmxReqGb,
+      heapDivergent, results, warmupFailed.toSeq, overBudgetKeys,
+      exceeded, pass.windowDegradedJson, Bench.warmupQueries.size,
+      recapture.map(_.pass.total), sfDir))
     spark.stop()
   }
 }

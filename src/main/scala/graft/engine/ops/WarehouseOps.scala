@@ -349,11 +349,13 @@ object WarehouseOps {
     * Layout width (r17 optimization round, guide §2 scale-adaptive
     * partitioning + §6 output file sizing): the range-partition count was
     * a fixed 8 — the wrong constant at any other scale (at 100 TB, 8
-    * files of ~12 TB each). Now derived from the input's optimizer size
-    * estimate at ~128 MB per output file, floored at the legacy 8 so the
-    * local layout (and the bench number) is unchanged while the width
-    * grows with the data — the bytes-per-file rule a production OPTIMIZE
-    * ZORDER rewrite applies. A cores-based floor was A/B-measured and
+    * files of ~12 TB each). Now derived from the input FILE bytes (r18,
+    * VERDICT r17 #7 — the r17 optimizer-stats estimate was unreliable on
+    * a derived-column plan and could narrow negative, see
+    * [[layoutPartitions]]) at ~128 MB per output file, floored at the
+    * legacy 8 so the local layout (and the bench number) is unchanged
+    * while the width grows with the data — the bytes-per-file rule a
+    * production OPTIMIZE ZORDER rewrite applies. A cores-based floor was A/B-measured and
     * REJECTED (tools/Q122Probe, interleaved, 5/5 reps): 32 range
     * partitions read +0.5–1.2 s/run slower locally — the single-row-
     * group testdata gives the exchange a 1-task map side, so extra
@@ -362,16 +364,42 @@ object WarehouseOps {
     * DOMAIN, independent of the file count, and the per-file
     * disjoint-z-range property (SinkRoundtripSpec) holds for any range
     * partitioning, so results are bit-identical at any width. */
+  /** Output-partition count for a layout rewrite targeting
+    * `targetFileBytes` per written file, from the summed INPUT FILE bytes
+    * scaled by the rewrite's measured projection ratio (output bytes /
+    * input bytes for its column subset). r18 (VERDICT r17 #7 + ADVICE
+    * r17): the r17 version used `optimizedPlan.stats.sizeInBytes` on a
+    * plan containing the 80-term z-value projection — Catalyst's default
+    * size estimate on derived columns can be off by large factors without
+    * CBO stats, and a stats fallback to `spark.sql.defaultSizeInBytes`
+    * (Long.MaxValue) would have truncated through `.toLong.toInt` to a
+    * NEGATIVE partition count. File sizes are ground truth the driver
+    * layout provides for free; the ratio is measured on the actual
+    * rewrite (see [[zorderWrite]]); and the result is clamped BEFORE the
+    * narrowing so no input can go negative. Pure, pinned by UnitSpecs. */
+  def layoutPartitions(inputBytes: Long, projectionRatio: Double,
+      targetFileBytes: Long, floor: Int): Int = {
+    require(targetFileBytes > 0 && floor >= 1 && projectionRatio > 0)
+    val est = math.ceil(
+      math.max(0L, inputBytes).toDouble * projectionRatio / targetFileBytes)
+    math.min(Int.MaxValue.toDouble, math.max(floor.toDouble, est)).toInt
+  }
+
   def zorderWrite(s: SparkSession, dir: String): String = {
     val tmp = Files.createTempDirectory("q122_zorder").toString
     val src = Tables.table(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), col("l_quantity"),
         expr(zorderSql("l_partkey", "l_suppkey", 20, forSpark = true)).as("zval"))
-    val targetFileBytes = 128L << 20
-    val estBytes = src.queryExecution.optimizedPlan.stats.sizeInBytes
-    val parts = math.max(8L,
-      ((estBytes + targetFileBytes - 1) / targetFileBytes).toLong).toInt
+    // Input bytes from the file itself (ground truth), not optimizer
+    // stats on the projected plan — see layoutPartitions. The projection
+    // ratio is MEASURED on this exact rewrite at sf0.1 (r18): the written
+    // layout (5 projected columns + zval, re-sorted by zval) is 0.714× the
+    // 11-column input parquet bytes; 0.75 keeps a margin toward MORE
+    // files (slightly-under-target files cost less than oversized ones).
+    val inputBytes = new java.io.File(s"$dir/lineitem.parquet").length()
+    val parts = layoutPartitions(inputBytes, projectionRatio = 0.75,
+      targetFileBytes = 128L << 20, floor = 8)
     src.repartitionByRange(parts, col("zval"))
       .sortWithinPartitions("zval")
       .write.mode("overwrite").parquet(tmp)

@@ -11,7 +11,7 @@ import graft.{Bench, SparkEntry}
   * interleaved (full, legacy, legacy, full) so a host-window drift can't
   * masquerade as a win; compare totals and the per-query lines.
   *
-  * mode "legacy" = the r05–r16 curated 20-shape list; mode "full" =
+  * mode "legacy" = the r05–r16 curated 21-shape list; mode "full" =
   * Bench.warmupQueries (every declared shape, the shipped r17 value).
   */
 object WarmupAbProbe {

@@ -256,6 +256,78 @@ class BenchSummarySpec extends AnyFunSuite {
   }
 }
 
+/** Layout-rewrite width (r18, VERDICT r17 #7 + ADVICE r17): partition
+  * count from summed input file bytes × measured projection ratio, floored
+  * at the legacy local width and clamped BEFORE the Long→Int narrowing —
+  * the r17 stats-based estimate could truncate Long.MaxValue to a negative
+  * Int if optimizer stats ever degraded to spark.sql.defaultSizeInBytes. */
+class LayoutPartitionsSpec extends AnyFunSuite {
+  import graft.engine.ops.WarehouseOps.layoutPartitions
+  private val target = 128L << 20
+
+  test("local-scale inputs stay at the floor (bench layout unchanged)") {
+    // sf0.1 lineitem is ~15 MB: 0.7 × 15 MB ≪ 128 MB → the legacy 8.
+    assert(layoutPartitions(15L << 20, 0.7, target, floor = 8) === 8)
+    assert(layoutPartitions(0L, 0.7, target, floor = 8) === 8)
+  }
+  test("width grows with input at ~target bytes per output file") {
+    // 1 TB input × 0.7 → ~5600 files of ~128 MB.
+    val p = layoutPartitions(1L << 40, 0.7, target, floor = 8)
+    assert(p === math.ceil((1L << 40).toDouble * 0.7 / target).toInt)
+    assert(p > 5000 && p < 6000)
+  }
+  test("degenerate inputs clamp instead of overflowing the Int narrowing") {
+    assert(layoutPartitions(Long.MaxValue, 1.0, target, floor = 8)
+      === Int.MaxValue)
+    assert(layoutPartitions(-1L, 0.7, target, floor = 8) === 8,
+      "a negative length (missing file) must fall to the floor, not throw")
+  }
+}
+
+/** Compact driver-contract line (r18, VERDICT r17 #1): the final stdout
+  * line must be bare, valid JSON small enough to survive the driver's
+  * tail-kept artifact — per-query at ms precision, no diagnostic blobs,
+  * scalars AFTER the queries map so a head-truncated copy still carries
+  * total/gate/window. */
+class BenchContractLineSpec extends AnyFunSuite {
+  test("contract line carries the contract fields, scalars last") {
+    val s = Bench.contractLine(84.5678901, "32", cpusDivergent = false,
+      16.0, heapDivergent = false,
+      queries = Seq(("q01_a", 1.2345678, true), ("q02_b", 0.5, false)),
+      warmupFailed = Seq("q02_b"), overBudget = Nil,
+      budgetExceeded = false, windowDegradedJson = "false", warmupN = 152,
+      recaptureTotal = None, sf = "/root/testdata/sf0.1")
+    assert(s === """{"metric":"total","unit":"sec",""" +
+      """"queries":{"q01_a":1.235,"q02_b":-1.0},"failed":["q02_b"],""" +
+      """"warmup_failed":["q02_b"],"over_budget":[],""" +
+      """"cpus":32,"cpus_divergent":false,""" +
+      """"heap_req_gb":16.000,"heap_divergent":false,"warmup_n":152,""" +
+      """"recapture_total":null,"window_degraded":false,""" +
+      """"budget_exceeded":false,"value":84.568,"sf":"/root/testdata/sf0.1"}""")
+    // The verdict-critical scalars sit in the LAST 200 bytes, where even
+    // a 2000-char tail of a 150-query line keeps them.
+    val tail = s.takeRight(200)
+    assert(tail.contains("\"value\":84.568") &&
+      tail.contains("\"budget_exceeded\":false") &&
+      tail.contains("\"window_degraded\":false"))
+  }
+  test("gate failure with recapture ships both totals as scalars") {
+    val s = Bench.contractLine(93.95, "32", cpusDivergent = false,
+      16.0, heapDivergent = false, queries = Seq(("q01_a", 93.95, true)),
+      warmupFailed = Nil, overBudget = Seq("q01_a"),
+      budgetExceeded = true, windowDegradedJson = "true", warmupN = 152,
+      recaptureTotal = Some(72.561), sf = "/x")
+    assert(s.contains("\"recapture_total\":72.561"))
+    assert(s.contains("\"budget_exceeded\":true"))
+    assert(s.contains("\"over_budget\":[\"q01_a\"]"))
+  }
+  test("a garbage cpus env quotes instead of corrupting the JSON") {
+    assert(Bench.cpusJson("32") === "32")
+    assert(Bench.cpusJson(" 32 ") === "32")
+    assert(Bench.cpusJson("all") === "\"all\"")
+  }
+}
+
 /** cpus-divergence gate pins (r16, ADVICE r15 #1): the r15 campaign ran
   * 25 captures at local[4] against a local[32] era baseline with nothing
   * in the artifact flagging the mode gap — the predicate below is the
