@@ -64,6 +64,25 @@ object GraphOps {
       .agg(count(lit(1)).as("w"))
   }
 
+  /** Per-item purchase counts (k, n) — the seed-derivation aggregate q143
+    * (top-5 seeds) and q150 (top-1 root) both need (r18, VERDICT r17 #3):
+    * each previously re-scanned and re-JSON-decoded the FULL events table
+    * for the same |purchase-items|-row aggregate. Persisted + tracked like
+    * [[itemEdges]]' prep tables, so CacheManager plan-dedup serves the
+    * second query's seed scan from cache (bench order: q143 materializes,
+    * q150 reuses) — one events pass saved per run at any scale. The
+    * aggregate is tiny (distinct purchased items), so the persist itself
+    * is O(items) memory. Downstream orderBy/limit is unchanged, so seeds
+    * and root are bit-identical to the per-query scans they replace. */
+  private[graft] def purchaseCounts(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.engine.CacheReaper.track(
+      Tables.table(s, dir, "events")
+        .select(col("event_type"),
+          graft.engine.expr.JsonIntKey.of(col("props"), "k").cast("int").as("k"))
+        .where(col("k").isNotNull && col("event_type") === "purchase")
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   // --- q139: PageRank over the item-transition graph -----------------------
   // Nodes = items (props.$.k); a directed edge src→dst with weight w means
   // "users moved from item src to item dst w times" (per-user ts,event_id
@@ -170,12 +189,7 @@ object GraphOps {
       |         FROM eb JOIN r2 ON r2.v = eb.src GROUP BY eb.dst) c ON c.v = bases.v)
       |SELECT v AS item, CAST(pr AS BIGINT) AS pr_scaled FROM r3
       |WHERE pr > 0 ORDER BY pr_scaled DESC, item LIMIT 25""".stripMargin) { (s, dir) =>
-    val ev = Tables.table(s, dir, "events")
-      .select(col("event_type"),
-        graft.engine.expr.JsonIntKey.of(col("props"), "k").cast("int").as("k"))
-      .where(col("k").isNotNull)
-    val seeds = ev.where(col("event_type") === "purchase")
-      .groupBy("k").agg(count(lit(1)).as("n"))
+    val seeds = purchaseCounts(s, dir)
       .orderBy(col("n").desc, col("k")).limit(5)
       .select(col("k").as("v"))
     Graph.personalizedPagerank(itemEdges(s, dir), seeds, iters = 3, d = 85)
@@ -297,11 +311,7 @@ object GraphOps {
       |         SELECT e.dst AS v, d2.dist + 1 FROM d2 JOIN edges e ON e.src = d2.v) GROUP BY v)
       |SELECT CAST(v AS INTEGER) AS item, CAST(dist AS BIGINT) AS hops
       |FROM d3 ORDER BY hops, item LIMIT 200""".stripMargin) { (s, dir) =>
-    val root = Tables.table(s, dir, "events")
-      .select(col("event_type"),
-        graft.engine.expr.JsonIntKey.of(col("props"), "k").cast("int").as("k"))
-      .where(col("k").isNotNull && col("event_type") === "purchase")
-      .groupBy("k").agg(count(lit(1)).as("n"))
+    val root = purchaseCounts(s, dir)
       .orderBy(col("n").desc, col("k")).limit(1)
       .select(col("k").as("v"))
     Graph.shortestPaths(itemEdges(s, dir), root, maxHops = 3)

@@ -40,7 +40,13 @@ object StreamingOps {
     * state volume this knob goes UP with the state, like any shuffle. */
   private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    // Conf override (r18): the deliberate deployment knob made visible as
+    // a session conf so probe tools can A/B it without editing builders —
+    // a 100 TB checkpoint sets it to O(executor cores) at creation; the
+    // local default stays the StreamProbe-measured optimum passed in.
+    val eff = s.conf.getOption("spark.graft.stream.statePartitions")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(n)
+    s.conf.set("spark.sql.shuffle.partitions", eff.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 

@@ -80,6 +80,7 @@ object StreamFamilyProbe {
           val d = p.durationMs
           batches.add(f"b${p.batchId}[rows=${p.numInputRows} " +
             f"total=${d.getOrDefault("triggerExecution", -1L)} addBatch=${d.getOrDefault("addBatch", -1L)} " +
+            f"plan=${d.getOrDefault("queryPlanning", -1L)} " +
             f"getBatch=${d.getOrDefault("getBatch", -1L)} latestOffset=${d.getOrDefault("latestOffset", -1L)} " +
             f"commit=${d.getOrDefault("commitOffsets", -1L)} wal=${d.getOrDefault("walCommit", -1L)} " +
             f"state=${p.stateOperators.map(s => s"c=${s.commitTimeMs}").mkString("/")}]")
