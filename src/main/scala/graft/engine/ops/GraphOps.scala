@@ -46,7 +46,21 @@ object GraphOps {
   // private[graft] (not private) so PlanSuite can pin the decode plan —
   // the family's final frames are eager/checkpointed, so the scan is not
   // visible in their explain output.
-  private[graft] def itemEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  //
+  // Persisted + tracked (r18, VERDICT r17 #3): the aggregate itself is now
+  // the family's shared cache entry. Before this, only Graph.prep's JOINED
+  // frame (edges⋈outweight) was persisted, so q139/q143 shared one events
+  // window pass via plan-dedup but q145 (which persisted a plain itemEdges
+  // copy) and q150 (shortestPaths persists edges.select(src,dst)) each
+  // re-ran the FULL events scan + JSON decode + window pass — three passes
+  // per run for the family. Caching at the aggregate (|item pairs| rows,
+  // independent of event count — the GraphX edge-cache discipline already
+  // documented above) makes every downstream persist materialize from this
+  // cache: ONE events pass per run at any scale.
+  /** The raw (uncached) edge-aggregate plan — split out so PlanSuite can
+    * pin the native json_int_key decode on the builder itself (a cached
+    * frame's formatted explain hides the inner expressions). */
+  private[graft] def itemEdgesPlan(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     // The long→int cast (here and at the q143/q150 seed scans) carries a
     // RANGE ASSUMPTION (r12, ADVICE r11 #3): item ids fit int — the oracle
@@ -63,6 +77,11 @@ object GraphOps {
       .groupBy(col("pk").as("src"), col("k").as("dst"))
       .agg(count(lit(1)).as("w"))
   }
+
+  private[graft] def itemEdges(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.engine.CacheReaper.track(
+      itemEdgesPlan(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Per-item purchase counts (k, n) — the seed-derivation aggregate q143
     * (top-5 seeds) and q150 (top-1 root) both need (r18, VERDICT r17 #3):
@@ -198,6 +217,25 @@ object GraphOps {
       .orderBy(col("pr_scaled").desc, col("item")).limit(25)
   }
 
+  /** Per (src, dst) event-type transition counts, self-loops INCLUDED —
+    * the aggregate q144's Markov matrix is built from, persisted + tracked
+    * (r18, VERDICT r17 #3) so q152's edge build (the SAME aggregate with
+    * self-loop transitions dropped — a filter on the grouping keys, which
+    * commutes exactly with the aggregation) reuses it instead of re-running
+    * its own full events window pass. |types|² rows at any corpus size, so
+    * the persist is metadata-sized. */
+  private[graft] def typeTransitions(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    graft.engine.CacheReaper.track(
+      Tables.table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("dst"))
+        .withColumn("src", lag(col("dst"), 1).over(w))
+        .where(col("src").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   // --- q144: Markov transition matrix over event types ---------------------
   // The behavioral model q139's edge build specializes: per (src, dst)
   // event-type transition, the count and the transition probability
@@ -215,12 +253,7 @@ object GraphOps {
       |o AS (SELECT src, CAST(SUM(n) AS BIGINT) AS out_n FROM e GROUP BY src)
       |SELECT e.src, e.dst, e.n, CAST((e.n * 1000000) // o.out_n AS BIGINT) AS p_micro
       |FROM e JOIN o USING (src) ORDER BY src, dst""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val e = Tables.table(s, dir, "events")
-      .select(col("user_id"), col("event_type").as("dst"),
-        lag(col("event_type"), 1).over(w).as("src"))
-      .where(col("src").isNotNull)
-      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val e = typeTransitions(s, dir)
     // out_n as a window over the |types|² aggregate — the oracle joins a
     // second aggregate; the plan must not re-execute the corpus subtree.
     e.withColumn("out_n",
@@ -257,11 +290,10 @@ object GraphOps {
       |FROM outd FULL OUTER JOIN ind ON outd.v = ind.v
       |LEFT JOIN recip ON recip.v = COALESCE(outd.v, ind.v)
       |ORDER BY out_w + in_w DESC, item LIMIT 20""".stripMargin) { (s, dir) =>
-    // The edge aggregate feeds five plan references (out/in/recip a+b) —
-    // persist it once (the Graph.prep discipline) so the events window
-    // pass runs once, not five times.
-    val e = graft.engine.CacheReaper.track(itemEdges(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // The edge aggregate feeds five plan references (out/in/recip a+b);
+    // itemEdges is persisted at the source since r18, so the events window
+    // pass runs once — for the whole family, not just this query.
+    val e = itemEdges(s, dir)
     val outd = e.groupBy(col("src").as("v"))
       .agg(count(lit(1)).as("out_deg"), sum("w").as("out_w"))
     val ind = e.groupBy(col("dst").as("v"))
@@ -362,13 +394,14 @@ object GraphOps {
       |    FROM e JOIN r2 ON r2.v = e.src GROUP BY e.dst) c ON c.v = nodes.v, nn)
       |SELECT v AS event_type, CAST(pr AS BIGINT) AS pr_scaled FROM r3
       |ORDER BY pr_scaled DESC, event_type""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val edges = Tables.table(s, dir, "events")
-      .select(col("user_id"), col("ts"), col("event_id"),
-        col("event_type").as("dst"))
-      .withColumn("src", lag(col("dst"), 1).over(w))
-      .where(col("src").isNotNull && col("src") =!= col("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    // Edges = q144's persisted transition aggregate with self-loop
+    // transitions dropped (r18): src<>dst filters whole GROUPS (it is a
+    // predicate on the grouping keys), so filtering the aggregate is
+    // bit-identical to filtering the rows before it — and the second full
+    // events window pass this query ran is now a cache hit.
+    val edges = typeTransitions(s, dir)
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), col("n").as("w"))
     Graph.pagerank(edges, iters = 3, d = 85)
       .select(col("v").as("event_type"), col("pr").cast("bigint").as("pr_scaled"))
       .orderBy(col("pr_scaled").desc, col("event_type"))

@@ -175,9 +175,11 @@ object LlmOps {
       // label joins back onto the symmetric pair stream (a metadata lookup
       // on doc_a) rather than riding through the self-join — see
       // Similarity.srpBandedPairs on why the branches must stay symmetric.
-      graft.operators.Similarity
-        .srpBandedPairs(emb, "vec_id", "embedding",
-          threshold = 0.30, dim = 64, tables = 8, bitsPerTable = 6, bucketCap = 256)
+      // r18: pairs come from the family-shared SRP frame (SimilarityOps.
+      // srpPairs, built at the family-min 0.10 threshold) filtered to this
+      // query's 0.30 — bit-identical, one bucket pipeline per run.
+      SimilarityOps.srpPairs(s, dir)
+        .where(col("sim") >= 0.30)
         .join(emb.select(col("vec_id").as("doc_a"), col("label")), "doc_a")
         .groupBy("label")
         .agg(count(lit(1)).as("n_pairs"))
@@ -441,8 +443,9 @@ object LlmOps {
       |SELECT doc_id, rn, term, score FROM ranked WHERE rn <= 3
       |ORDER BY doc_id, rn LIMIT 600""".stripMargin) { (s, dir) =>
     val docs = Tables.table(s, dir, "documents")
-    val tfc = docs.select(col("doc_id"), explode(toks).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // r18: tfc is the family-shared TextOps.termFreq frame (q118's tf is
+    // the identical aggregate).
+    val tfc = TextOps.termFreq(s, dir)
     val dfc = tfc.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))

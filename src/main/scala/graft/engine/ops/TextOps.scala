@@ -16,6 +16,43 @@ object TextOps {
 
   private val toks = split(col("text"), " ")
 
+  /** (doc_id, lang, t): per-document DISTINCT tokens, persisted + tracked
+    * (r18, VERDICT r17 #4) — the shared tokenize+explode front end of q114
+    * (OOV docs), q136 (co-occurrence lift) and q140 (chi² features), which
+    * each previously re-ran the full corpus tokenize pass. Consumers that
+    * don't need `lang` project it away; the frame is postings-sized (one
+    * row per distinct token occurrence). */
+  private[ops] def distinctTokens(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.engine.CacheReaper.track(
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(toks)).as("t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The top-100 vocabulary by document frequency (t, df), persisted +
+    * tracked (r18): q136 and q140 collect the IDENTICAL bounded aggregate
+    * (df over [[distinctTokens]], top-100 by (df desc, t)); sharing it
+    * runs the corpus-wide frequency aggregation once per run. ≤ 100 rows
+    * by construction. */
+  private[ops] def topVocab(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.engine.CacheReaper.track(
+      distinctTokens(s, dir)
+        .groupBy("t").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("t")).limit(100)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** (doc_id, term, tf): full-token per-document term frequencies,
+    * persisted + tracked (r18) — the shared aggregate of q101 (TF-IDF; its
+    * df/N derive from it) and q118 (BM25; its dl/df/avgdl derive from it),
+    * which each previously re-ran the corpus explode + (doc_id, term)
+    * shuffle. */
+  private[ops] def termFreq(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.engine.CacheReaper.track(
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), explode(toks).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   // Fixed marker-token profiles for the n-gram/stopword language heuristic.
   // (The corpus vocabulary is synthetic; profiles are arbitrary but FIXED —
   // what matters is the operator shape: per-doc profile scores → argmax.)
@@ -283,8 +320,7 @@ object TextOps {
       |SELECT doc_id, n_tok, n_oov FROM per WHERE n_oov > 0
       |ORDER BY doc_id LIMIT 300""".stripMargin) { (s, dir) =>
     val docs = Tables.table(s, dir, "documents")
-    val tok = docs.select(col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("t"))
+    val tok = distinctTokens(s, dir).select("doc_id", "t") // shared (r18)
     val n = docs.agg(count(lit(1)).as("n"))
     val oov = tok.groupBy("t").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
@@ -327,9 +363,9 @@ object TextOps {
       |SELECT doc_id, COUNT(*) AS n_hit_terms, CAST(SUM(micros) AS BIGINT) AS score_micros
       |FROM term GROUP BY doc_id
       |ORDER BY score_micros DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
-    val tok = Tables.table(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    // r18: tf is the family-shared termFreq frame (q101's tfc is the
+    // identical aggregate).
+    val tf = termFreq(s, dir).select(col("doc_id"), col("term").as("t"), col("tf"))
     // dl and df derive FROM tf (dl = Σtf per doc; df = tf-row count per
     // term, since (doc_id, t) is unique there): all three stats then share
     // tf's exchange (ReuseExchange), so the corpus explode+shuffle runs
@@ -474,15 +510,15 @@ object TextOps {
       |ORDER BY n_ab DESC, ta, tb LIMIT 100""".stripMargin) { (s, dir) =>
     import s.implicits._
     val docs = Tables.table(s, dir, "documents")
-    val tok = docs
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+    val tok = distinctTokens(s, dir).select("doc_id", "t") // shared (r18)
     // Bounded collect-for-broadcast (the BloomFilter precedent): the top-100
     // vocabulary is ≤ 100 rows BY CONSTRUCTION, and materializing it once
     // means the corpus-wide frequency agg runs ONE scan instead of being
     // re-executed for the semi-join and both lift joins (Spark does not
     // reuse broadcast exchanges across different projections of a subplan).
-    val topRows = tok.groupBy("t").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("t")).limit(100)
+    // r18: the aggregate itself is the family-shared topVocab frame (q140
+    // collects the identical one).
+    val topRows = topVocab(s, dir)
       .as[(String, Long)].collect().toSeq
     val top = topRows.toDF("t", "n")
     val pruned = tok.join(broadcast(top.select("t")), Seq("t"), "left_semi")
@@ -549,12 +585,12 @@ object TextOps {
     // lang rides along through tokenization — the oracle joins tok back to
     // documents on doc_id, but result-equivalence doesn't require the plan
     // to: carrying the label avoids a corpus-size shuffle join entirely.
-    val tok = docs.select(col("doc_id"), col("lang"),
-      explode(array_distinct(split(col("text"), " "))).as("t"))
+    // r18: the tokenized frame and the top-100 aggregate are the
+    // family-shared persisted frames (see distinctTokens/topVocab).
+    val tok = distinctTokens(s, dir)
     // Bounded collect (q136 precedent): ≤ 100 rows by construction; one
     // corpus scan serves both the semi-join prune and the cell row totals.
-    val topRows = tok.groupBy("t").agg(count(lit(1)).as("r"))
-      .orderBy(col("r").desc, col("t")).limit(100)
+    val topRows = topVocab(s, dir)
       .as[(String, Long)].collect().toSeq
     val top = topRows.toDF("t", "r")
     val langs = docs.groupBy("lang").agg(count(lit(1)).as("c"))
